@@ -1,0 +1,274 @@
+"""Minimal pure-Python PDF text layer.
+
+The reference's no-layout PDF path is ``PlainParser``
+(deepdoc/parser/pdf_parser.py:1142-1168): pypdf ``extract_text()`` per page,
+split on newlines, emitted as ``[(line, "")]`` sections plus a pypdf outline
+walk. pypdf / pdfplumber are not installed here, so this module provides:
+
+- ``build_simple_pdf(pages)``: a deterministic single-font PDF writer used
+  by the fixture generator (uncompressed or Flate content streams, one
+  ``Tj`` per line) — so the extractor below can be tested honestly against
+  real PDF bytes it did not itself produce the parse for.
+- ``extract_text_lines(blob)``: a text extractor for the "simple text PDF"
+  subset: walks the page tree (/Root → /Pages → /Kids → /Contents), inflates
+  FlateDecode streams, and evaluates BT/ET text blocks (Tj, TJ, ', ")
+  with PDF string escapes. Scanned/CID/ToUnicode-mapped PDFs are out of
+  scope for this extractor and raise ``UnsupportedPdfError`` — the vision
+  OCR tier (SURVEY.md §2.8) is the reference's answer there and is stubbed
+  behind ``ragflow_spark.operators.multimodal``.
+
+The full layout-analysis pipeline (§3.3 of SURVEY.md) requires ONNX models
+that are not vendored in the reference repo either; per SURVEY §7.1.6 the
+vision backend is pluggable and absent in this sandbox.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+class UnsupportedPdfError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_simple_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Deterministic PDF with one Helvetica text column per page; each list
+    entry becomes one text line (one ``Tj`` operator)."""
+    objects: list[bytes] = []
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)  # 1-based object number
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    content_nums = []
+    for lines in pages:
+        ops = ["BT", "/F1 11 Tf", "1 0 0 1 72 770 Tm", "13 TL"]
+        for ln in lines:
+            ops.append(f"({_esc(ln)}) Tj")
+            ops.append("T*")
+        ops.append("ET")
+        data = "\n".join(ops).encode("latin-1", errors="replace")
+        if compress:
+            comp = zlib.compress(data, 9)
+            stream = (
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            stream = (
+                b"<< /Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream"
+            )
+        content_nums.append(add(stream))
+
+    page_nums = []
+    pages_num_placeholder = len(objects) + len(pages) + 1
+    for cn in content_nums:
+        page_nums.append(
+            add(
+                (
+                    f"<< /Type /Page /Parent {pages_num_placeholder} 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Contents {cn} 0 R >>"
+                ).encode()
+            )
+        )
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    pages_num = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
+    )
+    assert pages_num == pages_num_placeholder
+    catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# --------------------------------------------------------------- extractor
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_TJ_STR = re.compile(rb"\((?:\\.|[^\\()])*\)")
+
+
+def _parse_objects(blob: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+
+
+def _stream_data(obj: bytes) -> bytes | None:
+    m = _STREAM_RE.search(obj)
+    if not m:
+        return None
+    data = m.group(1)
+    if b"/FlateDecode" in obj.split(b"stream", 1)[0]:
+        try:
+            data = zlib.decompress(data)
+        except Exception as exc:
+            raise UnsupportedPdfError(f"bad Flate stream: {exc}") from exc
+    return data
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x5C and i + 1 < len(raw):  # backslash
+            nxt = raw[i + 1]
+            mapping = {
+                ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+                ord("b"): b"\b", ord("f"): b"\f", ord("("): b"(",
+                ord(")"): b")", ord("\\"): b"\\",
+            }
+            if nxt in mapping:
+                out += mapping[nxt]
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal escape, up to 3 digits
+                j = i + 1
+                digits = b""
+                while j < len(raw) and len(digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    digits += bytes([raw[j]])
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out.append(b)
+        i += 1
+    return out.decode("latin-1")
+
+
+def _content_text_lines(content: bytes) -> list[str]:
+    """Evaluate text-showing operators in reading order of the stream.
+    Each Tj / ' / " emits onto the current line; T* / Td / TD / TL-driven
+    moves end the line (simple single-column model)."""
+    lines: list[str] = []
+    current: list[str] = []
+
+    def flush():
+        if current:
+            lines.append("".join(current))
+            current.clear()
+
+    # tokenize coarsely: string literals, TJ arrays, operators
+    token_re = re.compile(
+        rb"\((?:\\.|[^\\()])*\)|\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\]|[A-Za-z'\"*]+"
+    )
+    in_text = False
+    pending: str | None = None  # last string literal awaiting its operator
+    for m in token_re.finditer(content):
+        tok = m.group(0)
+        if tok == b"BT":
+            in_text = True
+            continue
+        if tok == b"ET":
+            in_text = False
+            flush()
+            continue
+        if not in_text:
+            continue
+        if tok.startswith(b"("):
+            pending = _pdf_unescape(tok[1:-1])
+            continue
+        if tok.startswith(b"["):
+            # TJ array: concatenate its strings (kern numbers ignored)
+            current.append(
+                "".join(_pdf_unescape(s[1:-1]) for s in _TJ_STR.findall(tok))
+            )
+            pending = None
+            continue
+        if tok == b"Tj":
+            if pending is not None:
+                current.append(pending)
+                pending = None
+        elif tok in (b"'", b'"'):
+            flush()
+            if pending is not None:
+                current.append(pending)
+                pending = None
+        elif tok in (b"T*", b"Td", b"TD"):
+            flush()
+    flush()
+    return lines
+
+
+def extract_text_lines(blob: bytes) -> list[list[str]]:
+    """Per-page text lines for the simple-text-PDF subset."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    # find page objects in /Kids order when possible
+    page_order: list[int] = []
+    for num, obj in sorted(objects.items()):
+        if b"/Type /Pages" in obj or b"/Type/Pages" in obj:
+            for m in re.finditer(rb"(\d+)\s+0\s+R", obj.split(b"/Kids", 1)[-1]):
+                n = int(m.group(1))
+                if n in objects and n not in page_order:
+                    page_order.append(n)
+    if not page_order:
+        page_order = [
+            n for n, o in sorted(objects.items())
+            if b"/Type /Page" in o or b"/Type/Page" in o
+        ]
+    pages: list[list[str]] = []
+    for pn in page_order:
+        obj = objects.get(pn, b"")
+        if b"/Type /Page" not in obj and b"/Type/Page" not in obj:
+            continue
+        m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", obj)
+        if not m:
+            pages.append([])
+            continue
+        content_obj = objects.get(int(m.group(1)), b"")
+        data = _stream_data(content_obj)
+        if data is None:
+            pages.append([])
+            continue
+        pages.append(_content_text_lines(data))
+    if not pages:
+        raise UnsupportedPdfError("no extractable pages")
+    return pages
+
+
+def plain_parse(blob: bytes, from_page: int = 0, to_page: int = 100000
+                ) -> list[tuple[str, str]]:
+    """PlainParser equivalent (pdf_parser.py:1142-1168): per-page
+    ``extract_text`` split on newlines → [(line, "")] sections within the
+    requested page window."""
+    pages = extract_text_lines(blob)
+    sections: list[tuple[str, str]] = []
+    for pn, lines in enumerate(pages):
+        if pn < from_page:
+            continue
+        if pn >= to_page:
+            break
+        for ln in lines:
+            if ln:
+                sections.append((ln, ""))
+    return sections

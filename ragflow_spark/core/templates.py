@@ -1,0 +1,192 @@
+"""Chunk templates: the ``chunk()`` entry points of the reference's
+rag/app tier, re-expressed as pure functions ``(bytes|str, fmt, lang, cfg)
+-> list[Chunk]``.
+
+Models:
+- naive  — rag/app/naive.py:185-303 (format dispatch → sections →
+  naive_merge → chunks; ``section_only`` text contract at :224-225,297-299)
+- book   — rag/app/book.py:58-142 (make_colon_as_title → bullets_category →
+  hierarchical_merge depth 5, else naive_merge 256)
+- paper  — rag/app/paper.py:131-199 on the PlainParser path (title/authors
+  from metadata, bullet pivot via title_frequency, section-id run merge)
+
+Every template returns ``list[ChunkOut]`` where ``tag_text`` keeps any
+``@@..##`` position tags byte-for-byte and ``chunk_text`` is the tag-stripped
+display text (the reference's ``pdf_parser.remove_tag`` step in
+``tokenize_chunks``, rag/nlp/__init__.py:241-246).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ragflow_spark.core import html_extract, jsonsplit, markdown, pdf_mini, txt
+from ragflow_spark.core.codec import decode_bytes
+from ragflow_spark.core.merges import (
+    hierarchical_merge,
+    make_colon_as_title,
+    naive_merge,
+    remove_contents_table,
+)
+from ragflow_spark.core.patterns import bullets_category, is_english
+from ragflow_spark.core.spans import Span, parse_spans, remove_tag
+from ragflow_spark.core.merges import title_frequency
+
+
+@dataclass
+class ChunkOut:
+    chunk_idx: int
+    chunk_text: str      # tag-stripped display text
+    tag_text: str        # text incl. position tags (byte-identity contract)
+    spans: list[Span] = field(default_factory=list)
+    title: str = ""
+
+
+DEFAULT_CFG = {"chunk_token_num": 128, "delimiter": "\n!?。；！？"}
+
+
+def _finish(chunks: list[str], title: str = "") -> list[ChunkOut]:
+    out: list[ChunkOut] = []
+    for ck in chunks:
+        if not ck.strip():  # tokenize_chunks skips empties (__init__.py:238)
+            continue
+        out.append(
+            ChunkOut(
+                chunk_idx=len(out),
+                chunk_text=remove_tag(ck),
+                tag_text=ck,
+                spans=parse_spans(ck),
+                title=title,
+            )
+        )
+    return out
+
+
+# -------------------------------------------------------------- sections
+
+
+def sections_for(blob: bytes, fmt: str, cfg: dict) -> tuple[list, str]:
+    """Format dispatch (rag/app/naive.py:209-289) → (sections, title)."""
+    token_num = int(cfg.get("chunk_token_num", 128))
+    if fmt in ("html", "htm"):
+        secs = html_extract.parse_html_bytes(blob)
+        title = secs[0] if secs else ""
+        return [(s, "") for s in secs if s], title
+    if fmt in ("txt", "text", "code"):
+        return txt.parse_txt_bytes(
+            blob, token_num, cfg.get("delimiter", txt.DEFAULT_DELIMITER)
+        ), ""
+    if fmt in ("md", "markdown"):
+        sections, tables = markdown.parse_markdown_bytes(blob, token_num)
+        sections = list(sections)
+        for t in tables:
+            rendered = markdown.render_table_text(t)
+            if rendered:
+                sections.append((rendered, ""))
+        return sections, ""
+    if fmt == "json":
+        secs = jsonsplit.JsonSplitter(token_num).split_text_bytes(blob)
+        return [(s, "") for s in secs if s], ""
+    if fmt == "pdf":
+        return pdf_mini.plain_parse(blob), ""
+    raise NotImplementedError(f"format not supported yet: {fmt}")
+
+
+# -------------------------------------------------------------- templates
+
+
+def chunk_naive(blob: bytes, fmt: str, lang: str = "English",
+                cfg: dict | None = None) -> list[ChunkOut]:
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    sections, title = sections_for(blob, fmt, cfg)
+    if fmt in ("txt", "text", "code"):
+        # the txt parser already token-merged; naive_merge still runs over
+        # its output in the reference (naive.py:292-296) — keep that.
+        pass
+    chunks = naive_merge(
+        sections, int(cfg["chunk_token_num"]), cfg.get("delimiter", "\n!?。；！？")
+    )
+    return _finish(chunks, title)
+
+
+def chunk_book(blob: bytes, fmt: str, lang: str = "English",
+               cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/book.py:58-142. The reference samples sections with unseeded
+    ``random.choices`` for the eng flag and the bullet vote; for determinism
+    we pass the full section list (SURVEY §7.3.2 documents this deviation —
+    the vote over all sections is the vote the sample estimates)."""
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    title = ""
+    if fmt in ("txt", "text"):
+        # book's txt branch splits raw lines, no token pre-merge
+        # (rag/app/book.py:90-93)
+        raw = decode_bytes(blob)
+        sections = [(ln, "") for ln in raw.split("\n") if ln]
+    else:
+        sections, title = sections_for(blob, fmt, cfg)
+    if fmt in ("txt", "text", "html", "htm"):
+        texts_only = [t for t, _ in sections]
+        remove_contents_table(sections, eng=is_english(texts_only))
+    make_colon_as_title(sections)
+    bull = bullets_category([t for t, _ in sections])
+    if bull >= 0:
+        chunks = ["\n".join(ck) for ck in hierarchical_merge(bull, sections, 5)]
+    else:
+        split_pairs = []
+        for s, _ in sections:
+            parts = s.split("@")
+            split_pairs.append(
+                (parts[0], "@" + parts[1]) if len(parts) == 2 else (parts[0], "")
+            )
+        chunks = naive_merge(
+            split_pairs, cfg.get("chunk_token_num_book", 256), "\n。；！？"
+        )
+    return _finish(chunks, title)
+
+
+def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
+                cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/paper.py:131-199, PlainParser branch (layout_recognize=False):
+    pivot on the most frequent title level, merge runs between pivots."""
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    if fmt in ("txt", "text"):
+        # paper expects PlainParser-shaped sections (one line each,
+        # paper.py:140-146); for txt input that is a raw line split
+        raw = decode_bytes(blob)
+        sections, title = [(ln, "") for ln in raw.split("\n") if ln], ""
+    else:
+        sections, title = sections_for(blob, fmt, cfg)
+    bull = bullets_category([t for t, _ in sections])
+    most_level, levels = title_frequency(bull, sections)
+    sec_ids = []
+    sid = 0
+    for i, lvl in enumerate(levels):
+        if lvl <= most_level and i > 0 and lvl != levels[i - 1]:
+            sid += 1
+        sec_ids.append(sid)
+    chunks: list[str] = []
+    last_sid = -2
+    for (text, _), sec_id in zip(sections, sec_ids):
+        if sec_id == last_sid:
+            if chunks:
+                chunks[-1] += "\n" + text
+                continue
+        chunks.append(text)
+        last_sid = sec_id
+    return _finish(chunks, title)
+
+
+TEMPLATES = {
+    "naive": chunk_naive,
+    "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
+    "book": chunk_book,
+    "paper": chunk_paper,
+}
+
+
+def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",
+                 cfg: dict | None = None) -> list[ChunkOut]:
+    fn = TEMPLATES.get(parser)
+    if fn is None:
+        raise NotImplementedError(f"parser template not supported: {parser}")
+    return fn(blob, fmt, lang, cfg)
