@@ -1,0 +1,159 @@
+"""The extraction operator: pages → chunks, as one Spark stage.
+
+Maps the reference's whole task_executor orchestration
+(rag/svr/task_executor.py:449-558 — fetch blob → FACTORY[parser].chunk →
+per-chunk md5 id) onto a single ``mapInPandas`` over the salted/size-bucketed
+repartition from ``ragflow_spark.plans.partitioning``:
+
+    pages (url, warc_ts, html, text, lang, parser, fmt)
+      │ F1 size-cap filter (native Catalyst filter → parquet pushdown)
+      │ with_partition_id  (stable resume key)
+      │ partition_for_extract (physical skew-aware shuffle)
+      ▼ mapInPandas(extract)   — Arrow batches, per-doc parity core
+    chunks (url, warc_ts, chunk_idx, chunk_text, tag_text, spans, title,
+            parser, fmt, content_hash, partition_id, error)
+
+Per-document failures NEVER kill the job: a failing doc emits one row with
+``error`` set and chunk_idx = -1 (the 100 TB contract — one malformed PDF
+out of 10^12 docs must not fail a stage). ``content_hash`` =
+``md5(chunk_text || url)`` mirrors the reference's deterministic chunk id
+(task_executor.py:260-263), making re-runs idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ragflow_spark.plans.partitioning import (
+    partition_for_extract,
+    with_partition_id,
+)
+
+# F1: reject docs over the reference's 128 MB cap (rag/settings.py:33)
+DOC_MAXIMUM_SIZE = 128 * 1024 * 1024
+
+CHUNKS_SCHEMA = (
+    "url string, warc_ts timestamp, chunk_idx int, chunk_text string, "
+    "tag_text string, "
+    "spans array<struct<page:int,left:double,right:double,top:double,bottom:double>>, "
+    "title string, parser string, fmt string, content_hash string, "
+    "partition_id int, error string"
+)
+
+
+def _extract_batches(batches) -> Iterator:
+    """Executor-side worker. Imports the parity core lazily so the module
+    ships cleanly via --py-files; template dispatch per row, Arrow batch in,
+    Arrow batch out."""
+    import pandas as pd
+
+    from ragflow_spark.core.templates import run_template
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "url", "warc_ts", "chunk_idx", "chunk_text", "tag_text", "spans",
+            "title", "parser", "fmt", "content_hash", "partition_id", "error",
+        )}
+
+        def emit(row, idx, text, tag_text, spans, title, err):
+            out["url"].append(row.url)
+            out["warc_ts"].append(row.warc_ts)
+            out["chunk_idx"].append(idx)
+            out["chunk_text"].append(text)
+            out["tag_text"].append(tag_text)
+            out["spans"].append(spans)
+            out["title"].append(title)
+            out["parser"].append(row.parser)
+            out["fmt"].append(row.fmt)
+            out["content_hash"].append(
+                hashlib.md5((text + row.url).encode("utf-8", "ignore")).hexdigest()
+                if err is None else ""
+            )
+            out["partition_id"].append(row.partition_id)
+            out["error"].append(err)
+
+        for row in pdf.itertuples():
+            try:
+                blob = bytes(row.html) if row.html is not None else b""
+                chunks = run_template(row.parser, blob, row.fmt, row.lang)
+                for ck in chunks:
+                    emit(
+                        row, ck.chunk_idx, ck.chunk_text, ck.tag_text,
+                        [s._asdict() for s in ck.spans], ck.title, None,
+                    )
+            except Exception as exc:  # per-doc failure isolation
+                emit(row, -1, "", "", [], "", f"{type(exc).__name__}: {exc}")
+        yield pd.DataFrame(out)
+
+
+def extract_chunks(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    skip_errors_column: bool = False,
+) -> DataFrame:
+    """The end-to-end extraction plan. ``num_partitions`` defaults to the
+    session's shuffle partitions."""
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    plan = (
+        pages
+        # column pruning: only what the UDF consumes crosses the scan
+        .select("url", "warc_ts", "html", "lang", "parser", "fmt")
+        .filter(F.length(F.col("html")) <= DOC_MAXIMUM_SIZE)
+    )
+    plan = with_partition_id(plan, num_partitions)
+    plan = partition_for_extract(plan, num_partitions)
+    chunks = plan.mapInPandas(_extract_batches, schema=CHUNKS_SCHEMA)
+    if skip_errors_column:
+        chunks = chunks.filter(F.col("error").isNull()).drop("error")
+    return chunks
+
+
+def run_extraction_job(
+    pages: DataFrame,
+    out_path: str,
+    manifest_path: str,
+    num_partitions: int | None = None,
+    attempt: int = 1,
+) -> None:
+    """Full resumable job: resume-filter → extract → write chunks (dynamic
+    partition overwrite on partition_id) → append manifest."""
+    from ragflow_spark.plans.manifest import (
+        read_manifest,
+        resume_filter,
+        write_manifest,
+    )
+
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    staged = with_partition_id(
+        pages.select("url", "warc_ts", "html", "lang", "parser", "fmt").filter(
+            F.length(F.col("html")) <= DOC_MAXIMUM_SIZE
+        ),
+        num_partitions,
+    )
+    manifest = read_manifest(spark, manifest_path)
+    todo = resume_filter(staged, manifest)
+    chunks = partition_for_extract(todo, num_partitions).mapInPandas(
+        _extract_batches, schema=CHUNKS_SCHEMA
+    )
+    # idempotent per-partition overwrite: rerunning a partition rewrites the
+    # exact same deterministic rows
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        chunks.write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(out_path)
+    )
+    written = spark.read.parquet(out_path).join(
+        todo.select("partition_id").distinct(), "partition_id", "left_semi"
+    )
+    write_manifest(written, manifest_path, attempt=attempt)

@@ -1,0 +1,78 @@
+"""Checkpoint manifest + resume protocol (SURVEY.md §2.1 K3, §4).
+
+The reference gets at-least-once resume from a Redis consumer group with
+manual ack (rag/svr/task_executor.py:137-188, 582-585). The Spark-native
+equivalent is a *manifest table* keyed by the data-derived ``partition_id``:
+
+- after the chunk table is written, a second aggregation job derives one
+  manifest row per partition: doc/chunk counts, bytes, an order-independent
+  content hash (bit_xor of per-chunk xxhash64), status='done';
+- a relaunch anti-joins pages against done partitions and reprocesses only
+  the remainder;
+- idempotency comes from deterministic chunk ids — ``md5(chunk_text||url)``
+  mirrors the reference's ``md5(content + doc_id)``
+  (rag/svr/task_executor.py:260-263) — so re-writing a partition produces
+  identical rows and dynamic partition overwrite (or an Iceberg
+  ``overwritePartitions``) is exact.
+
+On Iceberg the chunk write + manifest append become a single atomic
+snapshot commit; parquet mode (this sandbox) writes chunks first, manifest
+second, and resume trusts only manifested partitions — the same
+crash-consistency contract at-least-once semantics require.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = (
+    "partition_id int, doc_count long, chunk_count long, bytes long, "
+    "content_hash string, status string, attempt int, ts timestamp"
+)
+
+
+def build_manifest(chunks: DataFrame, attempt: int = 1) -> DataFrame:
+    """One row per partition_id over an extracted-chunk DataFrame."""
+    return (
+        chunks.groupBy("partition_id")
+        .agg(
+            F.countDistinct("url").alias("doc_count"),
+            F.count(F.lit(1)).alias("chunk_count"),
+            F.sum(F.length("chunk_text")).cast("long").alias("bytes"),
+            F.conv(
+                F.expr("bit_xor(xxhash64(content_hash))").cast("string"), 10, 16
+            ).alias("content_hash"),
+        )
+        .withColumn("status", F.lit("done"))
+        .withColumn("attempt", F.lit(attempt))
+        .withColumn("ts", F.current_timestamp())
+    )
+
+
+def write_manifest(chunks: DataFrame, path: str, attempt: int = 1) -> None:
+    build_manifest(chunks, attempt).write.mode("append").parquet(path)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def resume_filter(pages_with_pid: DataFrame, manifest: DataFrame | None) -> DataFrame:
+    """Drop pages whose partition is already manifested as done. A broadcast
+    left-anti join — the manifest has one row per partition, always tiny
+    relative to the pages table, so no shuffle of the big side's rows beyond
+    the hash-exchange Spark already plans."""
+    if manifest is None:
+        return pages_with_pid
+    done = (
+        manifest.filter(F.col("status") == "done")
+        .select("partition_id")
+        .distinct()
+    )
+    return pages_with_pid.join(
+        F.broadcast(done), on="partition_id", how="left_anti"
+    )

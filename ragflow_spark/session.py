@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Tuned for the extraction workload: AQE on (skew-join + partition
+coalescing), small Arrow batches because rows carry megabyte-scale binary
+payloads (SURVEY.md §4 — batching constants), and Python-worker reuse so
+per-executor parser state (compiled regexes, codec tables) is initialized
+once.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows entering the extraction UDF can be multi-MB HTML/PDF blobs; a 10k-row
+# default Arrow batch would hold gigabytes. 32 rows ≈ tens of MB worst-case.
+ARROW_BATCH_ROWS = 32
+
+
+def get_spark(
+    app_name: str = "ragflow_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_BATCH_ROWS),
+        )
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet scans: allow filter/column pushdown to do its job
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

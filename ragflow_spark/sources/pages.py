@@ -1,0 +1,200 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Schema per BASELINE.json ``input_hint``:
+``url string, warc_ts timestamp, html binary, text string, lang string``
+plus test-only dispatch columns ``parser`` (naive|book|paper) and ``fmt``
+(html|txt|md|json|pdf).
+
+Every document is a pure function of ``doc_id`` (seeded ``random.Random``),
+so the corpus is identical at any parallelism, any scale prefix is stable,
+and goldens can be generated without materializing the table. Generation
+runs distributed (``mapInPandas`` over an id range) — building the corpus is
+itself a scale-path operation.
+
+Size distribution is Zipf-ish with deliberate giants (every 211th doc is
+~100-400 KB, every 2003rd ~1-2 MB) to exercise the size-bucketed skew
+handling in ``ragflow_spark.plans.partitioning``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import random
+
+from ragflow_spark.core import pdf_mini
+
+_WORDS = (
+    "data spark query engine shuffle partition filter merge chunk token "
+    "document extract content article section chapter heading paragraph "
+    "pipeline scale cluster executor batch arrow vector column stream "
+    "window join hash sort agg source sink text page crawl web html"
+).split()
+
+_ZH_WORDS = "数据 查询 引擎 分区 过滤 合并 文档 提取 内容 文章 章节 标题 段落 管道 集群".split()
+
+FMT_CYCLE = ("html", "txt", "md", "json", "html", "txt", "html", "pdf")
+PARSER_CYCLE = ("naive", "naive", "book", "naive", "paper", "naive")
+EPOCH = _dt.datetime(2024, 12, 18, 0, 0, 0)
+
+
+def _sentences(rng: random.Random, n: int, zh: bool = False) -> list[str]:
+    out = []
+    pool = _ZH_WORDS if zh else _WORDS
+    for _ in range(n):
+        k = rng.randint(6, 18)
+        words = [pool[rng.randrange(len(pool))] for _ in range(k)]
+        if zh:
+            out.append("，".join(words) + "。")
+        else:
+            s = " ".join(words)
+            out.append(s[0].upper() + s[1:] + rng.choice([".", ".", "!", "?"]))
+    return out
+
+
+def _doc_size_sentences(doc_id: int, rng: random.Random) -> int:
+    if doc_id % 2003 == 1000:
+        return rng.randint(8000, 16000)   # ~1-2 MB giant
+    if doc_id % 211 == 13:
+        return rng.randint(800, 3200)     # ~100-400 KB big
+    return rng.randint(8, 80)             # normal page
+
+
+def _html_doc(rng: random.Random, sents: list[str], zh: bool) -> bytes:
+    title = " ".join(sents[0].split()[:6]).rstrip(".!?")
+    nav = "<nav class='navbar'>" + " | ".join(
+        f"<a href='/{w}'>{w}</a>" for w in rng.sample(_WORDS, 5)
+    ) + "</nav>"
+    sidebar = "<div class='sidebar'>" + "".join(
+        f"<a href='/ad{i}'>sponsored {i}</a>" for i in range(4)
+    ) + "</div>"
+    paras = "".join(
+        f"<p>{s}</p>" for s in sents[1:]
+    )
+    footer = "<footer class='footer'>copyright 2024 fixture corp</footer>"
+    enc = "gb18030" if zh else "utf-8"
+    page = (
+        f"<html><head><title>{title}</title>"
+        f"<meta charset='{enc}'></head><body>{nav}{sidebar}"
+        f"<article class='post-content'>{paras}</article>{footer}</body></html>"
+    )
+    return page.encode(enc, errors="ignore")
+
+
+def _txt_doc(rng: random.Random, sents: list[str], parser: str) -> bytes:
+    if parser == "book":
+        lines = []
+        romans = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII"]
+        per = max(1, len(sents) // len(romans))
+        for ci, r in enumerate(romans):
+            lines.append(f"Chapter {r}")
+            lines.extend(sents[ci * per:(ci + 1) * per])
+        return "\n".join(lines).encode()
+    if parser == "paper":
+        lines = []
+        n_secs = max(2, min(9, len(sents) // 4))
+        per = max(1, len(sents) // n_secs)
+        for si in range(n_secs):
+            lines.append(f"Section {si + 1}")
+            lines.extend(sents[si * per:(si + 1) * per])
+        return "\n".join(lines).encode()
+    return "\n".join(sents).encode()
+
+
+def _md_doc(rng: random.Random, sents: list[str]) -> bytes:
+    parts = []
+    for i, s in enumerate(sents):
+        if i % 7 == 0:
+            parts.append(f"# {' '.join(s.split()[:4])}")
+        parts.append(s)
+    if rng.random() < 0.7:
+        parts.append("")
+        parts.append("| metric | value |")
+        parts.append("|---|---|")
+        for i in range(rng.randint(2, 6)):
+            parts.append(f"| m{i} | {rng.randint(0, 999)} |")
+        parts.append("")
+    return "\n".join(parts).encode()
+
+
+def _json_doc(rng: random.Random, sents: list[str]) -> bytes:
+    obj = {
+        f"field_{i}": (s if i % 3 else {"nested": s, "n": i})
+        for i, s in enumerate(sents)
+    }
+    return json.dumps(obj, ensure_ascii=False).encode()
+
+
+def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
+    pages, page = [], []
+    for s in sents:
+        # keep lines latin-1-safe for the Type1 font model
+        page.append(s.encode("latin-1", "replace").decode("latin-1"))
+        if len(page) >= 40:
+            pages.append(page)
+            page = []
+    if page:
+        pages.append(page)
+    return pdf_mini.build_simple_pdf(pages or [[""]])
+
+
+def make_doc(doc_id: int) -> dict:
+    """The whole row for one doc_id — deterministic, no global state."""
+    rng = random.Random(42_000_000 + doc_id)
+    fmt = FMT_CYCLE[doc_id % len(FMT_CYCLE)]
+    # decoupled cycles so every (fmt, parser) combination occurs
+    parser = PARSER_CYCLE[(doc_id // len(FMT_CYCLE)) % len(PARSER_CYCLE)]
+    if fmt not in ("txt", "pdf") and parser != "naive":
+        parser = "naive"  # book/paper templates ride on txt/pdf shapes
+    zh = fmt == "html" and doc_id % 11 == 5
+    lang = "Chinese" if zh else "English"
+    n = _doc_size_sentences(doc_id, rng)
+    sents = _sentences(rng, n, zh=zh)
+    if fmt == "html":
+        blob = _html_doc(rng, sents, zh)
+    elif fmt == "txt":
+        blob = _txt_doc(rng, sents, parser)
+    elif fmt == "md":
+        blob = _md_doc(rng, sents)
+    elif fmt == "json":
+        blob = _json_doc(rng, sents)
+    else:
+        blob = _pdf_doc(rng, sents)
+    return {
+        "url": f"https://fixture.test/{fmt}/{parser}/{doc_id}",
+        "warc_ts": EPOCH + _dt.timedelta(seconds=doc_id),
+        "html": blob,
+        "text": None,
+        "lang": lang,
+        "parser": parser,
+        "fmt": fmt,
+    }
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "parser string, fmt string"
+)
+
+
+def generate_pages_df(spark, n_docs: int, parallelism: int | None = None):
+    """Distributed corpus build: ids via spark.range → mapInPandas."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "text", "lang", "parser", "fmt"
+                ],
+            )
+
+    rng_df = spark.range(0, n_docs, 1, parallelism or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark, n_docs: int, path: str, parallelism: int | None = None) -> str:
+    generate_pages_df(spark, n_docs, parallelism).write.mode("overwrite").parquet(path)
+    return path
