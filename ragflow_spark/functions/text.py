@@ -1,0 +1,113 @@
+"""Native (JVM-side, zero-UDF) text Column helpers.
+
+These are the scalar functions of SURVEY.md §2.7 that ARE expressible in
+Catalyst (X3 rmSpace, X7 md5 ids) plus the text-statistics primitives the
+training-data tier needs (token counts, shingles, quality ratios, language
+scores). Everything here compiles into whole-stage codegen — no Python in
+the hot path; the same formulas are mirrored 1:1 in the DuckDB oracle SQL
+strings in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> Column:
+    """lower + collapse whitespace + trim — the canonical form used for
+    fingerprints and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def rm_space_cjk(col) -> Column:
+    """X3 ``rmSpace`` (rag/utils/__init__.py:34-38): drop spaces touching a
+    CJK char on either side — native regexp_replace pair, no UDF."""
+    c = F.regexp_replace(
+        col, r"([一-龥　-〿]) +([一-龥　-〿])", r"$1$2"
+    )
+    return F.regexp_replace(
+        c, r"([一-龥　-〿]) +([一-龥　-〿])", r"$1$2"
+    )
+
+
+def ws_tokens(col) -> Column:
+    """Whitespace tokens, empties removed (matches DuckDB
+    regexp_split_to_array(trim(x), '\\s+'))."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col) -> Column:
+    """punctuation chars / total chars — quality signal."""
+    total = F.length(col)
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col, words: list[str]) -> Column:
+    """Total occurrences of any word in ``words`` as whole tokens.
+    Implemented as size(regexp_extract_all) — single pass, codegen'd."""
+    pattern = r"\b(?:" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> — the MinHash /
+    Jaccard unit. Built from native transform over a sequence; no UDF."""
+    toks = ws_tokens(col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def fingerprint_md5(col) -> Column:
+    """X7-style deterministic document fingerprint over normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<string>: for seed i, the lexicographic min
+    of md5(i || '|' || shingle). Hex-string min is order-isomorphic to the
+    integer min of the hash, and md5 is identical across engines — so the
+    same signature is computable in the DuckDB oracle."""
+    sh = word_shingles(col, shingle_n)
+
+    # NB: a 1-arg lambda only — pyspark treats a 2-arg lambda as
+    # (element, index) and would silently rebind a default-arg seed
+    def _seeded(i: int):
+        return lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig_col, bands: int, rows_per_band: int) -> Column:
+    """Band hashes from a minhash signature: md5 over each contiguous
+    rows_per_band slice → array<string> of band keys."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+                )
+            )
+            for b in range(bands)
+        ]
+    )

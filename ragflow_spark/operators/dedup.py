@@ -1,0 +1,263 @@
+"""Deduplication operator family for training-data pipelines.
+
+All variants are DataFrame-native (the LSH family uses only md5/array
+higher-order functions, so results are engine-portable and DuckDB-checkable).
+Scale notes per operator are in each docstring — these run as
+shuffle-on-key jobs with no driver state, sized for 10^9+ docs.
+
+- exact:     hash-groupBy on normalized text (1 shuffle)
+- minhash:   shingle → K md5-minima → B band keys → explode + self-join on
+             band (candidate pairs ∝ true dups, not n²) → exact Jaccard
+             verify on the pair
+- simhash:   64-bit sign-aggregated fingerprint, candidates via 4×16-bit
+             chunk banding, hamming ≤ d verify (bit_count is native)
+- ngram:     exact n-gram Jaccard within a blocking group (for modest
+             group sizes; the honest O(g²) baseline the LSH variants beat)
+- embedding: cosine ≥ τ pairs within a blocking group over array<float>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ragflow_spark.functions.text import (
+    fingerprint_md5,
+    lsh_bands,
+    minhash_signature,
+    word_shingles,
+)
+from ragflow_spark.functions.vectors import cosine
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: keeper id (min), dup count.
+    At 100 TB this is the cheapest pass: one shuffle on a 16-byte key with
+    map-side partial aggregation."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per duplicate group (the min-id row)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b) whose shingle-set Jaccard ≥ threshold,
+    found via minhash-LSH banding.
+
+    Scale: the self-join is on the band key, so shuffle volume is
+    O(n·bands); only same-band rows ever meet. A band shared by k docs
+    yields k² candidates — at web scale, cap pathological bands (identical
+    boilerplate) upstream with exact dedup first."""
+    rows = num_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+        )
+        .withColumn("_bands", lsh_bands(F.col("_sig"), bands, rows))
+        .select("_id", "_sh", F.explode("_bands").alias("_band"))
+    )
+    a = sig.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band"
+    )
+    b = sig.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band"
+    )
+    pairs = (
+        a.join(b, on="_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash, fully native: per token take 16 hex chars of md5 as
+    a 64-bit integer; for each bit, majority vote weighted ±1 across
+    tokens; pack sign bits. aggregate() keeps the 64 counters in an
+    array<int> accumulator — one pass, no UDF."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    # two 32-bit halves from the md5 hex (conv() on full 64-bit hex would
+    # overflow LongType for values with the top bit set)
+    half1 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    half2 = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"))
+
+    def pack(half_col):
+        # (h >> b) & 1 spelled as floor(h / 2^b) % 2 because shiftright()
+        # requires a literal shift amount; 2^b ≤ 2^31 and h < 2^32 are both
+        # exact in doubles
+        def bit(h, b):
+            return F.pmod(
+                F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long"),
+                F.lit(2),
+            )
+
+        cnt = F.aggregate(
+            half_col,
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda c, b: c + F.when(bit(h, b) == 1, 1).otherwise(-1),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                cnt,
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda c, b: F.when(
+                    c > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    return df.select(
+        F.col(id_col),
+        pack(half1).alias("simhash_hi"),
+        pack(half2).alias("simhash_lo"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Candidate pairs via 16-bit chunk banding over the 64-bit simhash
+    (pigeonhole: hamming ≤ 6 over 4 chunks → some chunk differs ≤1; we use
+    exact-chunk-match banding which catches hamming ≤ 3 guaranteed and most
+    ≤ 6), then exact hamming verify with native bit_count."""
+    sh = simhash64(df, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col).alias("_id"), "simhash_hi", "simhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(i)),
+                        F.shiftright(F.col(c), s).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+                    )
+                    for i, (c, s) in enumerate(
+                        [("simhash_hi", 0), ("simhash_hi", 16),
+                         ("simhash_lo", 0), ("simhash_lo", 16)]
+                    )
+                ]
+            )
+        ).alias("_chunk"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("id_a"),
+        F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
+        "_chunk",
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"),
+        F.col("simhash_hi").alias("hi_b"), F.col("simhash_lo").alias("lo_b"),
+        "_chunk",
+    )
+    ham = (
+        F.expr("bit_count(hi_a ^ hi_b)") + F.expr("bit_count(lo_a ^ lo_b)")
+    )
+    return (
+        a.join(b, on="_chunk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------ ngram exact
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard within a blocking group — the O(g²) baseline.
+    Use only when groups are bounded (e.g. same host); at web scale prefer
+    minhash_pairs."""
+    sh = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    a = sh.select(F.col("_g"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_g"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        a.join(b, on="_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("_g").alias(group_col), "id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- embedding
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine ≥ τ pairs, blocked by ``group_col`` when given (otherwise a
+    full self-join — only for bounded inputs; at scale, block by an
+    LSH/IVF bucket first, see operators.similarity)."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if group_col:
+        cols.append(F.col(group_col).alias("_g"))
+    base = df.select(*cols)
+    on = ["_g"] if group_col else None
+    a = base.select(*(["_g"] if group_col else []), F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = base.select(*(["_g"] if group_col else []), F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``      brute-force scan — the exact baseline. Spark plans it
+  as per-partition partial top-k (TakeOrderedAndProject), so the full table
+  is read once and only k rows per partition reach the driver-side merge.
+- ``ivf_build/ivf_topk`` IVF-style bucketing: assign every vector to its
+  nearest centroid once (the "index"), then a query probes only the
+  ``nprobe`` nearest clusters — the 100 TB scale path (scan shrinks by
+  ~n_clusters/nprobe; the assignment join is broadcast because centroids
+  are tiny).
+- ``hyperplane_lsh_bucket`` sign-of-dot-product bucketing with
+  deterministic pseudo-random hyperplanes (seeded, engine-independent) —
+  an alternative sublinear path; same-bucket search only.
+
+No UDFs anywhere — all zip_with/aggregate expressions.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ragflow_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build(
+    df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
+) -> DataFrame:
+    """Assign each vector its nearest centroid id. ``centroids`` is a small
+    (cluster_id, vec) DataFrame — broadcast join, one shuffle-free pass +
+    a row_number partial window per vector id."""
+    joined = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(centroids.select(
+            F.col("cluster_id"), F.col("centroid").alias("_c")
+        ))
+    )
+    scored = joined.withColumn("_cos", cosine(F.col("_v"), F.col("_c")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cluster_id"), F.col("_v").alias(vec_col))
+    )
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe = (
+        centroids.select(
+            "cluster_id", cosine(F.col("centroid"), q).alias("_cc")
+        )
+        .orderBy(F.col("_cc").desc(), F.col("cluster_id"))
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    return (
+        indexed.join(F.broadcast(probe), on="cluster_id")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_centroids_from_rows(df: DataFrame, vec_col: str, id_col: str,
+                             n_clusters: int) -> DataFrame:
+    """Deterministic seed centroids: the n lowest-id vectors. (A k-means
+    refinement loop is a straightforward extension — each iteration is one
+    broadcast join + groupBy avg — but seeded centroids keep the oracle
+    comparable.)"""
+    return (
+        df.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("cluster_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def deterministic_hyperplanes(dim: int, n_planes: int, seed: int = 42
+                              ) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Add a ``bucket`` string column: the sign pattern of dot products with
+    each hyperplane."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return df.withColumn("bucket", F.concat(*bits))

@@ -1,0 +1,168 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. All JVM-native (regexp + arithmetic), mirrored
+1:1 in the DuckDB oracles; the winnowing fingerprint is the one Arrow-UDF
+member (rolling hash is inherently sequential per doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ragflow_spark.functions.text import (
+    char_count,
+    fingerprint_md5,
+    normalize_text,
+    punct_ratio,
+    stopword_hits,
+    token_count,
+)
+
+# small, deterministic stopword banks (top function words per language)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "es": ["el", "la", "los", "las", "es", "una", "con", "por", "que", "para"],
+    "fr": ["le", "la", "les", "est", "une", "avec", "pour", "que", "dans", "sur"],
+}
+
+
+def lang_scores(col):
+    """Per-language stopword-hit ratios + CJK char ratio."""
+    toks = token_count(col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        out[lang] = F.round(
+            stopword_hits(col, words).cast("double")
+            / F.greatest(toks, F.lit(1)).cast("double"),
+            6,
+        )
+    cjk = F.length(col) - F.length(F.regexp_replace(col, r"[一-鿿]", ""))
+    out["zh"] = F.round(
+        cjk.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double"), 6
+    )
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/stopword-heuristic language ID: argmax of the score vector,
+    'und' when every signal is zero. Deterministic tie-break by fixed
+    language order (en, de, es, fr, zh)."""
+    s = lang_scores(F.col(text_col))
+    order = ["en", "de", "es", "fr", "zh"]
+    best = F.greatest(*[s[k] for k in order])
+    pred = F.when(best <= 0, F.lit("und"))
+    for k in order:
+        pred = pred.when(s[k] == best, F.lit(k))
+    return df.select(
+        F.col(id_col),
+        *[s[k].alias(f"score_{k}") for k in order],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-density features + a composite
+    quality flag (the C4-style heuristic family)."""
+    c = F.col(text_col)
+    toks = token_count(c)
+    chars = char_count(c)
+    mean_wordlen = F.round(
+        (F.length(F.regexp_replace(c, r"\s+", "")).cast("double"))
+        / F.greatest(toks, F.lit(1)),
+        6,
+    )
+    sw = F.round(
+        stopword_hits(c, STOPWORDS["en"]).cast("double") / F.greatest(toks, F.lit(1)),
+        6,
+    )
+    pr = F.round(punct_ratio(c), 6)
+    keep = (
+        (toks >= 5)
+        & (mean_wordlen >= 2.0) & (mean_wordlen <= 12.0)
+        & (pr <= 0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        chars.alias("n_chars"),
+        mean_wordlen.alias("mean_word_len"),
+        pr.alias("punct_ratio"),
+        sw.alias("stopword_ratio"),
+        keep.cast("int").alias("quality_keep"),
+    )
+
+
+def token_stats_by(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    c = F.col(text_col)
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(c)).alias("total_tokens"),
+            F.round(F.avg(token_count(c)), 4).alias("avg_tokens"),
+            F.round(F.avg(char_count(c)), 4).alias("avg_chars"),
+            F.max(char_count(c)).alias("max_chars"),
+        )
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        normalize_text(F.col(text_col)).alias("norm_text"),
+    ).drop("norm_text")
+
+
+# ------------------------------------------------------- winnowing (UDF)
+
+WINNOW_SCHEMA = "doc_id long, fingerprints array<long>"
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): k-gram
+    rolling (Rabin-Karp) hashes, minimum per sliding window, deduplicated.
+    Sequential per doc → Arrow-batched mapInPandas; cross-doc axis stays
+    distributed."""
+
+    def run(batches):
+        import pandas as pd
+
+        B = 1_000_003
+        MOD = (1 << 61) - 1
+
+        def fps(text: str) -> list[int]:
+            s = (text or "").lower()
+            if len(s) < k:
+                return []
+            # rolling hash over k-grams
+            h = 0
+            pw = pow(B, k - 1, MOD)
+            hashes = []
+            for i, ch in enumerate(s):
+                h = (h * B + ord(ch)) % MOD
+                if i >= k:
+                    h = (h - ord(s[i - k]) * pw * B) % MOD
+                if i >= k - 1:
+                    hashes.append(h)
+            # winnow: min of each window, record when it changes
+            out = []
+            last = -1
+            for i in range(max(0, len(hashes) - window + 1)):
+                w = hashes[i:i + window]
+                m = min(w)
+                idx = i + w.index(m)
+                if idx != last:
+                    out.append(m)
+                    last = idx
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "fingerprints": [fps(t) for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=WINNOW_SCHEMA)

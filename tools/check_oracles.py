@@ -1,0 +1,111 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
+count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from ragflow_spark.session import get_spark
+from ragflow_spark.sources.tables import TPCH_TABLES
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        else:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except Exception:
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def compare(name, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        issues.append(f"columns: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}")
+        return issues
+    if len(sdf) != len(ddf):
+        issues.append(f"rows: spark={len(sdf)} duck={len(ddf)}")
+    a, b = canon(sdf), canon(ddf)
+    if len(a) == len(b):
+        neq = ~(a.eq(b) | (a.isna() & b.isna()))
+        bad = neq.any(axis=1)
+        if bad.any():
+            i = bad.idxmax()
+            issues.append(
+                f"values differ in {int(bad.sum())} rows; first at {i}:\n"
+                f"  spark: {a.loc[i].to_dict()}\n  duck:  {b.loc[i].to_dict()}"
+            )
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
+            if len(sdf) == 0:
+                print(f"  WARN {name}: 0 rows")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            n_bad += 1
+            continue
+        issues = compare(name, sdf, ddf)
+        if issues:
+            n_bad += 1
+            print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows)")
+            for i in issues:
+                print("  ", i)
+        else:
+            n_ok += 1
+            print(f"OK   {name}: {len(sdf)} rows")
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
