@@ -115,7 +115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_minhash_sig(spark, sf):
         return _docs(spark, sf).select(
             "doc_id",
-            F.concat_ws(",", minhash_signature(F.col("text"), 16, 3)).alias("sig"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    minhash_signature(F.col("text"), 16, 3),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("sig"),
         )
 
     def doc_minhash_bands(spark, sf):
@@ -235,9 +241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def extract_pipeline_pages(spark, sf):
         pages = generate_pages_df(spark, 256)
-        return extract_chunks(pages, num_partitions=16, skip_errors_column=True).select(
-            "url", "chunk_idx", "chunk_text", "tag_text", "title", "parser",
-            "fmt", "content_hash",
+        ch = extract_chunks(pages, num_partitions=16, skip_errors_column=True)
+        return ch.select(
+            "url", "chunk_idx", "chunk_text",
+            F.coalesce("tag_text", "chunk_text").alias("tag_text"),
+            "title", "parser", "fmt", "content_hash",
         )
 
     def extract_manifest(spark, sf):
@@ -322,9 +330,20 @@ _SHINGLES3 = (
 )
 
 
+# mirrors ragflow_spark.functions.text.minhash_signature: one md5 per
+# shingle, h_i = (a + i*b) mod 2^32 where a/b are the md5's 32-bit halves;
+# expects a column `ab` of [a, b] pairs (see _AB_SQL)
+def _ab_sql() -> str:
+    a = _hex8_to_int_sql("substr(h, 1, 8)")
+    b = _hex8_to_int_sql("substr(h, 9, 8)")
+    return (
+        f"list_transform(list_transform(sh, s -> md5(s)), h -> [({a}), ({b})])"
+    )
+
+
 def _minhash_sig_sql(n: int = 16) -> str:
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}' || '|' || s)), 'min')"
+        f"list_aggregate(list_transform(ab, p -> (p[1] + {i} * p[2]) % 4294967296), 'min')"
         for i in range(n)
     )
     return f"[{mins}]"
@@ -447,13 +466,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_sig": f"""
             with d as (select doc_id, {_toks_sql('text')} as toks from documents),
-            s as (select doc_id, {_SHINGLES3} as sh from d)
-            select doc_id, array_to_string({_minhash_sig_sql(16)}, ',') as sig from s
+            s as (select doc_id, {_SHINGLES3} as sh from d),
+            p as (select doc_id, {_ab_sql()} as ab from s)
+            select doc_id, array_to_string({_minhash_sig_sql(16)}, ',') as sig from p
         """,
         "doc_minhash_bands": f"""
             with d as (select doc_id, {_toks_sql('text')} as toks from documents),
             s as (select doc_id, {_SHINGLES3} as sh from d),
-            g as (select doc_id, {_minhash_sig_sql(16)} as sig from s),
+            p as (select doc_id, {_ab_sql()} as ab from s),
+            g as (select doc_id, {_minhash_sig_sql(16)} as sig from p),
             b as (select doc_id, {_bands_sql(4, 4)} as bands from g)
             select doc_id, cast(r.i as int) as band_no, b.bands[r.i + 1] as band
             from b cross join (values (0), (1), (2), (3)) as r(i)
@@ -461,7 +482,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": f"""
             with d as (select doc_id, {_toks_sql('text')} as toks from documents),
             s as (select doc_id, {_SHINGLES3} as sh from d),
-            g as (select doc_id, sh, {_minhash_sig_sql(16)} as sig from s),
+            p as (select doc_id, sh, {_ab_sql()} as ab from s),
+            g as (select doc_id, sh, {_minhash_sig_sql(16)} as sig from p),
             b as (select doc_id, sh, unnest({_bands_sql(4, 4)}) as band from g),
             cand as (select distinct a.doc_id as id_a, b2.doc_id as id_b,
                             a.sh as sh_a, b2.sh as sh_b

@@ -110,23 +110,54 @@ def build_simple_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
 
 # --------------------------------------------------------------- extractor
 
-_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_HDR_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
 _TJ_STR = re.compile(rb"\((?:\\.|[^\\()])*\)")
 
 
-def _parse_objects(blob: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential object walk → {num: (dict_bytes, stream_bytes|None)}.
+
+    Compressed stream payloads are arbitrary bytes and can contain literal
+    'endobj'/'endstream' sequences, so a global regex scan mis-splits them;
+    instead we walk object by object and honor the /Length entry to skip
+    stream payloads exactly."""
+    out: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    n = len(blob)
+    while True:
+        m = _HDR_RE.search(blob, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        sm = _STREAM_START_RE.search(blob, m.end())
+        eo = blob.find(b"endobj", m.end())
+        if sm is not None and (eo == -1 or sm.start() < eo):
+            dict_part = blob[m.end():sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)\b", dict_part)
+            data_start = sm.end()
+            if lm:
+                data_end = min(n, data_start + int(lm.group(1)))
+            else:
+                data_end = blob.find(b"endstream", data_start)
+                if data_end < 0:
+                    data_end = n
+            out[num] = (dict_part, blob[data_start:data_end])
+            nxt = blob.find(b"endobj", data_end)
+            pos = (nxt + 6) if nxt >= 0 else data_end
+        else:
+            end = eo if eo >= 0 else n
+            out[num] = (blob[m.end():end], None)
+            pos = (eo + 6) if eo >= 0 else n
+    return out
 
 
-def _stream_data(obj: bytes) -> bytes | None:
-    m = _STREAM_RE.search(obj)
-    if not m:
+def _inflate(dict_part: bytes, data: bytes | None) -> bytes | None:
+    if data is None:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in obj.split(b"stream", 1)[0]:
+    if b"/FlateDecode" in dict_part:
         try:
-            data = zlib.decompress(data)
+            return zlib.decompress(data)
         except Exception as exc:
             raise UnsupportedPdfError(f"bad Flate stream: {exc}") from exc
     return data
@@ -225,28 +256,28 @@ def extract_text_lines(blob: bytes) -> list[list[str]]:
     objects = _parse_objects(blob)
     # find page objects in /Kids order when possible
     page_order: list[int] = []
-    for num, obj in sorted(objects.items()):
-        if b"/Type /Pages" in obj or b"/Type/Pages" in obj:
-            for m in re.finditer(rb"(\d+)\s+0\s+R", obj.split(b"/Kids", 1)[-1]):
+    for num, (dct, _data) in sorted(objects.items()):
+        if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
+            for m in re.finditer(rb"(\d+)\s+0\s+R", dct.split(b"/Kids", 1)[-1]):
                 n = int(m.group(1))
                 if n in objects and n not in page_order:
                     page_order.append(n)
     if not page_order:
         page_order = [
-            n for n, o in sorted(objects.items())
-            if b"/Type /Page" in o or b"/Type/Page" in o
+            n for n, (dct, _d) in sorted(objects.items())
+            if b"/Type /Page" in dct or b"/Type/Page" in dct
         ]
     pages: list[list[str]] = []
     for pn in page_order:
-        obj = objects.get(pn, b"")
-        if b"/Type /Page" not in obj and b"/Type/Page" not in obj:
+        dct, _d = objects.get(pn, (b"", None))
+        if b"/Type /Page" not in dct and b"/Type/Page" not in dct:
             continue
-        m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", obj)
+        m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", dct)
         if not m:
             pages.append([])
             continue
-        content_obj = objects.get(int(m.group(1)), b"")
-        data = _stream_data(content_obj)
+        cdct, cdata = objects.get(int(m.group(1)), (b"", None))
+        data = _inflate(cdct, cdata)
         if data is None:
             pages.append([])
             continue

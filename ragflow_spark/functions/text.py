@@ -79,33 +79,57 @@ def fingerprint_md5(col) -> Column:
     return F.md5(normalize_text(col))
 
 
+MINHASH_MOD = 4294967296  # 2^32
+
+
 def minhash_signature(col, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<string>: for seed i, the lexicographic min
-    of md5(i || '|' || shingle). Hex-string min is order-isomorphic to the
-    integer min of the hash, and md5 is identical across engines — so the
-    same signature is computable in the DuckDB oracle."""
+    """MinHash signature as array<long>.
+
+    One md5 per shingle; the k hash family is Carter-Wegman double hashing
+    h_i = (a + i·b) mod 2^32 with (a, b) the two 32-bit halves of the md5 —
+    so the whole signature is ONE md5 pass + ONE aggregate pass keeping all
+    k running minima in an array accumulator (k·|shingles| adds, no k·md5).
+    md5 and the modular arithmetic are identical in DuckDB, keeping the
+    oracle bit-exact."""
     sh = word_shingles(col, shingle_n)
-
-    # NB: a 1-arg lambda only — pyspark treats a 2-arg lambda as
-    # (element, index) and would silently rebind a default-arg seed
-    def _seeded(i: int):
-        return lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, _seeded(i))) for i in range(num_hashes)]
+    ab = F.transform(
+        F.transform(sh, F.md5),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
+        ),
+    )
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_hashes)
+    return F.aggregate(
+        ab,
+        init,
+        lambda acc, st: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda m, i: F.least(
+                m,
+                F.pmod(st["a"] + i.cast("long") * st["b"], F.lit(MINHASH_MOD)),
+            ),
+        ),
     )
 
 
 def lsh_bands(sig_col, bands: int, rows_per_band: int) -> Column:
     """Band hashes from a minhash signature: md5 over each contiguous
-    rows_per_band slice → array<string> of band keys."""
+    rows_per_band slice (comma-joined) → array<string> of band keys."""
     return F.array(
         *[
             F.md5(
                 F.concat_ws(
                     "|",
                     F.lit(str(b)),
-                    F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
                 )
             )
             for b in range(bands)

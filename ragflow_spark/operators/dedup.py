@@ -63,35 +63,60 @@ def minhash_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
+    persist_base: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) whose shingle-set Jaccard ≥ threshold,
     found via minhash-LSH banding.
 
-    Scale: the self-join is on the band key, so shuffle volume is
-    O(n·bands); only same-band rows ever meet. A band shared by k docs
-    yields k² candidates — at web scale, cap pathological bands (identical
-    boilerplate) upstream with exact dedup first."""
+    Scale: the self-join is on the band key with id-only rows, so shuffle
+    volume is O(n·bands) plus O(candidates); shingle arrays are re-attached
+    only to surviving candidates. A band shared by k docs yields k²
+    candidates — ``max_band_size`` drops such degenerate bands (identical
+    boilerplate belongs to exact dedup)."""
     rows = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
+    )
+    if persist_base:
+        # the signature table feeds three consumers (both band-join sides +
+        # the verify re-attach); without persist the shingle/minhash pass
+        # runs 3-4×. MEMORY_AND_DISK spills cleanly; on a 100 TB run you
+        # would materialize this as its own parquet/Iceberg signature table
+        # (one write, reread by key) instead of an executor cache.
+        base = base.persist()
+    # candidate generation on (id, band) ONLY — the shingle arrays must not
+    # ride through the k² band join (they dominate shuffle bytes otherwise)
+    band_rows = base.withColumn(
+        "_bands", lsh_bands(F.col("_sig"), bands, rows)
+    ).select("_id", F.explode("_bands").alias("_band"))
+    if max_band_size is not None:
+        # hot-band guard: a band shared by k docs emits k² candidates; bands
+        # over the cap are boilerplate-degenerate (at web scale: navigation
+        # chrome, legal footers) and are handled by exact dedup instead
+        hot = (
+            band_rows.groupBy("_band")
+            .count()
+            .filter(F.col("count") > max_band_size)
+            .select("_band")
         )
-        .withColumn("_bands", lsh_bands(F.col("_sig"), bands, rows))
-        .select("_id", "_sh", F.explode("_bands").alias("_band"))
-    )
-    a = sig.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band"
-    )
-    b = sig.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band"
-    )
-    pairs = (
-        a.join(b, on="_band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        band_rows = band_rows.join(F.broadcast(hot), "_band", "left_anti")
+    cand = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), on="_band")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: re-attach shingles to the (much smaller) candidate set
+    sh = base.select("_id", "_sh")
+    pairs = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

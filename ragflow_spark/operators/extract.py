@@ -18,6 +18,9 @@ Per-document failures NEVER kill the job: a failing doc emits one row with
 out of 10^12 docs must not fail a stage). ``content_hash`` =
 ``md5(chunk_text || url)`` mirrors the reference's deterministic chunk id
 (task_executor.py:260-263), making re-runs idempotent.
+
+``tag_text`` (text incl. @@..## span tags) is stored as NULL whenever it
+equals ``chunk_text`` — read it back as coalesce(tag_text, chunk_text).
 """
 
 from __future__ import annotations
@@ -81,8 +84,12 @@ def _extract_batches(batches) -> Iterator:
                 blob = bytes(row.html) if row.html is not None else b""
                 chunks = run_template(row.parser, blob, row.fmt, row.lang)
                 for ck in chunks:
+                    # tag_text is NULL when identical to chunk_text (the
+                    # tag-free formats) — halves output bytes; consumers
+                    # read coalesce(tag_text, chunk_text)
+                    tag = ck.tag_text if ck.tag_text != ck.chunk_text else None
                     emit(
-                        row, ck.chunk_idx, ck.chunk_text, ck.tag_text,
+                        row, ck.chunk_idx, ck.chunk_text, tag,
                         [s._asdict() for s in ck.spans], ck.title, None,
                     )
             except Exception as exc:  # per-doc failure isolation
@@ -94,9 +101,19 @@ def extract_chunks(
     pages: DataFrame,
     num_partitions: int | None = None,
     skip_errors_column: bool = False,
+    repartition: bool | str = "auto",
 ) -> DataFrame:
     """The end-to-end extraction plan. ``num_partitions`` defaults to the
-    session's shuffle partitions."""
+    session's shuffle partitions.
+
+    ``repartition`` controls the physical size-bucketing exchange:
+    - "auto" (default): shuffle only when the scan is coarser than the
+      target parallelism. With fine scan splits (8 MB,
+      spark.sql.files.maxPartitionBytes) the splits themselves bound
+      per-task bytes — a giant doc sits nearly alone in its split — so the
+      exchange is redundant and its non-scaling cost is skipped.
+    - True: always shuffle (PB-scale inputs read with coarse splits).
+    - False: never."""
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -108,7 +125,11 @@ def extract_chunks(
         .filter(F.length(F.col("html")) <= DOC_MAXIMUM_SIZE)
     )
     plan = with_partition_id(plan, num_partitions)
-    plan = partition_for_extract(plan, num_partitions)
+    do_shuffle = repartition
+    if repartition == "auto":
+        do_shuffle = plan.rdd.getNumPartitions() < max(2, num_partitions // 2)
+    if do_shuffle:
+        plan = partition_for_extract(plan, num_partitions)
     chunks = plan.mapInPandas(_extract_batches, schema=CHUNKS_SCHEMA)
     if skip_errors_column:
         chunks = chunks.filter(F.col("error").isNull()).drop("error")

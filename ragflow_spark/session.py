@@ -14,8 +14,10 @@ import os
 from pyspark.sql import SparkSession
 
 # Rows entering the extraction UDF can be multi-MB HTML/PDF blobs; a 10k-row
-# default Arrow batch would hold gigabytes. 32 rows ≈ tens of MB worst-case.
-ARROW_BATCH_ROWS = 32
+# default Arrow batch would hold gigabytes. 256 rows balances per-batch
+# overhead against worst-case batch bytes — and with 8 MB scan splits a
+# batch can never exceed its split's bytes anyway.
+ARROW_BATCH_ROWS = 256
 
 
 def get_spark(
@@ -42,7 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # parquet scans: allow filter/column pushdown to do its job
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # blob tables: UDF cost per byte is enormous, so a 128 MB scan split
+        # serializes the whole feed stage behind one task. 8 MB keeps scan →
+        # exchange → UDF parallel at every cluster width (SURVEY.md §4).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )

@@ -61,6 +61,7 @@ def test_byte_identical_vs_golden(chunks_df):
             continue
         for ck in golden:
             spark_text, spark_tag = g[ck.chunk_idx]
+            spark_tag = spark_tag if spark_tag is not None else spark_text
             if spark_text.encode() != ck.chunk_text.encode() or spark_tag != ck.tag_text:
                 mismatches.append((doc["url"], ck.chunk_idx, "bytes"))
     assert not mismatches, mismatches[:5]
@@ -71,8 +72,11 @@ def test_determinism_across_parallelism(spark, pages_df):
     (the local[8]/local[32] invariance proxy)."""
     a = extract_chunks(pages_df, num_partitions=3)
     b = extract_chunks(pages_df, num_partitions=13)
-    ha = a.select(F.sha2(F.concat_ws("|", "url", "chunk_idx", "tag_text"), 256).alias("h"))
-    hb = b.select(F.sha2(F.concat_ws("|", "url", "chunk_idx", "tag_text"), 256).alias("h"))
+    def h(df):
+        return df.select(F.sha2(F.concat_ws(
+            "|", "url", "chunk_idx",
+            F.coalesce("tag_text", "chunk_text")), 256).alias("h"))
+    ha, hb = h(a), h(b)
     assert ha.exceptAll(hb).count() == 0
     assert hb.exceptAll(ha).count() == 0
 
@@ -128,8 +132,8 @@ def test_manifest_and_resume(spark, pages_df, tmpdir_path):
     final = spark.read.parquet(out)
     single_shot = extract_chunks(pages_df, num_partitions=8)
     # resumed result equals a single-shot run (set equality incl. tag text)
-    d1 = final.select("url", "chunk_idx", "tag_text")
-    d2 = single_shot.select("url", "chunk_idx", "tag_text")
+    d1 = final.select("url", "chunk_idx", F.coalesce("tag_text", "chunk_text").alias("t"))
+    d2 = single_shot.select("url", "chunk_idx", F.coalesce("tag_text", "chunk_text").alias("t"))
     assert d1.exceptAll(d2).count() == 0
     assert d2.exceptAll(d1).count() == 0
 
