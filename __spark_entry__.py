@@ -177,6 +177,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_vecs")
         )
 
+    # -------- table typing (SURVEY §2.6 C6 as native DataFrame ops)
+    def table_typing(spark, sf):
+        from ragflow_spark.operators.tables import column_type_votes
+
+        li = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").cast("string").alias("a"),
+            F.col("l_extendedprice").cast("string").alias("b"),
+            F.col("l_shipdate").cast("string").alias("c"),
+            F.col("l_returnflag").alias("d"),
+        )
+        return column_type_votes(li, ["a", "b", "c", "d"])
+
+    # -------- hyperplane LSH bucketing (similarity scale path)
+    def emb_hyperplane_lsh(spark, sf):
+        from ragflow_spark.operators.similarity import (
+            deterministic_hyperplanes,
+            hyperplane_lsh_bucket,
+        )
+
+        planes = deterministic_hyperplanes(64, 6, seed=42)
+        return (
+            hyperplane_lsh_bucket(_emb(spark, sf), "embedding", planes)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+        )
+
     # -------- events
     def events_hourly(spark, sf):
         return events.windowed_counts(_events(spark, sf))
@@ -300,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cluster_sizes": emb_cluster_sizes,
+        "table_typing": table_typing,
+        "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -371,6 +399,55 @@ def _hex8_to_int_sql(h: str) -> str:
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
     pat = "\\b(?:" + "|".join(words) + ")\\b"
     return f"len(regexp_extract_all(lower({col}), '{pat}'))"
+
+
+def _table_typing_oracle() -> str:
+    int_re = r"^\s*-?[0-9]+\s*$"
+    float_re = r"^\s*-?[0-9]*\.[0-9]+([eE][-+]?[0-9]+)?\s*$"
+    date_re = r"^\s*[0-9]{4}[-/][0-9]{1,2}[-/][0-9]{1,2}"
+    per_col = []
+    for c in ("a", "b", "c", "d"):
+        per_col.append(f"""
+          select '{c}' as "column",
+            cast(sum(case when {c} is not null and trim({c}) != '' then 1 else 0 end) as bigint) as n_nonempty,
+            cast(sum(case when regexp_matches({c}, '{int_re}') then 1 else 0 end) as bigint) as n_int,
+            cast(sum(case when regexp_matches({c}, '{float_re}') then 1 else 0 end) as bigint) as n_float,
+            cast(sum(case when regexp_matches({c}, '{date_re}') then 1 else 0 end) as bigint) as n_date
+          from t""")
+    union = " union all ".join(per_col)
+    return f"""
+        with t as (select cast(l_orderkey as varchar) a,
+                          cast(l_extendedprice as varchar) b,
+                          cast(l_shipdate as varchar) c,
+                          l_returnflag d
+                   from lineitem),
+        v as ({union})
+        select "column", n_nonempty, n_int, n_float, n_date,
+          case when n_nonempty = 0 then 'text'
+               when n_int > n_nonempty / 2.0 then 'integer'
+               when n_int + n_float > n_nonempty / 2.0 then 'float'
+               when n_date > n_nonempty / 2.0 then 'datetime'
+               else 'text' end as inferred_type
+        from v
+    """
+
+
+def _hyperplane_oracle() -> str:
+    from ragflow_spark.operators.similarity import deterministic_hyperplanes
+
+    planes = deterministic_hyperplanes(64, 6, seed=42)
+    bits = []
+    for p in planes:
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            "case when list_dot_product(embedding::DOUBLE[], "
+            f"{arr}::DOUBLE[]) >= 0 then '1' else '0' end"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+        select ({bucket}) as bucket, cast(count(*) as bigint) as n_vecs
+        from embeddings group by 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -576,6 +653,8 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_vecs
             from assigned where rn = 1 group by cluster_id
         """,
+        "table_typing": _table_typing_oracle(),
+        "emb_hyperplane_lsh": _hyperplane_oracle(),
         "events_hourly": """
             select date_trunc('hour', ts) as window_start, event_type,
                    cast(count(*) as bigint) as n_events,

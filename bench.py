@@ -55,6 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def bench(name, fn):
+        fn()  # untimed warm pass: JVM JIT + python-worker imports
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)

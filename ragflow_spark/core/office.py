@@ -1,0 +1,244 @@
+"""XLSX / PPTX parsing on stdlib zipfile + ElementTree.
+
+openpyxl / python-pptx are not installed here, but both formats are
+ZIP-packaged OOXML — the subset the reference actually reads (cell values,
+shared strings, slide text runs) parses fine with the standard library.
+
+Semantics modeled:
+- XLSX (deepdoc/parser/excel_parser.py:59-79): per sheet, row 1 is the
+  header; every later row renders as ``header：value; header：value; …``
+  (full-width colon), empty cells skipped, and a `` ——{sheetname}`` suffix
+  when the sheet name isn't "Sheet-ish". ``html()`` (:22-56) renders
+  ``<table>`` chunks of ≤``chunk_rows`` rows with the header repeated.
+- PPTX (deepdoc/parser/ppt_parser.py:31-62): slide shapes sorted by
+  (top//10, left), text frames joined with newlines, one string per slide.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from io import BytesIO
+from xml.etree import ElementTree as ET
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_PPTX_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_PPTX_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+# ------------------------------------------------------------------- xlsx
+
+
+def _col_index(ref: str) -> int:
+    """'BC12' → 0-based column index 54."""
+    n = 0
+    for ch in ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return n - 1
+
+
+def _xlsx_rows(zf: zipfile.ZipFile, sheet_path: str,
+               shared: list[str]) -> list[list[str | None]]:
+    rows: list[list[str | None]] = []
+    root = ET.fromstring(zf.read(sheet_path))
+    for row in root.iter(f"{_XLSX_NS}row"):
+        cells: list[str | None] = []
+        for c in row.iter(f"{_XLSX_NS}c"):
+            idx = _col_index(c.attrib.get("r", ""))
+            while len(cells) < idx:
+                cells.append(None)
+            t = c.attrib.get("t")
+            v = c.find(f"{_XLSX_NS}v")
+            if t == "inlineStr":
+                ist = c.find(f"{_XLSX_NS}is")
+                val = "".join(
+                    (e.text or "") for e in ist.iter(f"{_XLSX_NS}t")
+                ) if ist is not None else None
+            elif v is None:
+                val = None
+            elif t == "s":
+                val = shared[int(v.text)] if v.text else None
+            else:
+                val = v.text
+            cells.append(val)
+        rows.append(cells)
+    return rows
+
+
+def _xlsx_sheets(blob: bytes) -> list[tuple[str, list[list[str | None]]]]:
+    zf = zipfile.ZipFile(BytesIO(blob))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.iter(f"{_XLSX_NS}si"):
+            shared.append("".join((t.text or "") for t in si.iter(f"{_XLSX_NS}t")))
+    # map sheet names → sheetN.xml via workbook order (rIds resolve in the
+    # simple single-namespace layouts every common writer emits)
+    names = []
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    for sh in wb.iter(f"{_XLSX_NS}sheet"):
+        names.append(sh.attrib.get("name", "Sheet"))
+    sheet_files = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+        key=lambda p: int(re.search(r"(\d+)", p).group(1)),
+    )
+    out = []
+    for i, path in enumerate(sheet_files):
+        name = names[i] if i < len(names) else f"Sheet{i + 1}"
+        out.append((name, _xlsx_rows(zf, path, shared)))
+    return out
+
+
+def parse_xlsx(blob: bytes) -> list[str]:
+    """Mirror of RAGFlowExcelParser.__call__ (excel_parser.py:59-79)."""
+    res: list[str] = []
+    for sheetname, rows in _xlsx_sheets(blob):
+        if not rows:
+            continue
+        headers = rows[0]
+        for r in rows[1:]:
+            fields = []
+            for i, val in enumerate(r):
+                if not val:
+                    continue
+                head = str(headers[i]) if i < len(headers) and headers[i] is not None else ""
+                fields.append(head + ("：" if head else "") + str(val))
+            line = "; ".join(fields)
+            if sheetname.lower().find("sheet") < 0:
+                line += " ——" + sheetname
+            res.append(line)
+    return res
+
+
+def xlsx_to_html_chunks(blob: bytes, chunk_rows: int = 256) -> list[str]:
+    """Mirror of RAGFlowExcelParser.html (excel_parser.py:22-56)."""
+    chunks = []
+    for sheetname, rows in _xlsx_sheets(blob):
+        if not rows:
+            continue
+        head = "<tr>" + "".join(f"<th>{v}</th>" for v in rows[0]) + "</tr>"
+        body_rows = rows[1:]
+        for ci in range((len(body_rows) - 1) // chunk_rows + 1 if body_rows else 0):
+            tb = f"<table><caption>{sheetname}</caption>" + head
+            for r in body_rows[ci * chunk_rows:(ci + 1) * chunk_rows]:
+                tb += "<tr>" + "".join(
+                    f"<td>{'' if v is None else v}</td>" for v in r
+                ) + "</tr>"
+            tb += "</table>\n"
+            chunks.append(tb)
+    return chunks
+
+
+# ------------------------------------------------------------------- pptx
+
+
+def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
+               ) -> list[str]:
+    """Mirror of RAGFlowPptParser.__call__ (ppt_parser.py:41-62): one text
+    string per slide, shapes in (top//10, left) order, paragraph text runs
+    joined."""
+    zf = zipfile.ZipFile(BytesIO(blob))
+    slide_files = sorted(
+        (n for n in zf.namelist()
+         if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda p: int(re.search(r"(\d+)", p).group(1)),
+    )
+    out: list[str] = []
+    for i, path in enumerate(slide_files):
+        if i < from_page:
+            continue
+        if i >= to_page:
+            break
+        root = ET.fromstring(zf.read(path))
+        shapes = []
+        for sp in root.iter(f"{_PPTX_P}sp"):
+            off = sp.find(f".//{_PPTX_A}off")
+            top = int(off.attrib.get("y", 0)) if off is not None else 0
+            left = int(off.attrib.get("x", 0)) if off is not None else 0
+            paras = []
+            for p in sp.iter(f"{_PPTX_A}p"):
+                runs = [t.text or "" for t in p.iter(f"{_PPTX_A}t")]
+                if runs:
+                    paras.append("".join(runs))
+            text = "\n".join(paras)
+            if text:
+                shapes.append((top // 10, left, text))
+        shapes.sort(key=lambda s: (s[0], s[1]))
+        out.append("\n".join(s[2] for s in shapes))
+    return out
+
+
+# ----------------------------------------------------- fixture builders
+
+def build_simple_xlsx(sheets: dict[str, list[list]]) -> bytes:
+    """Deterministic minimal XLSX writer (inline strings) for fixtures."""
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            "</Types>",
+        )
+        sheet_tags = "".join(
+            f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, name in enumerate(sheets)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        for si, (name, rows) in enumerate(sheets.items(), start=1):
+            xml_rows = []
+            for ri, row in enumerate(rows, start=1):
+                cells = []
+                for ci, val in enumerate(row):
+                    if val is None:
+                        continue
+                    col = chr(65 + ci) if ci < 26 else "A" + chr(65 + ci - 26)
+                    if isinstance(val, (int, float)):
+                        cells.append(f'<c r="{col}{ri}"><v>{val}</v></c>')
+                    else:
+                        cells.append(
+                            f'<c r="{col}{ri}" t="inlineStr"><is><t>{val}</t></is></c>'
+                        )
+                xml_rows.append(f'<row r="{ri}">' + "".join(cells) + "</row>")
+            zf.writestr(
+                f"xl/worksheets/sheet{si}.xml",
+                '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{''.join(xml_rows)}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
+
+
+def build_simple_pptx(slides: list[list[str]]) -> bytes:
+    """Deterministic minimal PPTX writer (one text shape per string)."""
+    buf = BytesIO()
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        for i, texts in enumerate(slides, start=1):
+            shapes = []
+            for j, text in enumerate(texts):
+                shapes.append(
+                    f'<p:sp><p:spPr><a:xfrm><a:off x="{j * 100}" y="{j * 1000}"/></a:xfrm></p:spPr>'
+                    f"<p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>"
+                )
+            zf.writestr(
+                f"ppt/slides/slide{i}.xml",
+                f'<?xml version="1.0"?><p:sld xmlns:p="{p}" xmlns:a="{a}">'
+                f"<p:cSld><p:spTree>{''.join(shapes)}</p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()

@@ -1,0 +1,175 @@
+"""Heuristic PDF layout path — the model-free backend of SURVEY §7.1.6.
+
+The reference's full PDF pipeline (§3.3) interleaves ONNX vision models with
+deterministic box algebra. The models are not vendored anywhere (weights
+live on HuggingFace, absent in this sandbox), so this module implements the
+deterministic stages over the positioned boxes that ``pdf_mini.extract_boxes``
+recovers from the text layer:
+
+- W1 ``sort_y_first``     reading-order sort with threshold bubble restore
+                          (deepdoc/vision/recognizer.py:66-77)
+- W3 ``text_merge``       horizontal merge of same-layout neighbors within
+                          mean_height/3 (pdf_parser.py:334-363 — only the
+                          live branch; lines 365-387 are dead code after the
+                          ``continue`` and are intentionally not modeled)
+- W4 ``naive_vertical_merge`` punctuation/pageno/gap heuristics deciding
+                          concat vs break (pdf_parser.py:390-439)
+- A1 per-page median char height (pdf_parser.py:995-1003)
+- line tags: every merged box serializes its position as the
+  ``@@pn\tx0\tx1\ttop\tbottom##`` tag (pdf_parser.py:843-857) — the span
+  contract of the output schema.
+
+All boxes get ``layoutno="text-0"`` (single-region assumption): without the
+layout detector every box is body text; W3's layout guard then behaves as it
+does in the reference after ``_layouts_rec``.
+"""
+
+from __future__ import annotations
+
+import re
+import statistics
+
+from ragflow_spark.core import pdf_mini
+from ragflow_spark.core.spans import line_tag
+
+
+def sort_y_first(boxes: list[dict], threshold: float) -> list[dict]:
+    """Stable (top, x0) sort, then restore left-right order for boxes whose
+    tops differ by less than ``threshold`` (same visual line)."""
+    arr = sorted(boxes, key=lambda b: (b["top"], b["x0"]))
+    for i in range(len(arr) - 1):
+        for j in range(i, -1, -1):
+            if (
+                abs(arr[j + 1]["top"] - arr[j]["top"]) < threshold
+                and arr[j + 1]["x0"] < arr[j]["x0"]
+            ):
+                arr[j], arr[j + 1] = arr[j + 1], arr[j]
+    return arr
+
+
+def _y_dis(a: dict, b: dict) -> float:
+    return (b["top"] + b["bottom"] - a["top"] - a["bottom"]) / 2
+
+
+def mean_heights(pages: list[list[dict]]) -> list[float]:
+    out = []
+    for page in pages:
+        hs = [b["bottom"] - b["top"] for b in page]
+        out.append(statistics.median(hs) if hs else 12.0)
+    return out
+
+
+def text_merge(boxes: list[dict], mean_height: list[float]) -> list[dict]:
+    """W3: merge horizontally-adjacent same-layout boxes on the same visual
+    line (vertical midpoint distance < mean_height/3)."""
+    i = 0
+    while i < len(boxes) - 1:
+        b, b_ = boxes[i], boxes[i + 1]
+        if b.get("layoutno", "0") != b_.get("layoutno", "1") or b.get(
+            "layout_type", ""
+        ) in ("table", "figure", "equation"):
+            i += 1
+            continue
+        if abs(_y_dis(b, b_)) < mean_height[b["page_number"] - 1] / 3:
+            b["x1"] = b_["x1"]
+            b["top"] = (b["top"] + b_["top"]) / 2
+            b["bottom"] = (b["bottom"] + b_["bottom"]) / 2
+            b["text"] += b_["text"]
+            boxes.pop(i + 1)
+            continue
+        i += 1
+    return boxes
+
+
+def naive_vertical_merge(
+    boxes: list[dict],
+    mean_height: list[float],
+    mean_width: list[float],
+    is_english: bool,
+) -> list[dict]:
+    """W4 (pdf_parser.py:390-439): sort into reading order, then walk pairs
+    deciding merge vs break from punctuation, layout, page-gap and
+    x-detachment features."""
+    bxs = sort_y_first(boxes, statistics.median(mean_height) / 3 if mean_height else 4)
+    i = 0
+    while i + 1 < len(bxs):
+        b, b_ = bxs[i], bxs[i + 1]
+        if b["page_number"] < b_["page_number"] and re.match(
+            r"[0-9  •一—-]+$", b["text"]
+        ):
+            bxs.pop(i)  # lone page-number line straddling a page break
+            continue
+        if not b["text"].strip():
+            bxs.pop(i)
+            continue
+        concatting = [
+            b["text"].strip()[-1] in ",;:'\"，、‘“；：-",
+            len(b["text"].strip()) > 1 and b["text"].strip()[-2] in ",;:'\"，‘“、；：",
+            bool(b_["text"].strip()) and b_["text"].strip()[0] in "。；？！?”）),，、：",
+        ]
+        breaking = [
+            b.get("layoutno", 0) != b_.get("layoutno", 0),
+            b["text"].strip()[-1] in "。？！?",
+            is_english and b["text"].strip()[-1] in ".!?",
+            b["page_number"] == b_["page_number"]
+            and b_["top"] - b["bottom"] > mean_height[b["page_number"] - 1] * 1.5,
+            b["page_number"] < b_["page_number"]
+            and abs(b["x0"] - b_["x0"]) > mean_width[b["page_number"] - 1] * 4,
+        ]
+        detach = [b["x1"] < b_["x0"], b["x0"] > b_["x1"]]
+        if (any(breaking) and not any(concatting)) or any(detach):
+            i += 1
+            continue
+        b["bottom"] = b_["bottom"]
+        b["text"] += b_["text"]
+        b["x0"] = min(b["x0"], b_["x0"])
+        b["x1"] = max(b["x1"], b_["x1"])
+        bxs.pop(i + 1)
+    return bxs
+
+
+def layout_parse(
+    blob: bytes, lang: str = "English",
+    from_page: int = 0, to_page: int = 100000,
+) -> list[tuple[str, str]]:
+    """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
+    PDFs: boxes → reading-order sort → W3 → W4 → [(text, position_tag)]."""
+    pages = pdf_mini.extract_boxes(blob)
+    pages = pages[from_page:to_page]
+    if not pages:
+        return []
+    mh = mean_heights(pages)
+    mw = []
+    for page in pages:
+        ws = [
+            (b["x1"] - b["x0"]) / max(1, len(b["text"]))
+            for b in page if b["text"]
+        ]
+        mw.append(statistics.median(ws) if ws else 6.0)
+    # cumulative-Y rebase (pdf_parser.py:323-332): later pages sit below
+    # earlier ones so the global reading-order sort is well-defined; tags
+    # subtract the page offset back (pdf_parser.py:845-846)
+    page_h = 792.0
+    cum = [0.0]
+    for _ in pages:
+        cum.append(cum[-1] + page_h)
+    boxes: list[dict] = []
+    for pn, page in enumerate(pages):
+        for b in sort_y_first(page, mh[pn] / 3):
+            b["layoutno"] = "text-0"
+            b["top"] += cum[pn]
+            b["bottom"] += cum[pn]
+            b["page_number"] = pn + 1  # 1-based within the window
+            boxes.append(b)
+    boxes = text_merge(boxes, mh)
+    boxes = naive_vertical_merge(boxes, mh, mw, lang.lower() == "english")
+    sections = []
+    for b in boxes:
+        if not b["text"].strip():
+            continue
+        off = cum[b["page_number"] - 1]
+        tag = line_tag(
+            b["page_number"], b["x0"], b["x1"], b["top"] - off, b["bottom"] - off
+        )
+        sections.append((b["text"], tag))
+    return sections

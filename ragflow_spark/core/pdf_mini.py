@@ -287,6 +287,140 @@ def extract_text_lines(blob: bytes) -> list[list[str]]:
     return pages
 
 
+# ------------------------------------------------------- box extraction
+
+_NUM_RE = rb"[-+]?[0-9]*\.?[0-9]+"
+
+
+def _content_boxes(content: bytes, page_height: float) -> list[dict]:
+    """Positioned text boxes from one content stream. Tracks the text
+    cursor through Tf/Tm/Td/TD/TL/T* and converts the PDF bottom-left
+    origin to the reference's top-down box coordinates
+    (top = page_height - baseline_y - size; bottom = top + size ≈ ascent
+    box). x1 is estimated from a 0.5·size average glyph advance — the
+    deterministic stand-in for font metrics this heuristic backend uses."""
+    boxes: list[dict] = []
+    tok = re.compile(
+        rb"\((?:\\.|[^\\()])*\)"                 # string
+        rb"|\[(?:\\.|\((?:\\.|[^\\()])*\)|[^\]])*\]"  # TJ array
+        rb"|" + _NUM_RE +                         # number
+        rb"|[A-Za-z'\"*]+"                        # operator
+    )
+    in_text = False
+    size = 11.0
+    x = y = 0.0
+    tl = 0.0
+    stack_nums: list[float] = []
+    pending: str | None = None
+
+    def emit(text: str) -> None:
+        if not text:
+            return
+        top = page_height - y - size
+        boxes.append({
+            "text": text,
+            "x0": x,
+            "x1": x + 0.5 * size * max(1, len(text)),
+            "top": top,
+            "bottom": top + size * 1.2,
+        })
+
+    for m in tok.finditer(content):
+        t = m.group(0)
+        if t == b"BT":
+            in_text = True
+            stack_nums.clear()
+            continue
+        if t == b"ET":
+            in_text = False
+            stack_nums.clear()
+            continue
+        if not in_text:
+            continue
+        if re.fullmatch(_NUM_RE, t):
+            stack_nums.append(float(t))
+            continue
+        if t.startswith(b"("):
+            pending = _pdf_unescape(t[1:-1])
+            continue
+        if t.startswith(b"["):
+            emit("".join(_pdf_unescape(s[1:-1]) for s in _TJ_STR.findall(t)))
+            pending = None
+            stack_nums.clear()
+            continue
+        # operators
+        if t == b"Tf":
+            if stack_nums:
+                size = stack_nums[-1]
+        elif t == b"Tm":
+            if len(stack_nums) >= 2:
+                x, y = stack_nums[-2], stack_nums[-1]
+        elif t in (b"Td", b"TD"):
+            if len(stack_nums) >= 2:
+                x += stack_nums[-2]
+                y += stack_nums[-1]
+                if t == b"TD":
+                    tl = -stack_nums[-1]
+        elif t == b"TL":
+            if stack_nums:
+                tl = stack_nums[-1]
+        elif t == b"T*":
+            y -= tl
+        elif t == b"Tj":
+            if pending is not None:
+                emit(pending)
+                pending = None
+        elif t in (b"'", b'"'):
+            y -= tl
+            if pending is not None:
+                emit(pending)
+                pending = None
+        stack_nums.clear()
+    return boxes
+
+
+def extract_boxes(blob: bytes) -> list[list[dict]]:
+    """Per-page positioned text boxes (the heuristic stand-in for the OCR
+    box stream of SURVEY §2.8 V1/V2). Adds 1-based ``page_number``."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    page_order: list[int] = []
+    for num, (dct, _data) in sorted(objects.items()):
+        if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
+            for m in re.finditer(rb"(\d+)\s+0\s+R", dct.split(b"/Kids", 1)[-1]):
+                n = int(m.group(1))
+                if n in objects and n not in page_order:
+                    page_order.append(n)
+    if not page_order:
+        page_order = [
+            n for n, (dct, _d) in sorted(objects.items())
+            if b"/Type /Page" in dct or b"/Type/Page" in dct
+        ]
+    pages: list[list[dict]] = []
+    for pn in page_order:
+        dct, _d = objects.get(pn, (b"", None))
+        if b"/Type /Page" not in dct and b"/Type/Page" not in dct:
+            continue
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*" + _NUM_RE + rb"\s+" + _NUM_RE
+            + rb"\s+" + _NUM_RE + rb"\s+(" + _NUM_RE + rb")", dct)
+        page_h = float(mb.group(1)) if mb else 792.0
+        m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", dct)
+        if not m:
+            pages.append([])
+            continue
+        cdct, cdata = objects.get(int(m.group(1)), (b"", None))
+        data = _inflate(cdct, cdata)
+        page_boxes = _content_boxes(data, page_h) if data is not None else []
+        for b in page_boxes:
+            b["page_number"] = len(pages) + 1
+        pages.append(page_boxes)
+    if not pages:
+        raise UnsupportedPdfError("no extractable pages")
+    return pages
+
+
 def plain_parse(blob: bytes, from_page: int = 0, to_page: int = 100000
                 ) -> list[tuple[str, str]]:
     """PlainParser equivalent (pdf_parser.py:1142-1168): per-page

@@ -65,8 +65,13 @@ def _finish(chunks: list[str], title: str = "") -> list[ChunkOut]:
 # -------------------------------------------------------------- sections
 
 
-def sections_for(blob: bytes, fmt: str, cfg: dict) -> tuple[list, str]:
-    """Format dispatch (rag/app/naive.py:209-289) → (sections, title)."""
+def sections_for(blob: bytes, fmt: str, cfg: dict,
+                 pdf_layout: bool = True, lang: str = "English") -> tuple[list, str]:
+    """Format dispatch (rag/app/naive.py:209-289) → (sections, title).
+
+    ``pdf_layout`` mirrors the reference's ``layout_recognize`` switch
+    (naive.py:232-234): True → the heuristic layout path with position tags
+    (spans); False → PlainParser-style tag-free lines."""
     token_num = int(cfg.get("chunk_token_num", 128))
     if fmt in ("html", "htm"):
         secs = html_extract.parse_html_bytes(blob)
@@ -88,7 +93,21 @@ def sections_for(blob: bytes, fmt: str, cfg: dict) -> tuple[list, str]:
         secs = jsonsplit.JsonSplitter(token_num).split_text_bytes(blob)
         return [(s, "") for s in secs if s], ""
     if fmt == "pdf":
+        if pdf_layout:
+            from ragflow_spark.core.pdf_layout import layout_parse
+
+            return layout_parse(blob, lang), ""
         return pdf_mini.plain_parse(blob), ""
+    if fmt in ("xlsx", "xls"):
+        from ragflow_spark.core import office
+
+        if cfg.get("html4excel"):
+            return [(s, "") for s in office.xlsx_to_html_chunks(blob, 12) if s], ""
+        return [(s, "") for s in office.parse_xlsx(blob) if s], ""
+    if fmt in ("pptx", "ppt"):
+        from ragflow_spark.core import office
+
+        return [(s, "") for s in office.parse_pptx(blob) if s], ""
     raise NotImplementedError(f"format not supported yet: {fmt}")
 
 
@@ -98,11 +117,9 @@ def sections_for(blob: bytes, fmt: str, cfg: dict) -> tuple[list, str]:
 def chunk_naive(blob: bytes, fmt: str, lang: str = "English",
                 cfg: dict | None = None) -> list[ChunkOut]:
     cfg = {**DEFAULT_CFG, **(cfg or {})}
-    sections, title = sections_for(blob, fmt, cfg)
-    if fmt in ("txt", "text", "code"):
-        # the txt parser already token-merged; naive_merge still runs over
-        # its output in the reference (naive.py:292-296) — keep that.
-        pass
+    sections, title = sections_for(
+        blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True), lang=lang
+    )
     chunks = naive_merge(
         sections, int(cfg["chunk_token_num"]), cfg.get("delimiter", "\n!?。；！？")
     )
@@ -123,7 +140,10 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
         raw = decode_bytes(blob)
         sections = [(ln, "") for ln in raw.split("\n") if ln]
     else:
-        sections, title = sections_for(blob, fmt, cfg)
+        sections, title = sections_for(
+            blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True),
+            lang=lang,
+        )
     if fmt in ("txt", "text", "html", "htm"):
         texts_only = [t for t, _ in sections]
         remove_contents_table(sections, eng=is_english(texts_only))
@@ -155,7 +175,8 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         raw = decode_bytes(blob)
         sections, title = [(ln, "") for ln in raw.split("\n") if ln], ""
     else:
-        sections, title = sections_for(blob, fmt, cfg)
+        # paper uses the PlainParser branch (paper.py:139-146)
+        sections, title = sections_for(blob, fmt, cfg, pdf_layout=False)
     bull = bullets_category([t for t, _ in sections])
     most_level, levels = title_frequency(bull, sections)
     sec_ids = []
@@ -176,11 +197,41 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
     return _finish(chunks, title)
 
 
+def chunk_one(blob: bytes, fmt: str, lang: str = "English",
+              cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/one.py:59-126 — the whole document becomes a single chunk
+    (sections joined with newlines)."""
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    sections, title = sections_for(blob, fmt, cfg, lang=lang)
+    joined = "\n".join(t for t, _ in sections if t)
+    return _finish([joined] if joined else [], title)
+
+
+def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
+                       cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/presentation.py:90+ — one chunk per slide/page."""
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    if fmt in ("pptx", "ppt"):
+        from ragflow_spark.core import office
+
+        slides = office.parse_pptx(blob)
+    elif fmt == "pdf":
+        pages = pdf_mini.extract_text_lines(blob)
+        slides = ["\n".join(lines) for lines in pages]
+    else:
+        raise NotImplementedError(
+            f"presentation template: unsupported format {fmt}"
+        )
+    return _finish([s for s in slides if s.strip()])
+
+
 TEMPLATES = {
     "naive": chunk_naive,
     "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
     "book": chunk_book,
     "paper": chunk_paper,
+    "one": chunk_one,
+    "presentation": chunk_presentation,
 }
 
 

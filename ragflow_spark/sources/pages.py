@@ -33,7 +33,9 @@ _WORDS = (
 
 _ZH_WORDS = "数据 查询 引擎 分区 过滤 合并 文档 提取 内容 文章 章节 标题 段落 管道 集群".split()
 
-FMT_CYCLE = ("html", "txt", "md", "json", "html", "txt", "html", "pdf")
+FMT_CYCLE = (
+    "html", "txt", "md", "json", "html", "txt", "html", "pdf", "xlsx", "pptx",
+)
 PARSER_CYCLE = ("naive", "naive", "book", "naive", "paper", "naive")
 EPOCH = _dt.datetime(2024, 12, 18, 0, 0, 0)
 
@@ -133,6 +135,29 @@ def _json_doc(rng: random.Random, sents: list[str]) -> bytes:
     return json.dumps(obj, ensure_ascii=False).encode()
 
 
+def _xlsx_doc(rng: random.Random, sents: list[str]) -> bytes:
+    from ragflow_spark.core.office import build_simple_xlsx
+
+    rows = [["name", "score", "note"]]
+    for i, s in enumerate(sents[:200]):
+        rows.append([f"row{i}", rng.randint(0, 999), " ".join(s.split()[:6])])
+    return build_simple_xlsx({"metrics": rows})
+
+
+def _pptx_doc(rng: random.Random, sents: list[str]) -> bytes:
+    from ragflow_spark.core.office import build_simple_pptx
+
+    slides, slide = [], []
+    for s in sents:
+        slide.append(s)
+        if len(slide) >= 4:
+            slides.append(slide)
+            slide = []
+    if slide:
+        slides.append(slide)
+    return build_simple_pptx(slides or [[""]])
+
+
 def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
     pages, page = [], []
     for s in sents:
@@ -166,6 +191,11 @@ def make_doc(doc_id: int) -> dict:
         blob = _md_doc(rng, sents)
     elif fmt == "json":
         blob = _json_doc(rng, sents)
+    elif fmt == "xlsx":
+        blob = _xlsx_doc(rng, sents)
+    elif fmt == "pptx":
+        blob = _pptx_doc(rng, sents)
+        parser = "presentation"
     else:
         blob = _pdf_doc(rng, sents)
     return {

@@ -1,0 +1,79 @@
+"""Structured Streaming variants of the event operators and the streaming
+face of the extraction pipeline.
+
+The reference's only streaming machinery is a Redis task queue with manual
+ack (rag/svr/task_executor.py:137-188) — at-least-once batch resume, which
+this engine maps to the manifest protocol (ragflow_spark.plans.manifest).
+These operators cover the genuinely-streaming workloads a crawl/event feed
+adds on top: watermarked tumbling-window aggregation, and a streaming
+extraction that runs the same Arrow UDF per micro-batch with exactly-once
+sink semantics via checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "2 hours",
+                           window: str = "1 hour") -> DataFrame:
+    """Streaming analog of operators.events.windowed_counts: tumbling
+    window + watermark so late events beyond the bound are dropped and
+    state is evicted (bounded memory at unbounded input)."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ columns are cast
+    # through the UTC-pinned session timezone and back on output
+    ntz = dict(events.dtypes).get("ts") == "timestamp_ntz"
+    if ntz:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    if ntz:
+        out = out.withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        )
+    return out
+
+
+def extract_chunks_stream(pages: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """Streaming extraction: the same mapInPandas parity-core UDF applied to
+    a readStream of pages (e.g. a parquet/Iceberg landing zone written by a
+    crawler). Stateless per row → no watermark needed; exactly-once comes
+    from the sink checkpoint + deterministic content_hash ids."""
+    from ragflow_spark.operators.extract import (
+        CHUNKS_SCHEMA,
+        DOC_MAXIMUM_SIZE,
+        _extract_batches,
+    )
+    from ragflow_spark.plans.partitioning import with_partition_id
+
+    plan = (
+        pages.select("url", "warc_ts", "html", "lang", "parser", "fmt")
+        .filter(F.length(F.col("html")) <= DOC_MAXIMUM_SIZE)
+    )
+    plan = with_partition_id(plan, num_partitions)
+    return plan.mapInPandas(_extract_batches, schema=CHUNKS_SCHEMA)
+
+
+def run_stream_to_parquet(stream_df: DataFrame, out_path: str,
+                          checkpoint: str, available_now: bool = True):
+    """Start the query with an availableNow trigger (drain-what-exists) —
+    the batch-parity mode used by tests and backfills."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

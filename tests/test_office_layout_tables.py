@@ -1,0 +1,201 @@
+"""Tests: stdlib XLSX/PPTX parsing, the heuristic PDF layout path (spans),
+the table-typing DataFrame operator, and streaming variants."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_spark.core import office, pdf_layout, pdf_mini
+from ragflow_spark.core.spans import parse_spans
+from ragflow_spark.core.templates import run_template
+
+
+# ------------------------------------------------------------------ xlsx
+
+def _xlsx():
+    return office.build_simple_xlsx({
+        "metrics": [
+            ["name", "score", "date"],
+            ["alpha", 1, "2024-01-01"],
+            ["beta", 2.5, "2024-02-01"],
+            [None, 3, "x"],
+        ],
+        "Sheet2": [["a"], ["v1"], ["v2"]],
+    })
+
+
+def test_xlsx_rows_reference_format():
+    rows = office.parse_xlsx(_xlsx())
+    # full-width colon, "; " join, ——sheet suffix for non-"sheet" names
+    assert rows[0] == "name：alpha; score：1; date：2024-01-01 ——metrics"
+    assert rows[2] == "score：3; date：x ——metrics"  # empty cell skipped
+    assert rows[3] == "a：v1"  # "Sheet2" → no suffix
+
+
+def test_xlsx_html_chunks():
+    chunks = office.xlsx_to_html_chunks(_xlsx(), chunk_rows=2)
+    assert chunks[0].startswith("<table><caption>metrics</caption>")
+    assert chunks[0].count("<tr>") == 3  # header + 2 rows
+    assert len([c for c in chunks if "metrics" in c]) == 2  # 3 rows / 2
+
+
+def test_xlsx_template():
+    cks = run_template("naive", _xlsx(), "xlsx")
+    assert cks and "name：alpha" in cks[0].chunk_text
+
+
+# ------------------------------------------------------------------ pptx
+
+def test_pptx_slides_and_template():
+    blob = office.build_simple_pptx([["Title", "Sub"], ["Body two"]])
+    assert office.parse_pptx(blob) == ["Title\nSub", "Body two"]
+    cks = run_template("presentation", blob, "pptx")
+    assert [c.chunk_text for c in cks] == ["Title\nSub", "Body two"]
+    assert [c.chunk_idx for c in cks] == [0, 1]
+
+
+def test_pptx_shape_ordering():
+    # shapes come back in (top//10, left) order regardless of XML order
+    blob = office.build_simple_pptx([["first", "second", "third"]])
+    assert office.parse_pptx(blob) == ["first\nsecond\nthird"]
+
+
+# ------------------------------------------------------- pdf layout/spans
+
+def test_pdf_layout_spans_roundtrip():
+    # sections under 8 tokens drop their tags (naive_merge rule) — use
+    # longer lines so every section keeps its position tag
+    pdf = pdf_mini.build_simple_pdf([
+        ["One long sentence with enough words to keep its position tag.",
+         "Another line entirely that also has plenty of words in it,",
+         "continuing here with further words to stay over the tag floor."],
+        ["Page two content also needs to be long enough for its own tag."],
+    ])
+    cks = run_template("naive", pdf, "pdf")
+    assert cks
+    spans = [s for c in cks for s in c.spans]
+    assert spans, "layout path must emit spans"
+    assert {s.page for s in spans} == {0, 1}
+    for s in spans:
+        assert 0 <= s.left < s.right
+        assert 0 <= s.top < s.bottom <= 800
+    # tags strip back to the chunk text exactly
+    for c in cks:
+        assert parse_spans(c.tag_text) == c.spans
+
+
+def test_pdf_vertical_merge_joins_comma_lines():
+    pdf = pdf_mini.build_simple_pdf([
+        ["A line ending with a comma,", "so this one joins it.", "Fresh sentence!"],
+    ])
+    secs = pdf_layout.layout_parse(pdf)
+    texts = [t for t, _ in secs]
+    assert any("comma,so this one joins it." in t for t in texts)
+
+
+def test_pdf_layout_reading_order_across_pages():
+    pdf = pdf_mini.build_simple_pdf([["aaa."], ["bbb."], ["ccc."]])
+    secs = pdf_layout.layout_parse(pdf)
+    joined = "".join(t for t, _ in secs)
+    assert joined.index("aaa") < joined.index("bbb") < joined.index("ccc")
+
+
+def test_sort_y_first_threshold_bubble():
+    boxes = [
+        {"text": "b", "x0": 50.0, "top": 10.5, "bottom": 20.0},
+        {"text": "a", "x0": 10.0, "top": 11.0, "bottom": 20.0},
+        {"text": "c", "x0": 10.0, "top": 40.0, "bottom": 50.0},
+    ]
+    out = pdf_layout.sort_y_first(boxes, threshold=3)
+    assert [b["text"] for b in out] == ["a", "b", "c"]
+
+
+# ---------------------------------------------------------- table typing
+
+def test_table_typing_votes_and_cast(spark):
+    from ragflow_spark.operators.tables import (
+        apply_inferred_types,
+        column_type_votes,
+        table_rows_to_text,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "1.5", "2024-01-02", "hello"),
+         ("2", "2.5", "2024-02-03", "world"),
+         ("3", "x", "2024-03-04", "2")],
+        ["a", "b", "c", "d"],
+    )
+    votes = column_type_votes(df)
+    m = {r["column"]: r["inferred_type"] for r in votes.collect()}
+    assert m == {"a": "integer", "b": "float", "c": "datetime", "d": "text"}
+    typed = apply_inferred_types(df, votes)
+    types = dict(typed.dtypes)
+    assert types["a"] == "bigint" and types["b"] == "double"
+    assert types["c"] == "timestamp"
+    rendered = table_rows_to_text(typed, ["a", "d"]).select("row_text").collect()
+    assert rendered[0]["row_text"].startswith("a：1; d：hello")
+
+
+# -------------------------------------------------------------- streaming
+
+def test_streaming_windowed_counts(spark, tmpdir_path):
+    from ragflow_spark.streaming.events import (
+        run_stream_to_parquet,
+        windowed_counts_stream,
+    )
+
+    src = os.path.join(tmpdir_path, "events_src")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_counts_stream(stream, watermark="10 days")
+    out = os.path.join(tmpdir_path, "stream_out")
+    q = run_stream_to_parquet(
+        agg.select("window_start", "event_type", "n_events", "sum_value"),
+        out, os.path.join(tmpdir_path, "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    from ragflow_spark.operators.events import windowed_counts
+
+    want = windowed_counts(events)
+    # watermark append-mode emits only closed windows; every emitted row
+    # must match the batch result exactly
+    j = got.join(
+        want.withColumnRenamed("n_events", "n2").withColumnRenamed("sum_value", "s2"),
+        ["window_start", "event_type"],
+    )
+    assert j.count() == got.count() > 0
+    assert j.filter("n_events != n2 or abs(sum_value - s2) > 1e-6").count() == 0
+
+
+def test_streaming_extraction_matches_batch(spark, tmpdir_path):
+    from ragflow_spark.operators.extract import extract_chunks
+    from ragflow_spark.sources.pages import generate_pages_df
+    from ragflow_spark.streaming.events import (
+        extract_chunks_stream,
+        run_stream_to_parquet,
+    )
+
+    src = os.path.join(tmpdir_path, "pages_src")
+    pages = generate_pages_df(spark, 40, parallelism=2)
+    pages.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = os.path.join(tmpdir_path, "chunks_out")
+    q = run_stream_to_parquet(
+        extract_chunks_stream(stream, num_partitions=8),
+        out, os.path.join(tmpdir_path, "ckpt2"),
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out).select("url", "chunk_idx", "content_hash")
+    want = extract_chunks(spark.read.parquet(src), num_partitions=8).select(
+        "url", "chunk_idx", "content_hash"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
