@@ -172,6 +172,83 @@ def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
     return out
 
 
+# ------------------------------------------------------------------- docx
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def parse_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
+    """DOCX scan (deepdoc/parser/docx_parser.py:113-136): paragraphs become
+    ``(text, style_name)`` sections; tables render to ``header：value; …``
+    row lines (the reference's __compose_table natural-language form)."""
+    zf = zipfile.ZipFile(BytesIO(blob))
+    root = ET.fromstring(zf.read("word/document.xml"))
+    body = root.find(f"{_W}body")
+    sections: list[tuple[str, str]] = []
+    tables: list[str] = []
+    if body is None:
+        return sections, tables
+    for el in body:
+        if el.tag == f"{_W}p":
+            text = "".join(t.text or "" for t in el.iter(f"{_W}t"))
+            style = ""
+            ps = el.find(f"{_W}pPr/{_W}pStyle")
+            if ps is not None:
+                style = ps.attrib.get(f"{_W}val", "")
+            if text.strip():
+                sections.append((text, style))
+        elif el.tag == f"{_W}tbl":
+            rows = []
+            for tr in el.iter(f"{_W}tr"):
+                cells = [
+                    "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+                    for tc in tr.iter(f"{_W}tc")
+                ]
+                rows.append(cells)
+            if len(rows) >= 2:
+                header = rows[0]
+                for r in rows[1:]:
+                    fields = [
+                        f"{h}：{v}" for h, v in zip(header, r) if v
+                    ]
+                    if fields:
+                        tables.append("; ".join(fields))
+            elif rows:
+                tables.append("; ".join(v for v in rows[0] if v))
+    return sections, tables
+
+
+def build_simple_docx(paragraphs: list[tuple[str, str]],
+                      tables: list[list[list[str]]] | None = None) -> bytes:
+    """Deterministic minimal DOCX writer: (text, style) paragraphs + tables."""
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    parts = []
+    for text, style in paragraphs:
+        stag = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
+        parts.append(f"<w:p>{stag}<w:r><w:t>{text}</w:t></w:r></w:p>")
+    for tbl in tables or []:
+        rows = "".join(
+            "<w:tr>" + "".join(
+                f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>" for c in row
+            ) + "</w:tr>"
+            for row in tbl
+        )
+        parts.append(f"<w:tbl>{rows}</w:tbl>")
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr(
+            "word/document.xml",
+            f'<?xml version="1.0"?><w:document xmlns:w="{w}"><w:body>'
+            + "".join(parts) + "</w:body></w:document>",
+        )
+    return buf.getvalue()
+
+
 # ----------------------------------------------------- fixture builders
 
 def build_simple_xlsx(sheets: dict[str, list[list]]) -> bytes:

@@ -18,6 +18,7 @@ display text (the reference's ``pdf_parser.remove_tag`` step in
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from ragflow_spark.core import html_extract, jsonsplit, markdown, pdf_mini, txt
@@ -108,6 +109,13 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
         from ragflow_spark.core import office
 
         return [(s, "") for s in office.parse_pptx(blob) if s], ""
+    if fmt == "docx":
+        from ragflow_spark.core import office
+
+        secs, tables = office.parse_docx(blob)
+        out = [(t, "") for t, _style in secs if t]
+        out.extend((t, "") for t in tables if t)
+        return out, ""
     raise NotImplementedError(f"format not supported yet: {fmt}")
 
 
@@ -225,6 +233,83 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
     return _finish([s for s in slides if s.strip()])
 
 
+_QA_PREFIX = re.compile(
+    r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)[\t:： ]+",
+    re.IGNORECASE,
+)
+
+
+def _rm_qa_prefix(txt: str) -> str:
+    return _QA_PREFIX.sub("", txt.strip())
+
+
+def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
+             cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/qa.py:294-351 — one chunk per Q/A pair.
+
+    txt/csv: delimiter voted between tab and comma per line counts
+    (qa.py:322-327); non-2-column lines extend the running answer; chunk
+    text is ``Question: q\\tAnswer: a`` with label prefixes stripped first
+    (``beAdoc``/``rmPrefix``, qa.py:251-285). xlsx: column 0 = question,
+    column 1 = answer, headerless (qa.py:29-67)."""
+    eng = lang.lower() == "english"
+    qprefix = "Question: " if eng else "问题："
+    aprefix = "Answer: " if eng else "回答："
+    pairs: list[tuple[str, str]] = []
+    if fmt in ("xlsx", "xls"):
+        from ragflow_spark.core import office
+
+        for _sheet, rows in office._xlsx_sheets(blob):
+            for r in rows:
+                vals = [v for v in r if v]
+                if len(vals) >= 2:
+                    pairs.append((str(vals[0]), str(vals[1])))
+    elif fmt in ("txt", "csv", "text"):
+        lines = decode_bytes(blob).split("\n")
+        comma = sum(1 for ln in lines if len(ln.split(",")) == 2)
+        tab = sum(1 for ln in lines if len(ln.split("\t")) == 2)
+        delim = "\t" if tab >= comma else ","
+        question = answer = ""
+        for ln in lines:
+            arr = ln.split(delim)
+            if len(arr) != 2:
+                if question:
+                    answer += "\n" + ln
+                continue
+            if question and answer:
+                pairs.append((question, answer))
+            question, answer = arr
+        if question:
+            pairs.append((question, answer))
+    else:
+        raise NotImplementedError(f"qa template: unsupported format {fmt}")
+    chunks = [
+        "\t".join([qprefix + _rm_qa_prefix(q), aprefix + _rm_qa_prefix(a)])
+        for q, a in pairs
+        if q.strip()
+    ]
+    return _finish(chunks)
+
+
+def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
+               cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/laws.py:134-200: sections → remove_contents_table →
+    make_colon_as_title → bullets_category vote → hierarchical_merge
+    depth 5, chunks joined with newlines."""
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    eng = lang.lower() == "english"
+    if fmt in ("txt", "text"):
+        sections = [(ln, "") for ln in decode_bytes(blob).split("\n") if ln]
+    else:
+        sections, _title = sections_for(blob, fmt, cfg, lang=lang)
+        sections = [(t, o) for t, o in sections if t]
+    remove_contents_table(sections, eng)
+    make_colon_as_title(sections)
+    bull = bullets_category([t for t, _ in sections])
+    merged = hierarchical_merge(bull, sections, 5)
+    return _finish(["\n".join(ck) for ck in merged if ck])
+
+
 TEMPLATES = {
     "naive": chunk_naive,
     "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
@@ -232,6 +317,8 @@ TEMPLATES = {
     "paper": chunk_paper,
     "one": chunk_one,
     "presentation": chunk_presentation,
+    "qa": chunk_qa,
+    "laws": chunk_laws,
 }
 
 

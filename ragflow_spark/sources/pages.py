@@ -34,9 +34,11 @@ _WORDS = (
 _ZH_WORDS = "数据 查询 引擎 分区 过滤 合并 文档 提取 内容 文章 章节 标题 段落 管道 集群".split()
 
 FMT_CYCLE = (
-    "html", "txt", "md", "json", "html", "txt", "html", "pdf", "xlsx", "pptx",
+    "html", "txt", "md", "json", "docx", "txt", "html", "pdf", "xlsx", "pptx",
 )
-PARSER_CYCLE = ("naive", "naive", "book", "naive", "paper", "naive")
+PARSER_CYCLE = (
+    "naive", "naive", "book", "naive", "paper", "naive", "qa", "laws",
+)
 EPOCH = _dt.datetime(2024, 12, 18, 0, 0, 0)
 
 
@@ -92,6 +94,20 @@ def _html_doc(rng: random.Random, sents: list[str], zh: bool) -> bytes:
 
 
 def _txt_doc(rng: random.Random, sents: list[str], parser: str) -> bytes:
+    if parser == "qa":
+        lines = []
+        for i in range(0, max(2, len(sents) - 1), 2):
+            q = " ".join(sents[i].split()[:8]).rstrip(".!?") + "?"
+            a = sents[i + 1] if i + 1 < len(sents) else sents[i]
+            lines.append(f"{q}\t{a}")
+        return "\n".join(lines).encode()
+    if parser == "laws":
+        lines = []
+        for i, s in enumerate(sents):
+            if i % 3 == 0:
+                lines.append(f"Article {i // 3 + 1}")
+            lines.append(s)
+        return "\n".join(lines).encode()
     if parser == "book":
         lines = []
         romans = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII"]
@@ -133,6 +149,23 @@ def _json_doc(rng: random.Random, sents: list[str]) -> bytes:
         for i, s in enumerate(sents)
     }
     return json.dumps(obj, ensure_ascii=False).encode()
+
+
+def _docx_doc(rng: random.Random, sents: list[str]) -> bytes:
+    from ragflow_spark.core.office import build_simple_docx
+
+    paras: list[tuple[str, str]] = []
+    for i, s in enumerate(sents):
+        if i % 6 == 0:
+            paras.append((f"Article {i // 6 + 1}", "Heading 1"))
+        paras.append((s, ""))
+    tables = []
+    if rng.random() < 0.5:
+        tables.append(
+            [["metric", "value"]]
+            + [[f"m{i}", str(rng.randint(0, 99))] for i in range(rng.randint(2, 5))]
+        )
+    return build_simple_docx(paras, tables)
 
 
 def _xlsx_doc(rng: random.Random, sents: list[str]) -> bytes:
@@ -177,8 +210,15 @@ def make_doc(doc_id: int) -> dict:
     fmt = FMT_CYCLE[doc_id % len(FMT_CYCLE)]
     # decoupled cycles so every (fmt, parser) combination occurs
     parser = PARSER_CYCLE[(doc_id // len(FMT_CYCLE)) % len(PARSER_CYCLE)]
-    if fmt not in ("txt", "pdf") and parser != "naive":
-        parser = "naive"  # book/paper templates ride on txt/pdf shapes
+    # template ↔ format compatibility (mirrors each template's dispatch)
+    if parser in ("book", "paper") and fmt not in ("txt", "pdf"):
+        parser = "naive"
+    elif parser == "qa" and fmt not in ("txt", "xlsx"):
+        parser = "naive"
+    elif parser == "laws" and fmt not in ("txt", "docx"):
+        # laws yields zero chunks on bullet-less content (reference:
+        # "No chunk parsed out") — only the txt/docx builders emit Articles
+        parser = "naive"
     zh = fmt == "html" and doc_id % 11 == 5
     lang = "Chinese" if zh else "English"
     n = _doc_size_sentences(doc_id, rng)
@@ -191,6 +231,8 @@ def make_doc(doc_id: int) -> dict:
         blob = _md_doc(rng, sents)
     elif fmt == "json":
         blob = _json_doc(rng, sents)
+    elif fmt == "docx":
+        blob = _docx_doc(rng, sents)
     elif fmt == "xlsx":
         blob = _xlsx_doc(rng, sents)
     elif fmt == "pptx":

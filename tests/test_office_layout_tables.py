@@ -199,3 +199,68 @@ def test_streaming_extraction_matches_batch(spark, tmpdir_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# ------------------------------------------------------------------- docx
+
+def test_docx_parse_and_templates():
+    blob = office.build_simple_docx(
+        [("Chapter I", "Heading 1"),
+         ("Body text of the first chapter with details.", ""),
+         ("Chapter II", "Heading 1"),
+         ("Second chapter body text goes here now.", "")],
+        tables=[[["k", "v"], ["x", "1"]]],
+    )
+    secs, tbls = office.parse_docx(blob)
+    assert secs[0] == ("Chapter I", "Heading 1")
+    assert tbls == ["k：x; v：1"]
+    naive = run_template("naive", blob, "docx")
+    assert naive and "Body text" in naive[0].chunk_text
+    book = run_template("book", blob, "docx")
+    assert any("Chapter I" in c.chunk_text and "first chapter" in c.chunk_text
+               for c in book)
+
+
+# --------------------------------------------------------------------- qa
+
+def test_qa_txt_pairs_and_prefix_strip():
+    blob = (b"Q: first question?\tA: first answer.\n"
+            b"second question\tsecond answer\n"
+            b"continuation line without tab\n"
+            b"third\tfinal")
+    cks = run_template("qa", blob, "txt")
+    assert cks[0].chunk_text == "Question: first question?\tAnswer: first answer."
+    # the non-2-column line extends the previous answer
+    assert "continuation line" in cks[1].chunk_text
+    assert len(cks) == 3
+
+
+def test_qa_comma_delimiter_vote():
+    # note: bare "q "/"a " at line start IS a label prefix to rmPrefix
+    # (it matches the Q|A alternatives case-insensitively) — avoid it here
+    blob = b"first one,uno\nsecond two,dos\nthird three,tres"
+    cks = run_template("qa", blob, "txt")
+    assert len(cks) == 3
+    assert cks[0].chunk_text.startswith("Question: first one\tAnswer: uno")
+
+
+def test_qa_xlsx():
+    blob = office.build_simple_xlsx({"qa": [["what is x", "x is y"],
+                                            ["what is z", "z is w"]]})
+    cks = run_template("qa", blob, "xlsx")
+    assert len(cks) == 2
+    assert cks[0].chunk_text == "Question: what is x\tAnswer: x is y"
+
+
+# ------------------------------------------------------------------- laws
+
+def test_laws_hierarchical():
+    blob = "\n".join([
+        "Article 1",
+        "All data must be partitioned and merged properly here.",
+        "Article 2",
+        "Skew shall be handled with salting and care always.",
+    ]).encode()
+    cks = run_template("laws", blob, "txt")
+    assert len(cks) == 2
+    assert cks[0].chunk_text.startswith("Article 1\n")
