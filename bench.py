@@ -47,9 +47,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    pages_path = os.path.join(cache_dir, f"pages_{n_pages}.parquet")
+    pages_path = os.path.join(cache_dir, f"pages_web_{n_pages}.parquet")
     if not os.path.exists(pages_path):
-        write_pages(spark, n_pages, pages_path, parallelism=cpus)
+        write_pages(spark, n_pages, pages_path, parallelism=cpus, profile="web")
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Cluster entrypoint for the extraction pipeline.
+
+    spark-submit --py-files dist/ragflow_spark.zip jobs/extract_job.py \
+        --input  <pages table path or iceberg identifier> \
+        --output <chunk table path> \
+        --manifest <manifest table path> \
+        [--partitions 4096] [--attempt 1] [--iceberg]
+
+Resumable: relaunching with the same --manifest skips partitions already
+manifested as done (left-anti join); chunk ids are deterministic
+(md5(chunk_text||url)) so per-partition overwrite is idempotent.
+
+Build the zip with: python tools/package.py
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--manifest", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--attempt", type=int, default=1)
+    ap.add_argument("--iceberg", action="store_true",
+                    help="read --input via the iceberg catalog")
+    args = ap.parse_args()
+
+    from ragflow_spark.operators.extract import run_extraction_job
+    from ragflow_spark.session import get_spark
+
+    spark = get_spark(app_name="ragflow_spark_extract")
+    if args.iceberg:
+        pages = spark.read.format("iceberg").load(args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    run_extraction_job(
+        pages,
+        out_path=args.output,
+        manifest_path=args.manifest,
+        num_partitions=args.partitions,
+        attempt=args.attempt,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

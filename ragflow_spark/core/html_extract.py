@@ -212,9 +212,36 @@ def _link_density(node: Node) -> float:
     return min(1.0, link_len / total)
 
 
+def _subtree_stats(root: Node) -> "dict[int, tuple[str, int]]":
+    """One post-order pass: id(node) → (collapsed text, link text length).
+    Replaces per-candidate re-walks (text() and link density were otherwise
+    recomputed per paragraph — quadratic in practice)."""
+    stats: dict[int, tuple[str, int]] = {}
+
+    def walk(n: Node) -> tuple[str, int]:
+        parts: list[str] = []
+        link_len = 0
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                t, ll = walk(c)
+                parts.append(t)
+                link_len += ll
+        text = re.sub(r"\s+", " ", "".join(parts)).strip()
+        if n.tag == "a":
+            link_len = len(text)
+        stats[id(n)] = (text, link_len)
+        return text, link_len
+
+    walk(root)
+    return stats
+
+
 def score_candidates(root: Node) -> "dict[Node, float]":
     """Paragraph-driven candidate scoring (the Arc90 core loop)."""
     scores: dict[Node, float] = {}
+    stats = _subtree_stats(root)
 
     def init(node: Node) -> float:
         return _TAG_BASE_SCORE.get(node.tag, 0) + _class_weight(node)
@@ -222,7 +249,7 @@ def score_candidates(root: Node) -> "dict[Node, float]":
     for para in root.iter_nodes():
         if para.tag not in ("p", "td", "pre", "blockquote"):
             continue
-        text = para.text()
+        text = stats[id(para)][0]
         if len(text) < 25:
             continue
         points = 1.0
@@ -237,7 +264,9 @@ def score_candidates(root: Node) -> "dict[Node, float]":
             scores.setdefault(grand, init(grand))
             scores[grand] += points / 2.0
     for node in scores:
-        scores[node] *= 1.0 - _link_density(node)
+        text, link_len = stats[id(node)]
+        density = min(1.0, link_len / len(text)) if text else 0.0
+        scores[node] *= 1.0 - density
     return scores
 
 

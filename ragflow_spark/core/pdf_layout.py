@@ -39,12 +39,43 @@ def sort_y_first(boxes: list[dict], threshold: float) -> list[dict]:
     arr = sorted(boxes, key=lambda b: (b["top"], b["x0"]))
     for i in range(len(arr) - 1):
         for j in range(i, -1, -1):
-            if (
-                abs(arr[j + 1]["top"] - arr[j]["top"]) < threshold
-                and arr[j + 1]["x0"] < arr[j]["x0"]
-            ):
+            # tops ascend leftward; once the gap reaches the threshold no
+            # earlier element can qualify → O(n·line_width), not O(n²)
+            if arr[j + 1]["top"] - arr[j]["top"] >= threshold:
+                break
+            if arr[j + 1]["x0"] < arr[j]["x0"]:
                 arr[j], arr[j + 1] = arr[j + 1], arr[j]
     return arr
+
+
+def sort_x_by_page(boxes: list[dict], threshold: float) -> list[dict]:
+    """W2 companion sort (pdf_parser.py:163-176): (page, x0, top) order with
+    a bubble restore for boxes in the same column (x0 within threshold) —
+    left column reads fully before the right column."""
+    arr = sorted(boxes, key=lambda b: (b["page_number"], b["x0"], b["top"]))
+    for i in range(len(arr) - 1):
+        for j in range(i, -1, -1):
+            if arr[j + 1]["page_number"] != arr[j]["page_number"]:
+                break
+            if arr[j + 1]["x0"] - arr[j]["x0"] >= threshold:
+                break
+            if arr[j + 1]["top"] < arr[j]["top"]:
+                arr[j], arr[j + 1] = arr[j + 1], arr[j]
+    return arr
+
+
+def two_column_reorder(boxes: list[dict], page_width: float = 612.0
+                       ) -> list[dict]:
+    """W2 (rag/app/paper.py:49-58): when the median box width is under half
+    the page width the document is two-column — re-sort X-first per page
+    with threshold column_width/2."""
+    if not boxes:
+        return boxes
+    widths = sorted(b["x1"] - b["x0"] for b in boxes)
+    column_width = widths[len(widths) // 2]
+    if column_width < page_width / 2:
+        return sort_x_by_page(boxes, column_width / 2)
+    return boxes
 
 
 def _y_dis(a: dict, b: dict) -> float:
@@ -59,26 +90,36 @@ def mean_heights(pages: list[list[dict]]) -> list[float]:
     return out
 
 
-def text_merge(boxes: list[dict], mean_height: list[float]) -> list[dict]:
+def text_merge(boxes: list[dict], mean_height: list[float],
+               max_gap: float | None = None) -> list[dict]:
     """W3: merge horizontally-adjacent same-layout boxes on the same visual
-    line (vertical midpoint distance < mean_height/3)."""
-    i = 0
-    while i < len(boxes) - 1:
-        b, b_ = boxes[i], boxes[i + 1]
-        if b.get("layoutno", "0") != b_.get("layoutno", "1") or b.get(
-            "layout_type", ""
-        ) in ("table", "figure", "equation"):
-            i += 1
-            continue
-        if abs(_y_dis(b, b_)) < mean_height[b["page_number"] - 1] / 3:
-            b["x1"] = b_["x1"]
-            b["top"] = (b["top"] + b_["top"]) / 2
-            b["bottom"] = (b["bottom"] + b_["bottom"]) / 2
-            b["text"] += b_["text"]
-            boxes.pop(i + 1)
-            continue
-        i += 1
-    return boxes
+    line (vertical midpoint distance < mean_height/3).
+
+    ``max_gap`` is the heuristic backend's stand-in for the layout
+    detector's region separation: in the reference, boxes in different
+    columns carry different ``layoutno`` and never merge; without a
+    detector, a same-line pair separated by more than ``max_gap`` points is
+    treated as a column boundary."""
+    # output-list pattern (equivalent to the reference's pop(i+1) loop —
+    # merges only ever involve consecutive survivors — but O(n), which
+    # matters for multi-thousand-box giants)
+    out: list[dict] = []
+    for b_ in boxes:
+        if out:
+            b = out[-1]
+            mergeable = not (
+                b.get("layoutno", "0") != b_.get("layoutno", "1")
+                or b.get("layout_type", "") in ("table", "figure", "equation")
+            )
+            if mergeable and (max_gap is None or b_["x0"] - b["x1"] <= max_gap):
+                if abs(_y_dis(b, b_)) < mean_height[b["page_number"] - 1] / 3:
+                    b["x1"] = b_["x1"]
+                    b["top"] = (b["top"] + b_["top"]) / 2
+                    b["bottom"] = (b["bottom"] + b_["bottom"]) / 2
+                    b["text"] += b_["text"]
+                    continue
+        out.append(b_)
+    return out
 
 
 def naive_vertical_merge(
@@ -91,17 +132,25 @@ def naive_vertical_merge(
     deciding merge vs break from punctuation, layout, page-gap and
     x-detachment features."""
     bxs = sort_y_first(boxes, statistics.median(mean_height) / 3 if mean_height else 4)
-    i = 0
-    while i + 1 < len(bxs):
-        b, b_ = bxs[i], bxs[i + 1]
-        if b["page_number"] < b_["page_number"] and re.match(
-            r"[0-9  •一—-]+$", b["text"]
-        ):
-            bxs.pop(i)  # lone page-number line straddling a page break
+    out: list[dict] = []
+    for b_ in bxs:
+        while out:
+            b = out[-1]
+            # lone page-number line straddling a page break: drop it and
+            # reconsider the merge against the box before it
+            if b["page_number"] < b_["page_number"] and re.match(
+                r"[0-9  •一—-]+$", b["text"]
+            ):
+                out.pop()
+                continue
+            if not b["text"].strip():
+                out.pop()
+                continue
+            break
+        if not out:
+            out.append(b_)
             continue
-        if not b["text"].strip():
-            bxs.pop(i)
-            continue
+        b = out[-1]
         concatting = [
             b["text"].strip()[-1] in ",;:'\"，、‘“；：-",
             len(b["text"].strip()) > 1 and b["text"].strip()[-2] in ",;:'\"，‘“、；：",
@@ -118,26 +167,49 @@ def naive_vertical_merge(
         ]
         detach = [b["x1"] < b_["x0"], b["x0"] > b_["x1"]]
         if (any(breaking) and not any(concatting)) or any(detach):
-            i += 1
+            out.append(b_)
             continue
         b["bottom"] = b_["bottom"]
         b["text"] += b_["text"]
         b["x0"] = min(b["x0"], b_["x0"])
         b["x1"] = max(b["x1"], b_["x1"])
-        bxs.pop(i + 1)
-    return bxs
+    return out
+
+
+# pages per independent layout window — the reference's task_page_size
+# (api/db/services/task_service.py:166): bounds the O(n·line) sorts and
+# merge walks per window; merges never cross task boundaries there either
+TASK_PAGE_SIZE = 12
 
 
 def layout_parse(
     blob: bytes, lang: str = "English",
     from_page: int = 0, to_page: int = 100000,
+    two_column: bool = False,
 ) -> list[tuple[str, str]]:
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
-    PDFs: boxes → reading-order sort → W3 → W4 → [(text, position_tag)]."""
-    pages = pdf_mini.extract_boxes(blob)
-    pages = pages[from_page:to_page]
-    if not pages:
+    PDFs: boxes → reading-order sort → W3 → W4 → [(text, position_tag)].
+    Documents beyond TASK_PAGE_SIZE pages are processed in page windows,
+    mirroring the reference's page-range task splitting (SURVEY §2.5 P1)."""
+    all_pages = pdf_mini.extract_boxes(blob)
+    all_pages = all_pages[from_page:to_page]
+    if not all_pages:
         return []
+    if len(all_pages) > TASK_PAGE_SIZE:
+        out: list[tuple[str, str]] = []
+        for w in range(0, len(all_pages), TASK_PAGE_SIZE):
+            out.extend(
+                _layout_parse_window(
+                    all_pages[w:w + TASK_PAGE_SIZE], lang, two_column, w
+                )
+            )
+        return out
+    return _layout_parse_window(all_pages, lang, two_column, 0)
+
+
+def _layout_parse_window(
+    pages: list[list[dict]], lang: str, two_column: bool, page_offset: int
+) -> list[tuple[str, str]]:
     mh = mean_heights(pages)
     mw = []
     for page in pages:
@@ -159,17 +231,25 @@ def layout_parse(
             b["layoutno"] = "text-0"
             b["top"] += cum[pn]
             b["bottom"] += cum[pn]
-            b["page_number"] = pn + 1  # 1-based within the window
+            # window-local 1-based page for mean_height/cum lookups; the
+            # global page number is restored on the tag below
+            b["page_number"] = pn + 1
             boxes.append(b)
-    boxes = text_merge(boxes, mh)
-    boxes = naive_vertical_merge(boxes, mh, mw, lang.lower() == "english")
+    boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
+    if two_column:
+        # paper pipeline (paper.py:49-58): column detection + X-first
+        # reorder replaces the naive vertical merge (which would re-sort Y)
+        boxes = two_column_reorder(boxes)
+    else:
+        boxes = naive_vertical_merge(boxes, mh, mw, lang.lower() == "english")
     sections = []
     for b in boxes:
         if not b["text"].strip():
             continue
         off = cum[b["page_number"] - 1]
         tag = line_tag(
-            b["page_number"], b["x0"], b["x1"], b["top"] - off, b["bottom"] - off
+            b["page_number"] + page_offset,
+            b["x0"], b["x1"], b["top"] - off, b["bottom"] - off,
         )
         sections.append((b["text"], tag))
     return sections

@@ -108,6 +108,77 @@ def build_simple_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def build_positioned_pdf(pages: list[list[tuple[float, float, str]]],
+                         compress: bool = True) -> bytes:
+    """PDF writer with explicit (x, y, text) placement per line (y is the
+    baseline in PDF bottom-up coordinates) — used to synthesize multi-column
+    fixtures for the layout operators."""
+    content_pages = []
+    for items in pages:
+        ops = ["BT", "/F1 11 Tf"]
+        for x, y, text in items:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_esc(text)}) Tj")
+        ops.append("ET")
+        content_pages.append(ops)
+    return _assemble_pdf(content_pages, compress)
+
+
+def _assemble_pdf(content_pages: list[list[str]], compress: bool) -> bytes:
+    objects: list[bytes] = []
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    content_nums = []
+    for ops in content_pages:
+        data = "\n".join(ops).encode("latin-1", errors="replace")
+        if compress:
+            comp = zlib.compress(data, 9)
+            stream = (
+                b"<< /Length " + str(len(comp)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+            )
+        else:
+            stream = (
+                b"<< /Length " + str(len(data)).encode()
+                + b" >>\nstream\n" + data + b"\nendstream"
+            )
+        content_nums.append(add(stream))
+    page_nums = []
+    pages_num_placeholder = len(objects) + len(content_pages) + 1
+    for cn in content_nums:
+        page_nums.append(add((
+            f"<< /Type /Page /Parent {pages_num_placeholder} 0 R "
+            f"/MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+            f"/Contents {cn} 0 R >>"
+        ).encode()))
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    pages_num = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
+    )
+    assert pages_num == pages_num_placeholder
+    catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 # --------------------------------------------------------------- extractor
 
 _HDR_RE = re.compile(rb"(\d+)\s+0\s+obj\b")

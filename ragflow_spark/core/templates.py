@@ -182,8 +182,15 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         # paper.py:140-146); for txt input that is a raw line split
         raw = decode_bytes(blob)
         sections, title = [(ln, "") for ln in raw.split("\n") if ln], ""
+    elif fmt == "pdf" and cfg.get("layout_recognize", True):
+        # layout branch (paper.py:148-150): two-column detection + X-first
+        # reorder; tags ride inside the text exactly as paper.py:125-127
+        from ragflow_spark.core.pdf_layout import layout_parse
+
+        secs = layout_parse(blob, lang, two_column=True)
+        sections, title = [(t + tag, "") for t, tag in secs], ""
     else:
-        # paper uses the PlainParser branch (paper.py:139-146)
+        # PlainParser branch (paper.py:139-146)
         sections, title = sections_for(blob, fmt, cfg, pdf_layout=False)
     bull = bullets_category([t for t, _ in sections])
     most_level, levels = title_frequency(bull, sections)

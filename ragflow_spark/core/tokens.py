@@ -20,11 +20,15 @@ from __future__ import annotations
 
 import re
 
-# GPT-2/cl100k-style pretokenizer: contractions, letter runs, digit groups
-# (cl100k groups digits in threes), single non-space symbols, space runs.
+# GPT-2/cl100k-style pretokenizer, formulated so the MATCH COUNT equals the
+# token count and the whole tally stays in C:
+# - letter runs match in slices of ≤4 chars, so a run of length L yields
+#   exactly ceil(L/4) matches (~4 chars/BPE-token for Latin script)
+# - digit groups of ≤3 (cl100k groups digits in threes)
+# - every other non-space, non-CJK symbol is one token
+# - CJK chars (matched separately) are ~one token each
 _PRETOK = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)"
-    r"|[A-Za-zÀ-ɏ]+"
+    r"[A-Za-zÀ-ɏ]{1,4}"
     r"|[0-9]{1,3}"
     r"|[^\sA-Za-z0-9À-ɏ⺀-鿿぀-ヿ가-힯]"
 )
@@ -34,8 +38,7 @@ _CJK = re.compile(r"[⺀-鿿぀-ヿ가-힯]")
 
 
 def _word_tokens(piece: str) -> int:
-    """Sub-token count for one pretoken. Latin words average ~4 chars per
-    BPE token; short words are single tokens."""
+    """Sub-token count for one standalone word (used by truncate)."""
     n = len(piece)
     if n <= 4:
         return 1
@@ -44,33 +47,29 @@ def _word_tokens(piece: str) -> int:
 
 def num_tokens_from_string(s: str) -> int:
     """Deterministic token count standing in for
-    ``len(cl100k_base.encode(s))`` (rag/utils/__init__.py:82-86)."""
+    ``len(cl100k_base.encode(s))`` (rag/utils/__init__.py:82-86).
+    subn('') counts matches without materializing them."""
     if not s:
         return 0
     try:
-        cjk = len(_CJK.findall(s))
-        total = cjk
-        for m in _PRETOK.finditer(s):
-            piece = m.group(0)
-            if piece[0].isalpha():
-                total += _word_tokens(piece)
-            else:
-                total += 1
-        return total
+        return _PRETOK.subn("", s)[1] + _CJK.subn("", s)[1]
     except Exception:
         return 0
 
 
+_ANYTOK = re.compile(_PRETOK.pattern + r"|[⺀-鿿぀-ヿ가-힯]")
+
+
 def truncate(s: str, max_len: int) -> str:
     """Token-budget truncation (rag/utils/__init__.py:89-91). Without a real
-    BPE decode round-trip we truncate on pretoken boundaries."""
+    BPE decode round-trip we truncate on pretoken boundaries (every match of
+    the combined pattern is one token)."""
     if num_tokens_from_string(s) <= max_len:
         return s
     total = 0
     end = 0
-    for m in _PRETOK.finditer(s):
-        piece = m.group(0)
-        total += _word_tokens(piece) if piece[0].isalpha() else 1
+    for m in _ANYTOK.finditer(s):
+        total += 1
         if total > max_len:
             break
         end = m.end()

@@ -33,9 +33,21 @@ _WORDS = (
 
 _ZH_WORDS = "数据 查询 引擎 分区 过滤 合并 文档 提取 内容 文章 章节 标题 段落 管道 集群".split()
 
-FMT_CYCLE = (
-    "html", "txt", "md", "json", "docx", "txt", "html", "pdf", "xlsx", "pptx",
-)
+# two corpus profiles:
+# - "mixed": every format/template combination, for operator coverage
+# - "web":   Common-Crawl-representative mix (html-dominant, per the
+#   north star's input contract) — the scaling/bench corpus
+FMT_CYCLES = {
+    "mixed": (
+        "html", "txt", "md", "json", "docx", "txt", "html", "pdf", "xlsx",
+        "pptx",
+    ),
+    "web": (
+        "html", "html", "html", "txt", "html", "pdf", "html", "md", "html",
+        "json",
+    ),
+}
+FMT_CYCLE = FMT_CYCLES["mixed"]
 PARSER_CYCLE = (
     "naive", "naive", "book", "naive", "paper", "naive", "qa", "laws",
 )
@@ -204,12 +216,13 @@ def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
     return pdf_mini.build_simple_pdf(pages or [[""]])
 
 
-def make_doc(doc_id: int) -> dict:
+def make_doc(doc_id: int, profile: str = "mixed") -> dict:
     """The whole row for one doc_id — deterministic, no global state."""
     rng = random.Random(42_000_000 + doc_id)
-    fmt = FMT_CYCLE[doc_id % len(FMT_CYCLE)]
+    cycle = FMT_CYCLES[profile]
+    fmt = cycle[doc_id % len(cycle)]
     # decoupled cycles so every (fmt, parser) combination occurs
-    parser = PARSER_CYCLE[(doc_id // len(FMT_CYCLE)) % len(PARSER_CYCLE)]
+    parser = PARSER_CYCLE[(doc_id // len(cycle)) % len(PARSER_CYCLE)]
     # template ↔ format compatibility (mirrors each template's dispatch)
     if parser in ("book", "paper") and fmt not in ("txt", "pdf"):
         parser = "naive"
@@ -257,13 +270,14 @@ PAGES_SCHEMA = (
 )
 
 
-def generate_pages_df(spark, n_docs: int, parallelism: int | None = None):
+def generate_pages_df(spark, n_docs: int, parallelism: int | None = None,
+                      profile: str = "mixed"):
     """Distributed corpus build: ids via spark.range → mapInPandas."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_doc(int(i)) for i in pdf["id"]]
+            rows = [make_doc(int(i), profile) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -275,6 +289,8 @@ def generate_pages_df(spark, n_docs: int, parallelism: int | None = None):
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def write_pages(spark, n_docs: int, path: str, parallelism: int | None = None) -> str:
-    generate_pages_df(spark, n_docs, parallelism).write.mode("overwrite").parquet(path)
+def write_pages(spark, n_docs: int, path: str, parallelism: int | None = None,
+                profile: str = "mixed") -> str:
+    generate_pages_df(spark, n_docs, parallelism, profile).write.mode(
+        "overwrite").parquet(path)
     return path

@@ -264,3 +264,49 @@ def test_laws_hierarchical():
     cks = run_template("laws", blob, "txt")
     assert len(cks) == 2
     assert cks[0].chunk_text.startswith("Article 1\n")
+
+
+# ------------------------------------------------------ two-column (W2)
+
+def _two_col_pdf():
+    page = []
+    for i, t in enumerate(["L1 left column first line here",
+                           "L2 left second line words",
+                           "L3 left third line words"]):
+        page.append((72, 700 - 40 * i, t))
+    for i, t in enumerate(["R1 right column first", "R2 right second",
+                           "R3 right third"]):
+        page.append((320, 700 - 40 * i, t))
+    return pdf_mini.build_positioned_pdf([page])
+
+
+def test_two_column_reorder_reads_columns_in_order():
+    secs = pdf_layout.layout_parse(_two_col_pdf(), two_column=True)
+    order = [t[:2] for t, _ in secs]
+    assert order == ["L1", "L2", "L3", "R1", "R2", "R3"]
+
+
+def test_without_two_column_interleaves_by_line():
+    secs = pdf_layout.layout_parse(_two_col_pdf(), two_column=False)
+    joined = " ".join(t for t, _ in secs)
+    # Y-first order interleaves the columns line by line
+    assert joined.index("L1") < joined.index("R1") < joined.index("L2")
+
+
+def test_same_line_fragments_still_merge():
+    blob = pdf_mini.build_positioned_pdf(
+        [[(72, 700, "Start of a line "), (200, 700, "that continues right here.")]]
+    )
+    secs = pdf_layout.layout_parse(blob)
+    assert [t for t, _ in secs] == ["Start of a line that continues right here."]
+
+
+def test_paper_template_pdf_layout_branch_emits_spans():
+    blob = pdf_mini.build_simple_pdf([[
+        "Section 1",
+        "A long enough introduction sentence with plenty of words to keep tags.",
+        "Section 2",
+        "A long enough experiments sentence with plenty of words to keep tags.",
+    ]])
+    cks = run_template("paper", blob, "pdf")
+    assert any(c.spans for c in cks)

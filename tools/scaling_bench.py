@@ -62,7 +62,7 @@ def main():
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     parts = 4 * n_big  # identical physical plan at both core counts
 
-    pages_path = os.path.join(REPO, ".cache", f"pages_{n_docs}.parquet")
+    pages_path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
     if not os.path.exists(pages_path):
         from ragflow_spark.session import get_spark
         from ragflow_spark.sources.pages import write_pages
@@ -70,7 +70,7 @@ def main():
         spark = get_spark(master=f"local[{n_big}]", shuffle_partitions=parts)
         spark.sparkContext.setLogLevel("ERROR")
         # many output files → the scan stage can parallelize at any width
-        write_pages(spark, n_docs, pages_path, parallelism=parts)
+        write_pages(spark, n_docs, pages_path, parallelism=parts, profile="web")
         spark.stop()
 
     t = {c: run_once(c, parts, pages_path) for c in (n_small, n_big, 32)}
