@@ -210,6 +210,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessions(spark, sf):
         return events.sessionize(_events(spark, sf))
 
+    def events_stream_hourly(spark, sf):
+        """Structured Streaming windowed agg, drained with availableNow —
+        rows-only (append mode emits only watermark-closed windows, so the
+        batch oracle's open tail windows are intentionally absent)."""
+        import tempfile
+
+        from ragflow_spark.streaming.events import (
+            run_stream_to_parquet,
+            windowed_counts_stream,
+        )
+
+        d = tempfile.mkdtemp(prefix="rs_stream_")
+        ev = _events(spark, sf)
+        src = os.path.join(d, "src")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = run_stream_to_parquet(
+            windowed_counts_stream(stream, watermark="2 hours"),
+            os.path.join(d, "out"), os.path.join(d, "ckpt"),
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(os.path.join(d, "out"))
+
     # -------- relational competence (TPC-H-style over the star schema)
     def tpch_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -330,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
+        "events_stream_hourly": events_stream_hourly,
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_revenue_by_nation": tpch_revenue_by_nation,
         "extract_chunks_docs": extract_chunks_docs,

@@ -82,6 +82,41 @@ def is_english(texts: list[str]) -> bool:
     return eng / len(texts) > 0.8
 
 
+# Question-numbering patterns (rag/nlp/__init__.py:66-78), voted by
+# qbullets_category for the QA template's bullet-structured documents.
+QUESTION_PATTERN: list[str] = [
+    r"第([零一二三四五六七八九十百0-9]+)问",
+    r"第([零一二三四五六七八九十百0-9]+)条",
+    r"[\(（]([零一二三四五六七八九十百]+)[\)）]",
+    r"第([0-9]+)问",
+    r"第([0-9]+)条",
+    r"([0-9]{1,2})[\. 、]",
+    r"([零一二三四五六七八九十百]+)[ 、]",
+    r"[\(（]([0-9]{1,2})[\)）]",
+    r"QUESTION (ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN)",
+    r"QUESTION (I+V?|VI*|XI|IX|X)",
+    r"QUESTION ([0-9]+)",
+]
+
+
+def qbullets_category(sections: list[str]) -> tuple[int, str]:
+    """Vote the dominant question-numbering pattern
+    (rag/nlp/__init__.py:139-154). Quirk kept: a pattern scores at most 1
+    (the inner loop breaks on first matching section), and when nothing
+    matches the result is (-1, QUESTION_PATTERN[-1])."""
+    hits = [0] * len(QUESTION_PATTERN)
+    for i, pattern in enumerate(QUESTION_PATTERN):
+        for sec in sections:
+            if re.match(pattern, sec) and not not_bullet(sec):
+                hits[i] += 1
+                break
+    best, best_hits = -1, 0
+    for i, h in enumerate(hits):
+        if h > best_hits:
+            best, best_hits = i, h
+    return best, QUESTION_PATTERN[best]
+
+
 def not_title(txt: str) -> bool:
     """A line too long / too sentence-like to be a heading
     (rag/nlp/__init__.py:380-387)."""

@@ -246,7 +246,7 @@ def ngram_jaccard_pairs(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    )
+    ).persist()  # both self-join sides read it; avoids recomputing shingles
     a = sh.select(F.col("_g"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_g"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

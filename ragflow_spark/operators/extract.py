@@ -174,7 +174,12 @@ def run_extraction_job(
         .partitionBy("partition_id")
         .parquet(out_path)
     )
-    written = spark.read.parquet(out_path).join(
-        todo.select("partition_id").distinct(), "partition_id", "left_semi"
-    )
-    write_manifest(written, manifest_path, attempt=attempt)
+    # manifest only the partitions this attempt processed; the id list is
+    # bounded by num_partitions, so an isin() filter gives real partition
+    # pruning on the readback scan (a semi-join would read every partition)
+    todo_pids = [r.partition_id for r in todo.select("partition_id").distinct().collect()]
+    if todo_pids:
+        written = spark.read.parquet(out_path).filter(
+            F.col("partition_id").isin(todo_pids)
+        )
+        write_manifest(written, manifest_path, attempt=attempt)

@@ -362,3 +362,30 @@ def test_chunk_concat_invariant_txt():
 
 def test_empty_doc_no_chunks_no_crash():
     assert chunk_naive(b"", "txt") == []
+
+
+# ------------------------------------------------------- numbers / qbullets
+
+def test_index_int_chain():
+    from ragflow_spark.core.numbers import index_int
+
+    assert index_int("42") == 42
+    assert index_int("seven") == 7
+    assert index_int("twenty one") == 21
+    assert index_int("one hundred five") == 105
+    assert index_int("三十二") == 32
+    assert index_int("一百零三") == 103
+    assert index_int("IX") == 9
+    assert index_int("XIV") == 14
+    assert index_int("not a number") == -1
+
+
+def test_qbullets_category():
+    from ragflow_spark.core.patterns import qbullets_category
+
+    idx, pattern = qbullets_category(["第一问 什么是分区？", "第二问 什么是合并？"])
+    assert idx == 0
+    idx, _ = qbullets_category(["QUESTION 3 what is a shuffle?"])
+    assert idx >= 0
+    idx, _ = qbullets_category(["no numbering at all"])
+    assert idx == -1
