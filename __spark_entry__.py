@@ -203,6 +203,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_vecs"))
         )
 
+    def emb_near_dup_lsh(spark, sf):
+        from ragflow_spark.operators.similarity import deterministic_hyperplanes
+
+        planes = deterministic_hyperplanes(64, 4, seed=7)
+        return dedup.embedding_near_dup_lsh(
+            _emb(spark, sf), "vec_id", "embedding", planes, threshold=0.3
+        )
+
     # -------- events
     def events_hourly(spark, sf):
         return events.windowed_counts(_events(spark, sf))
@@ -349,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cluster_sizes": emb_cluster_sizes,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
         "table_typing": table_typing,
         "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
@@ -456,21 +465,39 @@ def _table_typing_oracle() -> str:
     """
 
 
-def _hyperplane_oracle() -> str:
+def _bucket_expr_sql(n_planes: int, seed: int, vec: str = "embedding") -> str:
     from ragflow_spark.operators.similarity import deterministic_hyperplanes
 
-    planes = deterministic_hyperplanes(64, 6, seed=42)
+    planes = deterministic_hyperplanes(64, n_planes, seed=seed)
     bits = []
     for p in planes:
         arr = "[" + ", ".join(repr(x) for x in p) + "]"
         bits.append(
-            "case when list_dot_product(embedding::DOUBLE[], "
+            f"case when list_dot_product({vec}::DOUBLE[], "
             f"{arr}::DOUBLE[]) >= 0 then '1' else '0' end"
         )
-    bucket = " || ".join(bits)
+    return " || ".join(bits)
+
+
+def _hyperplane_oracle() -> str:
     return f"""
-        select ({bucket}) as bucket, cast(count(*) as bigint) as n_vecs
+        select ({_bucket_expr_sql(6, 42)}) as bucket,
+               cast(count(*) as bigint) as n_vecs
         from embeddings group by 1
+    """
+
+
+def _near_dup_lsh_oracle() -> str:
+    return f"""
+        with b as (select vec_id, embedding,
+                          ({_bucket_expr_sql(4, 7)}) as bucket
+                   from embeddings)
+        select a.bucket, a.vec_id as id_a, b2.vec_id as id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b2.embedding::DOUBLE[]), 6) as cos
+        from b a join b b2 on a.bucket = b2.bucket and a.vec_id < b2.vec_id
+        where round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b2.embedding::DOUBLE[]), 6) >= 0.3
     """
 
 
@@ -679,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "table_typing": _table_typing_oracle(),
         "emb_hyperplane_lsh": _hyperplane_oracle(),
+        "emb_near_dup_lsh": _near_dup_lsh_oracle(),
         "events_hourly": """
             select date_trunc('hour', ts) as window_start, event_type,
                    cast(count(*) as bigint) as n_events,

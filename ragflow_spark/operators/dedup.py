@@ -286,3 +286,32 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH bucket blocking instead
+    of a group/full self-join. Vectors with cosine ≥ cos(θ) agree on a
+    random hyperplane sign with probability 1-θ/π, so near-identical pairs
+    share the full sign pattern with high probability; the self-join runs
+    on the bucket key only and exact cosine verifies survivors."""
+    from ragflow_spark.operators.similarity import hyperplane_lsh_bucket
+
+    bucketed = hyperplane_lsh_bucket(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", planes,
+    )
+    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("bucket", "id_a", "id_b", "cos")
+    )
