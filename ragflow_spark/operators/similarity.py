@@ -105,6 +105,36 @@ def make_centroids_from_rows(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
+def kmeans_refine(
+    indexed: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """One Lloyd iteration over an ivf_build assignment: new centroid =
+    element-wise mean of each cluster's vectors. Fully native: posexplode →
+    groupBy(cluster, dim) avg → re-assemble ordered arrays. Each iteration
+    is one shuffle on (cluster_id, dim) + one on cluster_id; loop as many
+    times as convergence needs (each iteration re-runs ivf_build with the
+    returned centroids)."""
+    dims = (
+        indexed.select(
+            "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+    )
+    return (
+        dims.groupBy("cluster_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_val"))
+            ).alias("_pairs")
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("_pairs"), lambda p: p["mean_val"]).alias("centroid"),
+        )
+    )
+
+
 def deterministic_hyperplanes(dim: int, n_planes: int, seed: int = 42
                               ) -> list[list[float]]:
     rng = random.Random(seed)

@@ -310,3 +310,32 @@ def test_paper_template_pdf_layout_branch_emits_spans():
     ]])
     cks = run_template("paper", blob, "pdf")
     assert any(c.spans for c in cks)
+
+
+def test_kmeans_refine_centroid_is_cluster_mean(spark):
+    from ragflow_spark.operators.similarity import kmeans_refine
+
+    rows = [
+        (1, 1, [1.0, 3.0]), (2, 1, [3.0, 5.0]),  # cluster 1 mean [2,4]
+        (3, 2, [10.0, 0.0]),                      # cluster 2 mean [10,0]
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "cluster_id", "embedding"])
+    cents = {r["cluster_id"]: r["centroid"]
+             for r in kmeans_refine(df, "embedding", "vec_id").collect()}
+    assert cents[1] == [2.0, 4.0]
+    assert cents[2] == [10.0, 0.0]
+
+
+def test_kmeans_refine_improves_assignment(spark):
+    from ragflow_spark.operators.similarity import (
+        ivf_build, kmeans_refine, make_centroids_from_rows,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents0 = make_centroids_from_rows(e, "embedding", "vec_id", 4)
+    idx0 = ivf_build(e, "embedding", "vec_id", cents0)
+    cents1 = kmeans_refine(idx0, "embedding", "vec_id")
+    idx1 = ivf_build(e, "embedding", "vec_id", cents1)
+    # every vector still assigned exactly once
+    assert idx1.count() == e.count()
+    assert idx1.select("cluster_id").distinct().count() <= 4
