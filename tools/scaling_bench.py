@@ -148,8 +148,16 @@ per-round BENCH_r{{N}}.json is graded against. `bench.py` prints the
 per-query timings at sf0.1.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-added sections below the generated block
+    extra = ""
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        marker = "## Scale smoke"
+        if marker in prev:
+            extra = "\n" + prev[prev.index(marker):]
+    with open(out_md, "w") as f:
+        f.write(md + extra)
     print("wrote BENCH/BASELINE.md")
 
 
