@@ -33,6 +33,47 @@ from ragflow_spark.core import pdf_mini
 from ragflow_spark.core.spans import line_tag
 
 
+# F3: garbage-line regex bank (deepdoc/vision/layout_recognizer.py:56-61)
+_GARBAGE_PATTERNS = [re.compile(p) for p in (
+    r"^•+$", r"(版权归©|免责条款|地址[:：])", r"\.{3,}",
+    r"^[0-9]{1,2} / ?[0-9]{1,2}$", r"^[0-9]{1,2} of [0-9]{1,2}$",
+    r"^http://[^ ]{12,}", r"(资料|数据)来源[:：]",
+    r"[0-9a-z._-]+@[a-z0-9-]+\.[a-z]{2,3}", r"\(cid *: *[0-9]+ *\)",
+)]
+
+
+def is_garbage_line(text: str) -> bool:
+    return any(p.search(text) for p in _GARBAGE_PATTERNS)
+
+
+def drop_repeated_chrome(pages: list[list[dict]], page_height: float = 792.0
+                         ) -> list[list[dict]]:
+    """F4/A6 for the heuristic backend (layout_recognizer.py:104-150): lines
+    sitting in the header band (top 10%) or footer band (bottom 10%) whose
+    text repeats across pages are page chrome — drop every occurrence.
+    Single-occurrence banded lines survive (the reference's keep_feats
+    position exemption covers mid-page false hits; our band test already
+    excludes those)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for page in pages:
+        for b in page:
+            if b["top"] < page_height * 0.1 or b["bottom"] > page_height * 0.9:
+                counts[b["text"].strip()] += 1
+    repeated = {t for t, c in counts.items() if c > 1 and t}
+    out = []
+    for page in pages:
+        out.append([
+            b for b in page
+            if not (
+                (b["top"] < page_height * 0.1 or b["bottom"] > page_height * 0.9)
+                and b["text"].strip() in repeated
+            )
+        ])
+    return out
+
+
 def sort_y_first(boxes: list[dict], threshold: float) -> list[dict]:
     """Stable (top, x0) sort, then restore left-right order for boxes whose
     tops differ by less than ``threshold`` (same visual line)."""
@@ -195,6 +236,12 @@ def layout_parse(
     all_pages = all_pages[from_page:to_page]
     if not all_pages:
         return []
+    # F3 + F4/A6: garbage lines and cross-page repeated header/footer chrome
+    all_pages = [
+        [b for b in page if not is_garbage_line(b["text"])]
+        for page in all_pages
+    ]
+    all_pages = drop_repeated_chrome(all_pages)
     if len(all_pages) > TASK_PAGE_SIZE:
         out: list[tuple[str, str]] = []
         for w in range(0, len(all_pages), TASK_PAGE_SIZE):

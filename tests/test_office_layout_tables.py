@@ -339,3 +339,46 @@ def test_kmeans_refine_improves_assignment(spark):
     # every vector still assigned exactly once
     assert idx1.count() == e.count()
     assert idx1.select("cluster_id").distinct().count() <= 4
+
+
+# ---------------------------------------------------- garbage/chrome drop
+
+def test_garbage_lines_dropped():
+    blob = pdf_mini.build_simple_pdf([[
+        "Real content line with plenty of words to survive filtering.",
+        "3 / 12",
+        "someone@example.com",
+        "......................",
+        "More genuine content follows after the junk lines here.",
+    ]])
+    secs = pdf_layout.layout_parse(blob)
+    joined = " ".join(t for t, _ in secs)
+    assert "Real content" in joined and "genuine content" in joined
+    assert "3 / 12" not in joined
+    assert "example.com" not in joined
+
+
+def test_repeated_header_footer_dropped():
+    page = lambda body: [
+        (72, 780, "ACME Corp Quarterly Report"),      # header band
+        (72, 500, body),
+        (72, 10, "page footer — confidential"),       # footer band
+    ]
+    blob = pdf_mini.build_positioned_pdf([
+        page("Body one has words."), page("Body two has words."),
+    ])
+    secs = pdf_layout.layout_parse(blob)
+    joined = " ".join(t for t, _ in secs)
+    assert "Body one" in joined and "Body two" in joined
+    assert "ACME Corp" not in joined
+    assert "confidential" not in joined
+
+
+def test_single_occurrence_banded_line_survives():
+    blob = pdf_mini.build_positioned_pdf([
+        [(72, 780, "A unique title right at the top"), (72, 500, "Body words.")],
+        [(72, 500, "Second page body words.")],
+    ])
+    secs = pdf_layout.layout_parse(blob)
+    joined = " ".join(t for t, _ in secs)
+    assert "unique title" in joined
