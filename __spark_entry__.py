@@ -429,6 +429,14 @@ def _hex8_to_int_sql(h: str) -> str:
     return expr
 
 
+# byte ``i`` (0-based) of md5(col)'s digest, from the hex string
+def _md5_byte_sql(col: str, i: int) -> str:
+    hx = f"md5({col})"
+    hi = f"(strpos('0123456789abcdef', substr({hx}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hx}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
     pat = "\\b(?:" + "|".join(words) + ")\\b"
     return f"len(regexp_extract_all(lower({col}), '{pat}'))"
@@ -613,9 +621,12 @@ def oracle_sql() -> dict[str, str]:
             p as (select doc_id, sh, {_ab_sql()} as ab from s),
             g as (select doc_id, sh, {_minhash_sig_sql(16)} as sig from p),
             b as (select doc_id, sh, unnest({_bands_sql(4, 4)}) as band from g),
+            -- hot-band guard mirror (dedup.DEFAULT_MAX_BAND_SIZE)
+            ok as (select band from b group by band having count(*) <= 1024),
+            bb as (select b.doc_id, b.sh, b.band from b join ok using (band)),
             cand as (select distinct a.doc_id as id_a, b2.doc_id as id_b,
                             a.sh as sh_a, b2.sh as sh_b
-                     from b a join b b2 on a.band = b2.band and a.doc_id < b2.doc_id)
+                     from bb a join bb b2 on a.band = b2.band and a.doc_id < b2.doc_id)
             select id_a, id_b,
                    round(len(list_intersect(sh_a, sh_b))::DOUBLE
                          / len(list_distinct(list_concat(sh_a, sh_b))), 6) as jaccard
@@ -652,6 +663,59 @@ def oracle_sql() -> dict[str, str]:
                      from unnest(h.h2) as t(hv), unnest(range(0,32)) as r(b) group by b))
                as simhash_lo
             from h
+        """,
+        "doc_simhash_pairs": f"""
+            with s as (
+              with d as (select doc_id,
+                                list_distinct({_toks_sql("lower(text)")}) as toks
+                         from documents),
+              h as (select doc_id,
+                           list_transform(toks, t -> {_hex8_to_int_sql('substr(md5(t),1,8)')}) as h1,
+                           list_transform(toks, t -> {_hex8_to_int_sql('substr(md5(t),9,8)')}) as h2
+                    from d)
+              select doc_id,
+                (select cast(sum(case when cnt > 0 then (1::BIGINT << b) else 0 end) as bigint)
+                 from (select b, sum(case when ((hv >> b) & 1) = 1 then 1 else -1 end) as cnt
+                       from unnest(h.h1) as t(hv), unnest(range(0,32)) as r(b) group by b))
+                 as simhash_hi,
+                (select cast(sum(case when cnt > 0 then (1::BIGINT << b) else 0 end) as bigint)
+                 from (select b, sum(case when ((hv >> b) & 1) = 1 then 1 else -1 end) as cnt
+                       from unnest(h.h2) as t(hv), unnest(range(0,32)) as r(b) group by b))
+                 as simhash_lo
+              from h),
+            c as (select doc_id, simhash_hi, simhash_lo, unnest([
+                    '0' || ':' || ((simhash_hi >> 0)  & 65535)::varchar,
+                    '1' || ':' || ((simhash_hi >> 16) & 65535)::varchar,
+                    '2' || ':' || ((simhash_lo >> 0)  & 65535)::varchar,
+                    '3' || ':' || ((simhash_lo >> 16) & 65535)::varchar
+                  ]) as chunk from s),
+            -- hot-band guard mirror (dedup.DEFAULT_MAX_BAND_SIZE)
+            ok as (select chunk from c group by chunk having count(*) <= 1024),
+            cc as (select c.doc_id, c.simhash_hi, c.simhash_lo, c.chunk
+                   from c join ok using (chunk)),
+            cand as (select distinct a.doc_id as id_a, b.doc_id as id_b,
+                            a.simhash_hi as hi_a, a.simhash_lo as lo_a,
+                            b.simhash_hi as hi_b, b.simhash_lo as lo_b
+                     from cc a join cc b
+                       on a.chunk = b.chunk and a.doc_id < b.doc_id)
+            select id_a, id_b,
+                   cast(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) as int)
+                     as hamming
+            from cand
+            where bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        """,
+        "media_meta": f"""
+            select doc_id as media_id,
+                   case when doc_id % 3 = 0 then 'image'
+                        when doc_id % 3 = 1 then 'audio'
+                        else 'video' end as kind,
+                   cast(strlen(text) as bigint) as n_bytes,
+                   cast(64 + {_md5_byte_sql('text', 0)} * 4 as int) as width,
+                   cast(64 + {_md5_byte_sql('text', 1)} * 4 as int) as height,
+                   cast(case when doc_id % 3 = 0 then 1
+                             else 1 + {_md5_byte_sql('text', 2)} % 300 end as int)
+                     as n_frames
+            from documents
         """,
         "emb_cosine_topk": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
@@ -755,6 +819,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         # extraction-tier queries intentionally omitted (rows-only check):
         # extract_chunks_docs / extract_pipeline_pages / extract_manifest /
-        # doc_winnow_fp / media_meta are sequential per-doc algorithms with
-        # no ANSI-SQL equivalent; they are gated byte-identically in pytest.
+        # doc_winnow_fp are sequential per-doc algorithms with no ANSI-SQL
+        # equivalent; they are gated byte-identically in pytest.
     }

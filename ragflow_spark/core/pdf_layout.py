@@ -242,16 +242,19 @@ def layout_parse(
         for page in all_pages
     ]
     all_pages = drop_repeated_chrome(all_pages)
+    # tags stay document-absolute: window offset + the from_page slice base
+    # (the reference's _line_tag adds page_from, pdf_parser.py:843-846)
     if len(all_pages) > TASK_PAGE_SIZE:
         out: list[tuple[str, str]] = []
         for w in range(0, len(all_pages), TASK_PAGE_SIZE):
             out.extend(
                 _layout_parse_window(
-                    all_pages[w:w + TASK_PAGE_SIZE], lang, two_column, w
+                    all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
+                    w + from_page,
                 )
             )
         return out
-    return _layout_parse_window(all_pages, lang, two_column, 0)
+    return _layout_parse_window(all_pages, lang, two_column, from_page)
 
 
 def _layout_parse_window(

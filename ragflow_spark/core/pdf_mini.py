@@ -205,7 +205,13 @@ def _parse_objects(blob: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         eo = blob.find(b"endobj", m.end())
         if sm is not None and (eo == -1 or sm.start() < eo):
             dict_part = blob[m.end():sm.start()]
-            lm = re.search(rb"/Length\s+(\d+)\b", dict_part)
+            # '/Length 5 0 R' is an indirect reference — its first integer is
+            # an object number, not the byte count; treating it as a length
+            # would truncate the stream. Fall back to the endstream scan.
+            if re.search(rb"/Length\s+\d+\s+\d+\s+R\b", dict_part):
+                lm = None
+            else:
+                lm = re.search(rb"/Length\s+(\d+)\b", dict_part)
             data_start = sm.end()
             if lm:
                 data_end = min(n, data_start + int(lm.group(1)))

@@ -28,6 +28,25 @@ from ragflow_spark.functions.text import (
 )
 from ragflow_spark.functions.vectors import cosine
 
+# default hot-band cap for the LSH pair joins (minhash + simhash). A band
+# key shared by k docs emits k² candidate pairs; above this cap the band is
+# boilerplate-degenerate (navigation chrome, legal footers at web scale) and
+# is dropped — exact dedup owns identical content. Default-ON because an
+# unguarded band join is the one thing that turns these from O(n) into
+# O(n²) on a real crawl; callers can pass None to disable for small audits.
+DEFAULT_MAX_BAND_SIZE = 1024
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist any cached intermediates a dedup operator attached to its
+    result (``_rs_cached``). Call after the consuming action in long-lived
+    sessions; harmless no-op otherwise."""
+    for handle in getattr(df, "_rs_cached", []):
+        try:
+            handle.unpersist()
+        except Exception:
+            pass
+
 
 # ------------------------------------------------------------------ exact
 
@@ -63,7 +82,7 @@ def minhash_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
-    max_band_size: int | None = None,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
     persist_base: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) whose shingle-set Jaccard ≥ threshold,
@@ -120,11 +139,14 @@ def minhash_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if persist_base:
+        out._rs_cached = [base]  # caller releases via dedup.release(out)
+    return out
 
 
 # ---------------------------------------------------------------- simhash
@@ -183,11 +205,17 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
 ) -> DataFrame:
     """Candidate pairs via 16-bit chunk banding over the 64-bit simhash
     (pigeonhole: hamming ≤ 6 over 4 chunks → some chunk differs ≤1; we use
     exact-chunk-match banding which catches hamming ≤ 3 guaranteed and most
-    ≤ 6), then exact hamming verify with native bit_count."""
+    ≤ 6), then exact hamming verify with native bit_count.
+
+    Scale: a raw 16-bit chunk value collects ~n/65536 docs at web scale, so
+    the band self-join is k²-degenerate without the same hot-band guard
+    minhash_pairs uses — ``max_band_size`` (default-on) anti-joins those
+    chunks away; identical docs are exact dedup's job."""
     sh = simhash64(df, id_col, text_col)
     chunks = sh.select(
         F.col(id_col).alias("_id"), "simhash_hi", "simhash_lo",
@@ -206,6 +234,14 @@ def simhash_pairs(
             )
         ).alias("_chunk"),
     )
+    if max_band_size is not None:
+        hot = (
+            chunks.groupBy("_chunk")
+            .count()
+            .filter(F.col("count") > max_band_size)
+            .select("_chunk")
+        )
+        chunks = chunks.join(F.broadcast(hot), "_chunk", "left_anti")
     a = chunks.select(
         F.col("_id").alias("id_a"),
         F.col("simhash_hi").alias("hi_a"), F.col("simhash_lo").alias("lo_a"),
@@ -241,23 +277,45 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise Jaccard within a blocking group — the O(g²) baseline.
     Use only when groups are bounded (e.g. same host); at web scale prefer
-    minhash_pairs."""
+    minhash_pairs.
+
+    Plan shape: the O(g²) self-join carries (group, id, shingle-count) ONLY
+    — shingle arrays never ride through the pair blowup. Pairs that cannot
+    reach the threshold are pruned exactly by the size bound
+    jaccard = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|) before the arrays are
+    re-attached to the survivors for the exact computation."""
     sh = df.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).persist()  # both self-join sides read it; avoids recomputing shingles
-    a = sh.select(F.col("_g"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_g"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    ).persist()  # feeds the id-join and both re-attach sides; see release()
+    ids = sh.select("_g", "_id", F.size("_sh").alias("_n"))
+    a = ids.select(F.col("_g"), F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    b = ids.select(F.col("_g"), F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    cand = (
         a.join(b, on="_g")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(inter / union, 6))
+        # exact prune: jaccard ≤ min/max sizes < threshold → impossible
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double")
+        )
+        .select("_g", "id_a", "id_b")
+    )
+    arr = sh.select("_id", "_sh")
+    pairs = (
+        cand.join(arr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(arr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("_g").alias(group_col), "id_a", "id_b", "jaccard")
     )
+    out._rs_cached = [sh]  # caller releases via dedup.release(out)
+    return out
 
 
 # -------------------------------------------------------------- embedding

@@ -97,6 +97,35 @@ def _extract_batches(batches) -> Iterator:
         yield pd.DataFrame(out)
 
 
+def _size_str_to_bytes(v: str) -> int:
+    v = v.strip().lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            mult, v = m, v[:-1]
+            break
+    return int(float(v) * mult)
+
+
+def _estimate_scan_tasks(df: DataFrame) -> int:
+    """Metadata-only estimate of the scan's task count: input bytes /
+    spark.sql.files.maxPartitionBytes. Input bytes come from the optimizer's
+    statistics (file-source relations report file sizes there) — no RDD
+    materialization, no job. Unknown stats (the 8 EiB default of non-file
+    relations) → assume fine-grained, skip the extra exchange."""
+    spark = df.sparkSession
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        mpb = _size_str_to_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if size <= 0 or size >= (1 << 60):  # unknown / default-huge stats
+            return 1 << 30
+        return max(1, size // max(1, mpb))
+    except Exception:
+        return 1 << 30
+
+
 def extract_chunks(
     pages: DataFrame,
     num_partitions: int | None = None,
@@ -127,7 +156,7 @@ def extract_chunks(
     plan = with_partition_id(plan, num_partitions)
     do_shuffle = repartition
     if repartition == "auto":
-        do_shuffle = plan.rdd.getNumPartitions() < max(2, num_partitions // 2)
+        do_shuffle = _estimate_scan_tasks(plan) < max(2, num_partitions // 2)
     if do_shuffle:
         plan = partition_for_extract(plan, num_partitions)
     chunks = plan.mapInPandas(_extract_batches, schema=CHUNKS_SCHEMA)
@@ -146,6 +175,7 @@ def run_extraction_job(
     """Full resumable job: resume-filter → extract → write chunks (dynamic
     partition overwrite on partition_id) → append manifest."""
     from ragflow_spark.plans.manifest import (
+        check_resume_compatible,
         read_manifest,
         resume_filter,
         write_manifest,
@@ -162,6 +192,9 @@ def run_extraction_job(
         num_partitions,
     )
     manifest = read_manifest(spark, manifest_path)
+    # partition_id = pmod(xxhash64(url), num_partitions): resuming under a
+    # different modulus remaps ids → silent skips; refuse instead
+    check_resume_compatible(manifest, num_partitions)
     todo = resume_filter(staged, manifest)
     chunks = partition_for_extract(todo, num_partitions).mapInPandas(
         _extract_batches, schema=CHUNKS_SCHEMA
@@ -182,4 +215,5 @@ def run_extraction_job(
         written = spark.read.parquet(out_path).filter(
             F.col("partition_id").isin(todo_pids)
         )
-        write_manifest(written, manifest_path, attempt=attempt)
+        write_manifest(written, manifest_path, attempt=attempt,
+                       num_partitions=num_partitions)

@@ -118,51 +118,95 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 WINNOW_SCHEMA = "doc_id long, fingerprints array<long>"
 
+_WINNOW_B = 1_000_003
+_WINNOW_MOD = (1 << 61) - 1  # Mersenne prime → cheap vectorized mulmod
+
+
+def winnow_reference(s: str, k: int = 8, window: int = 4) -> list[int]:
+    """Scalar reference implementation (Schleimer et al., SIGMOD'03):
+    Rabin-Karp rolling hash over k-grams, leftmost-min per sliding window,
+    recorded when the min position moves. Kept as the semantics pin for the
+    vectorized path below (tests assert equality)."""
+    s = (s or "").lower()
+    if len(s) < k:
+        return []
+    h = 0
+    pw = pow(_WINNOW_B, k - 1, _WINNOW_MOD)
+    hashes = []
+    for i, ch in enumerate(s):
+        h = (h * _WINNOW_B + ord(ch)) % _WINNOW_MOD
+        if i >= k:
+            h = (h - ord(s[i - k]) * pw * _WINNOW_B) % _WINNOW_MOD
+        if i >= k - 1:
+            hashes.append(h)
+    out: list[int] = []
+    last = -1
+    for i in range(max(0, len(hashes) - window + 1)):
+        w = hashes[i:i + window]
+        m = min(w)
+        idx = i + w.index(m)
+        if idx != last:
+            out.append(m)
+            last = idx
+    return out
+
+
+def winnow_numpy(s: str, k: int = 8, window: int = 4) -> list[int]:
+    """Vectorized winnowing, bit-identical to ``winnow_reference``.
+
+    The k-gram hash is the direct form Σ_j code[m+j]·B^(k-1-j) mod M with
+    M = 2^61-1; products up to 2^82 don't fit uint64, so each constant
+    power is split pw = hi·2^31 + lo and the hi part's ·2^31 is reduced via
+    the Mersenne identity x·2^61 ≡ x (mod M). The window minimum uses
+    sliding_window_view; the "record when the leftmost-min position moves"
+    rule is exactly `argmin_pos[i] != argmin_pos[i-1]` because the scalar
+    loop's `last` always equals the previous window's min position."""
+    import numpy as np
+
+    s = (s or "").lower()
+    n = len(s)
+    if n < k:
+        return []
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    nh = n - k + 1
+    mod = np.uint64(_WINNOW_MOD)
+    acc = np.zeros(nh, dtype=np.uint64)
+    for j in range(k):
+        pw = pow(_WINNOW_B, k - 1 - j, _WINNOW_MOD)
+        pw_hi, pw_lo = pw >> 31, pw & ((1 << 31) - 1)
+        c = codes[j:j + nh]
+        t_lo = (c * np.uint64(pw_lo)) % mod          # < 2^52 pre-mod
+        y = c * np.uint64(pw_hi)                      # < 2^51
+        # y·2^31 mod M: y = y_hi·2^30 + y_lo → y_hi·2^61 + y_lo·2^31
+        #             ≡ y_hi + y_lo·2^31 (mod M), both addends < 2^61
+        t_hi = ((y >> np.uint64(30))
+                + ((y & np.uint64((1 << 30) - 1)) << np.uint64(31))) % mod
+        acc = (acc + t_lo + t_hi) % mod
+    if nh < window:
+        return []
+    win = np.lib.stride_tricks.sliding_window_view(acc, window)
+    mins = win.min(axis=1)
+    argpos = win.argmin(axis=1) + np.arange(len(mins))
+    mask = np.empty(len(mins), dtype=bool)
+    mask[0] = True
+    mask[1:] = argpos[1:] != argpos[:-1]
+    return mins[mask].astype(np.int64).tolist()
+
 
 def winnow_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): k-gram
-    rolling (Rabin-Karp) hashes, minimum per sliding window, deduplicated.
-    Sequential per doc → Arrow-batched mapInPandas; cross-doc axis stays
-    distributed."""
+    """Winnowing document fingerprints over an Arrow-batched mapInPandas
+    (per-doc work is a handful of numpy passes; the cross-doc axis is the
+    distributed one)."""
 
     def run(batches):
         import pandas as pd
 
-        B = 1_000_003
-        MOD = (1 << 61) - 1
-
-        def fps(text: str) -> list[int]:
-            s = (text or "").lower()
-            if len(s) < k:
-                return []
-            # rolling hash over k-grams
-            h = 0
-            pw = pow(B, k - 1, MOD)
-            hashes = []
-            for i, ch in enumerate(s):
-                h = (h * B + ord(ch)) % MOD
-                if i >= k:
-                    h = (h - ord(s[i - k]) * pw * B) % MOD
-                if i >= k - 1:
-                    hashes.append(h)
-            # winnow: min of each window, record when it changes
-            out = []
-            last = -1
-            for i in range(max(0, len(hashes) - window + 1)):
-                w = hashes[i:i + window]
-                m = min(w)
-                idx = i + w.index(m)
-                if idx != last:
-                    out.append(m)
-                    last = idx
-            return out
-
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "fingerprints": [fps(t) for t in pdf[text_col]],
+                "fingerprints": [winnow_numpy(t, k, window) for t in pdf[text_col]],
             })
 
     return df.select(id_col, text_col).mapInPandas(run, schema=WINNOW_SCHEMA)

@@ -28,12 +28,20 @@ from pyspark.sql import functions as F
 
 MANIFEST_SCHEMA = (
     "partition_id int, doc_count long, chunk_count long, bytes long, "
-    "content_hash string, status string, attempt int, ts timestamp"
+    "content_hash string, status string, attempt int, num_partitions int, "
+    "ts timestamp"
 )
 
 
-def build_manifest(chunks: DataFrame, attempt: int = 1) -> DataFrame:
-    """One row per partition_id over an extracted-chunk DataFrame."""
+def build_manifest(chunks: DataFrame, attempt: int = 1,
+                   num_partitions: int | None = None) -> DataFrame:
+    """One row per partition_id over an extracted-chunk DataFrame.
+
+    ``num_partitions`` is the modulus used by ``with_partition_id`` when the
+    chunks were produced. It is RECORDED in every row because partition_id =
+    pmod(xxhash64(url), num_partitions): resuming under a different modulus
+    would remap every id, silently skipping never-processed documents —
+    ``check_resume_compatible`` fails fast on that instead."""
     return (
         chunks.groupBy("partition_id")
         .agg(
@@ -46,12 +54,40 @@ def build_manifest(chunks: DataFrame, attempt: int = 1) -> DataFrame:
         )
         .withColumn("status", F.lit("done"))
         .withColumn("attempt", F.lit(attempt))
+        .withColumn(
+            "num_partitions",
+            F.lit(-1 if num_partitions is None else int(num_partitions)),
+        )
         .withColumn("ts", F.current_timestamp())
     )
 
 
-def write_manifest(chunks: DataFrame, path: str, attempt: int = 1) -> None:
-    build_manifest(chunks, attempt).write.mode("append").parquet(path)
+def write_manifest(chunks: DataFrame, path: str, attempt: int = 1,
+                   num_partitions: int | None = None) -> None:
+    build_manifest(chunks, attempt, num_partitions).write.mode(
+        "append").parquet(path)
+
+
+def check_resume_compatible(manifest: DataFrame | None,
+                            num_partitions: int) -> None:
+    """Fail fast when a prior manifest was written under a different
+    partition modulus (see build_manifest). Legacy manifests without the
+    column (or rows recorded as -1) are accepted for backward compat."""
+    if manifest is None or "num_partitions" not in manifest.columns:
+        return
+    prior = [
+        r.num_partitions
+        for r in manifest.select("num_partitions").distinct().collect()
+        if r.num_partitions is not None and r.num_partitions >= 0
+    ]
+    bad = [p for p in prior if p != num_partitions]
+    if bad:
+        raise ValueError(
+            f"manifest was written with num_partitions={sorted(set(bad))} "
+            f"but this run uses {num_partitions}; partition ids would remap "
+            "and resume would silently skip documents. Re-run with the "
+            "recorded value or start a fresh manifest path."
+        )
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:

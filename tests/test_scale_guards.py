@@ -1,0 +1,142 @@
+"""Round-2 scale/correctness guards: winnow vectorization parity, default-on
+hot-band caps in the LSH pair joins, manifest partition-modulus validation,
+indirect /Length PDF streams, document-absolute page tags under from_page."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_spark.core import pdf_mini
+from ragflow_spark.core.pdf_layout import layout_parse
+from ragflow_spark.operators import dedup
+from ragflow_spark.operators.textstats import winnow_numpy, winnow_reference
+
+
+# --------------------------------------------------- winnowing parity
+
+@pytest.mark.parametrize("text", [
+    "",
+    "short",
+    "exactly8",
+    "the quick brown fox jumps over the lazy dog " * 5,
+    "UPPER and lower MiXeD with   spaces\nand\nnewlines " * 3,
+    "数据查询引擎分区过滤合并文档提取内容" * 10,           # CJK (codes > 255)
+    "emoji 🙂 and accents éàü " * 8,
+    "a" * 7,    # len == k-1 → no k-grams
+    "a" * 8,    # one k-gram, fewer hashes than window
+    "a" * 11,   # exactly window hashes
+    "abcdefgh" * 4,
+])
+def test_winnow_numpy_matches_reference(text):
+    assert winnow_numpy(text) == winnow_reference(text)
+
+
+def test_winnow_numpy_matches_reference_other_params():
+    s = "some repeated content some repeated content tail"
+    for k, w in [(4, 3), (5, 8), (12, 2)]:
+        assert winnow_numpy(s, k, w) == winnow_reference(s, k, w)
+
+
+# ------------------------------------------------- hot-band guards
+
+@pytest.fixture(scope="module")
+def boilerplate_df(spark):
+    """1 000 docs sharing identical boilerplate (degenerate LSH bands) plus
+    a genuine near-dup pair."""
+    boiler = "all rights reserved navigation home about contact terms"
+    rows = [(i, f"{boiler}") for i in range(1000)]
+    rows.append((2000, "completely unique text alpha beta gamma delta one"))
+    rows.append((2001, "completely unique text alpha beta gamma delta two"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_band_guard_bounds_candidates(boilerplate_df):
+    # identical docs share every band → one 1000-doc band per band-no;
+    # the guard drops them (exact dedup owns identical content) while the
+    # genuine near-dup pair (distinct bands, small) survives
+    pairs = dedup.minhash_pairs(
+        boilerplate_df, "doc_id", "text",
+        jaccard_threshold=0.5, max_band_size=100,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    dedup.release(pairs)
+    assert (2000, 2001) in got
+    assert all(a >= 2000 for a, _ in got), "degenerate band leaked k² pairs"
+
+    # unguarded: the same call emits ~500k pairs — assert the guard is the
+    # default by checking the signature default
+    import inspect
+
+    sig = inspect.signature(dedup.minhash_pairs)
+    assert sig.parameters["max_band_size"].default == dedup.DEFAULT_MAX_BAND_SIZE
+    assert dedup.DEFAULT_MAX_BAND_SIZE is not None
+
+
+def test_simhash_hot_band_guard_bounds_candidates(boilerplate_df):
+    pairs = dedup.simhash_pairs(
+        boilerplate_df, "doc_id", "text", max_hamming=6, max_band_size=100,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert all(a >= 2000 for a, _ in got), "degenerate chunk band leaked"
+    import inspect
+
+    sig = inspect.signature(dedup.simhash_pairs)
+    assert sig.parameters["max_band_size"].default == dedup.DEFAULT_MAX_BAND_SIZE
+
+
+def test_ngram_pairs_id_only_join_same_results(spark):
+    rows = [
+        (1, "g1", "alpha beta gamma delta"),
+        (2, "g1", "alpha beta gamma epsilon"),
+        (3, "g1", "totally different words here now"),
+        (4, "g2", "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "src",
+                                    threshold=0.5, shingle_n=1)
+    got = {(r.src, r.id_a, r.id_b, r.jaccard) for r in out.collect()}
+    dedup.release(out)
+    assert got == {("g1", 1, 2, 0.6)}
+
+
+# ------------------------------------------- manifest modulus guard
+
+def test_resume_rejects_different_num_partitions(spark, tmpdir_path):
+    import os
+
+    from ragflow_spark.operators.extract import run_extraction_job
+    from ragflow_spark.sources import pages as pages_src
+
+    pages = pages_src.generate_pages_df(spark, 24, parallelism=2)
+    out = os.path.join(tmpdir_path, "chunks")
+    man = os.path.join(tmpdir_path, "manifest")
+    run_extraction_job(pages, out, man, num_partitions=8)
+    # same modulus resumes fine (no-op: everything manifested)
+    run_extraction_job(pages, out, man, num_partitions=8, attempt=2)
+    with pytest.raises(ValueError, match="num_partitions"):
+        run_extraction_job(pages, out, man, num_partitions=16, attempt=3)
+
+
+# ------------------------------------------------- PDF edge cases
+
+def test_indirect_length_stream_falls_back_to_endstream_scan():
+    blob = pdf_mini.build_simple_pdf([["hello world", "second line"]],
+                                     compress=False)
+    # rewrite the direct /Length N into an indirect '/Length 99 0 R'
+    patched = re.sub(rb"/Length \d+ >>", b"/Length 99 0 R >>", blob, count=1)
+    assert patched != blob
+    pages = pdf_mini.extract_text_lines(patched)
+    assert pages[0] == ["hello world", "second line"]
+
+
+def test_layout_parse_from_page_tags_are_document_absolute():
+    pages = [[f"page {p} line {i}" for i in range(3)] for p in range(1, 4)]
+    blob = pdf_mini.build_simple_pdf(pages)
+    secs = layout_parse(blob, from_page=1, to_page=3)
+    tag_pages = {
+        int(m.group(1))
+        for _text, tag in secs
+        for m in [re.match(r"@@(\d+)\t", tag)] if m
+    }
+    assert tag_pages and tag_pages.issubset({2, 3}), tag_pages
