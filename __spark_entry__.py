@@ -189,6 +189,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return column_type_votes(li, ["a", "b", "c", "d"])
 
+    # -------- TSR-lite end-to-end gate: PDFs are SYNTHESIZED from lineitem
+    # rows, parsed back by the distributed table-structure tier, and the
+    # oracle reconstructs the expected cells from lineitem directly —
+    # parse(render(data)) == data.
+    def pdf_table_cells(spark, sf):
+        from ragflow_spark.core import pdf_mini
+        from ragflow_spark.operators.tables import pdf_table_cells as op
+
+        rows = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_shipdate", "l_returnflag")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(40)
+            .collect()
+        )
+        xcols = (72.0, 190.0, 310.0, 430.0, 530.0)
+        header = ("orderkey", "linenumber", "price", "shipdate", "flag")
+        blobs = []
+        for d in range(4):
+            items = [(72.0, 700.0, f"Table {d + 1}: lineitem sample")]
+            y = 670.0
+            for c, x in zip(header, xcols):
+                items.append((x, y, c))
+            for r in rows[d * 10:(d + 1) * 10]:
+                y -= 15.0
+                vals = (
+                    str(r.l_orderkey), str(r.l_linenumber),
+                    f"{r.l_extendedprice:.2f}",
+                    r.l_shipdate.strftime("%Y-%m-%d"), r.l_returnflag,
+                )
+                for c, x in zip(vals, xcols):
+                    items.append((x, y, c))
+            blobs.append((d, pdf_mini.build_positioned_pdf([items])))
+        docs = spark.createDataFrame(blobs, "doc_no int, pdf binary")
+        return op(docs, "doc_no", "pdf")
+
     # -------- hyperplane LSH bucketing (similarity scale path)
     def emb_hyperplane_lsh(spark, sf):
         from ragflow_spark.operators.similarity import (
@@ -359,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cluster_sizes": emb_cluster_sizes,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "table_typing": table_typing,
+        "pdf_table_cells": pdf_table_cells,
         "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
@@ -769,6 +807,36 @@ def oracle_sql() -> dict[str, str]:
             from assigned where rn = 1 group by cluster_id
         """,
         "table_typing": _table_typing_oracle(),
+        "pdf_table_cells": """
+            with src as (
+              select row_number() over (order by l_orderkey, l_linenumber) - 1
+                       as idx,
+                     l_orderkey, l_linenumber, l_extendedprice, l_shipdate,
+                     l_returnflag
+              from (select * from lineitem
+                    order by l_orderkey, l_linenumber limit 40)),
+            hdr as (
+              select cast(t.d as int) as doc_no, 1 as table_no,
+                     printf('Table %d: lineitem sample', t.d + 1) as caption,
+                     0 as rn, v.cn, v.cell
+              from range(4) t(d),
+                   (values (0, 'orderkey'), (1, 'linenumber'), (2, 'price'),
+                           (3, 'shipdate'), (4, 'flag')) v(cn, cell)),
+            cells as (
+              select cast(idx // 10 as int) as doc_no, 1 as table_no,
+                     printf('Table %d: lineitem sample', idx // 10 + 1)
+                       as caption,
+                     cast(idx % 10 + 1 as int) as rn, v.cn, v.cell
+              from src,
+                   lateral (values
+                     (0, l_orderkey::varchar),
+                     (1, l_linenumber::varchar),
+                     (2, printf('%.2f', l_extendedprice)),
+                     (3, strftime(l_shipdate, '%Y-%m-%d')),
+                     (4, l_returnflag)) v(cn, cell))
+            select doc_no, table_no, caption, rn, cast(cn as int) as cn, cell
+            from (select * from hdr union all select * from cells)
+        """,
         "emb_hyperplane_lsh": _hyperplane_oracle(),
         "emb_near_dup_lsh": _near_dup_lsh_oracle(),
         "events_hourly": """

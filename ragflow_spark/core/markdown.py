@@ -67,6 +67,33 @@ def parse_markdown_bytes(
     return parse_markdown(decode_bytes(blob), chunk_token_num)
 
 
+def render_table_html(table_md: str) -> str:
+    """HTML rendering of an extracted markdown table, mirroring the output
+    shape of the ``markdown`` package's tables extension the reference runs
+    it through (rag/app/naive.py:180-181: one tag per line, thead for the
+    header row, tbody for data rows). That package is absent here, so the
+    format is reproduced directly; alignment colons are ignored (the
+    fixtures never use them)."""
+    rows = [r.strip() for r in table_md.strip().split("\n") if r.strip()]
+    if len(rows) < 2:
+        return table_md.strip()
+
+    def cells(row: str) -> list[str]:
+        return [c.strip() for c in row.strip().strip("|").split("|")]
+
+    header = cells(rows[0])
+    out = ["<table>", "<thead>", "<tr>"]
+    out += [f"<th>{h}</th>" for h in header]
+    out += ["</tr>", "</thead>", "<tbody>"]
+    for row in rows[2:]:  # row 1 is the ---|--- separator
+        vals = cells(row)
+        out.append("<tr>")
+        out += [f"<td>{v}</td>" for v in vals]
+        out.append("</tr>")
+    out += ["</tbody>", "</table>"]
+    return "\n".join(out)
+
+
 def render_table_text(table_md: str) -> str:
     """Plain-text rendering of an extracted markdown table. The reference
     renders tables to HTML via the ``markdown`` package (rag/app/naive.py:

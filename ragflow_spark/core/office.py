@@ -218,6 +218,64 @@ def parse_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
     return sections, tables
 
 
+def docx_tables_html(blob: bytes) -> list[str]:
+    """DOCX tables as HTML strings — the *naive* template's Docx contract
+    (rag/app/naive.py:104-122): one ``<table>`` per table, consecutive
+    equal-text cells collapse into a colspan. The reference's loop advances
+    ``i`` to the LAST equal cell seen while counting every later equal cell
+    (even non-adjacent); that quirk is kept verbatim."""
+    zf = zipfile.ZipFile(BytesIO(blob))
+    root = ET.fromstring(zf.read("word/document.xml"))
+    body = root.find(f"{_W}body")
+    out: list[str] = []
+    if body is None:
+        return out
+    for el in body:
+        if el.tag != f"{_W}tbl":
+            continue
+        html = "<table>"
+        for tr in el.iter(f"{_W}tr"):
+            cells = [
+                "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+                for tc in tr.iter(f"{_W}tc")
+            ]
+            html += "<tr>"
+            i = 0
+            while i < len(cells):
+                span = 1
+                c = cells[i]
+                for j in range(i + 1, len(cells)):
+                    if c == cells[j]:
+                        span += 1
+                        i = j
+                i += 1
+                html += (
+                    f"<td>{c}</td>" if span == 1
+                    else f"<td colspan='{span}'>{c}</td>"
+                )
+            html += "</tr>"
+        html += "</table>"
+        out.append(html)
+    return out
+
+
+def parse_docx_caption_pairs(secs: list[tuple[str, str]]
+                             ) -> list[tuple[str, str]]:
+    """W7 (rag/app/naive.py:76-86): a 'Caption'-styled paragraph pairs with
+    the element right before it. Without an image pipeline the pairing is
+    textual — the caption line is appended onto the preceding section so
+    chunking keeps them together (the reference attaches the preceding
+    image to the caption line for the same do-not-separate effect)."""
+    out: list[tuple[str, str]] = []
+    for text, style in secs:
+        if style == "Caption" and out:
+            prev_text, prev_style = out[-1]
+            out[-1] = (prev_text + "\n" + text, prev_style)
+            continue
+        out.append((text, style))
+    return out
+
+
 def build_simple_docx(paragraphs: list[tuple[str, str]],
                       tables: list[list[list[str]]] | None = None) -> bytes:
     """Deterministic minimal DOCX writer: (text, style) paragraphs + tables."""

@@ -227,15 +227,22 @@ def layout_parse(
     blob: bytes, lang: str = "English",
     from_page: int = 0, to_page: int = 100000,
     two_column: bool = False,
-) -> list[tuple[str, str]]:
+    return_tables: bool = False,
+):
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
     PDFs: boxes → reading-order sort → W3 → W4 → [(text, position_tag)].
     Documents beyond TASK_PAGE_SIZE pages are processed in page windows,
-    mirroring the reference's page-range task splitting (SURVEY §2.5 P1)."""
+    mirroring the reference's page-range task splitting (SURVEY §2.5 P1).
+
+    ``return_tables=True`` additionally runs the TSR-lite tier (J3/J4/J5 +
+    X9 render, the heuristic analog of ``_extract_table_figure``,
+    pdf_parser.py:625-817) and returns ``(sections, tables)`` where each
+    table is ``(html_text, position_tag)`` — HTML because that is the naive
+    /paper/book PDF contract (``return_html=True``, rag/app/naive.py:148)."""
     all_pages = pdf_mini.extract_boxes(blob)
     all_pages = all_pages[from_page:to_page]
     if not all_pages:
-        return []
+        return ([], []) if return_tables else []
     # F3 + F4/A6: garbage lines and cross-page repeated header/footer chrome
     all_pages = [
         [b for b in page if not is_garbage_line(b["text"])]
@@ -244,22 +251,24 @@ def layout_parse(
     all_pages = drop_repeated_chrome(all_pages)
     # tags stay document-absolute: window offset + the from_page slice base
     # (the reference's _line_tag adds page_from, pdf_parser.py:843-846)
-    if len(all_pages) > TASK_PAGE_SIZE:
-        out: list[tuple[str, str]] = []
-        for w in range(0, len(all_pages), TASK_PAGE_SIZE):
-            out.extend(
-                _layout_parse_window(
-                    all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
-                    w + from_page,
-                )
-            )
-        return out
-    return _layout_parse_window(all_pages, lang, two_column, from_page)
+    out: list[tuple[str, str]] = []
+    tables: list[tuple[str, str]] = []
+    for w in range(0, len(all_pages), TASK_PAGE_SIZE):
+        secs, tbls = _layout_parse_window(
+            all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
+            w + from_page, extract_tables=return_tables,
+        )
+        out.extend(secs)
+        tables.extend(tbls)
+    if return_tables:
+        return out, tables
+    return out
 
 
 def _layout_parse_window(
-    pages: list[list[dict]], lang: str, two_column: bool, page_offset: int
-) -> list[tuple[str, str]]:
+    pages: list[list[dict]], lang: str, two_column: bool, page_offset: int,
+    extract_tables: bool = False,
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     mh = mean_heights(pages)
     mw = []
     for page in pages:
@@ -275,8 +284,9 @@ def _layout_parse_window(
     cum = [0.0]
     for _ in pages:
         cum.append(cum[-1] + page_h)
-    boxes: list[dict] = []
+    per_page: list[list[dict]] = []
     for pn, page in enumerate(pages):
+        pb = []
         for b in sort_y_first(page, mh[pn] / 3):
             b["layoutno"] = "text-0"
             b["top"] += cum[pn]
@@ -284,7 +294,38 @@ def _layout_parse_window(
             # window-local 1-based page for mean_height/cum lookups; the
             # global page number is restored on the tag below
             b["page_number"] = pn + 1
-            boxes.append(b)
+            pb.append(b)
+        per_page.append(pb)
+
+    tables_out: list[tuple[str, str]] = []
+    if extract_tables:
+        from ragflow_spark.core import tsr_lite
+
+        regions: list[list[dict]] = []
+        boxes = []
+        for pb in per_page:
+            regs, rest = tsr_lite.detect_table_regions(pb)
+            regions.extend(regs)
+            boxes.extend(rest)
+        regions = tsr_lite.merge_cross_page_tables(regions, mh)
+        boxes = tsr_lite.pair_captions(regions, boxes)
+        eng = lang.lower() == "english"
+        for bxs in regions:
+            html_txt = tsr_lite.construct_table(list(bxs), eng, html=True)
+            if not html_txt:
+                continue
+            pns = sorted({b["page_number"] for b in bxs})
+            off = cum[pns[0] - 1]
+            tag = line_tag(
+                pns[0] + page_offset,
+                min(b["x0"] for b in bxs), max(b["x1"] for b in bxs),
+                min(b["top"] for b in bxs) - off,
+                max(b["bottom"] for b in bxs) - off,
+                extra_pages=[p + page_offset for p in pns[1:]],
+            )
+            tables_out.append((html_txt, tag))
+    else:
+        boxes = [b for pb in per_page for b in pb]
     boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
     if two_column:
         # paper pipeline (paper.py:49-58): column detection + X-first
@@ -302,4 +343,4 @@ def _layout_parse_window(
             b["x0"], b["x1"], b["top"] - off, b["bottom"] - off,
         )
         sections.append((b["text"], tag))
-    return sections
+    return sections, tables_out

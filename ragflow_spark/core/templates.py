@@ -67,8 +67,15 @@ def _finish(chunks: list[str], title: str = "") -> list[ChunkOut]:
 
 
 def sections_for(blob: bytes, fmt: str, cfg: dict,
-                 pdf_layout: bool = True, lang: str = "English") -> tuple[list, str]:
-    """Format dispatch (rag/app/naive.py:209-289) → (sections, title).
+                 pdf_layout: bool = True, lang: str = "English"
+                 ) -> tuple[list, list[str], str]:
+    """Format dispatch (rag/app/naive.py:209-289) → (sections, tables,
+    title). ``tables`` carries the *naive-template contract* renders —
+    standalone chunk payloads emitted BEFORE the merged text chunks
+    (``res = tokenize_table(tbls, …)`` then ``res.extend(tokenize_chunks)``,
+    naive.py:214-231,261): HTML strings for md (markdown-pkg shape,
+    naive.py:180-181), docx (colspan form, naive.py:104-122) and the PDF
+    TSR-lite tier (position tag riding inline).
 
     ``pdf_layout`` mirrors the reference's ``layout_recognize`` switch
     (naive.py:232-234): True → the heuristic layout path with position tags
@@ -77,45 +84,47 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
     if fmt in ("html", "htm"):
         secs = html_extract.parse_html_bytes(blob)
         title = secs[0] if secs else ""
-        return [(s, "") for s in secs if s], title
+        return [(s, "") for s in secs if s], [], title
     if fmt in ("txt", "text", "code"):
         return txt.parse_txt_bytes(
             blob, token_num, cfg.get("delimiter", txt.DEFAULT_DELIMITER)
-        ), ""
+        ), [], ""
     if fmt in ("md", "markdown"):
         sections, tables = markdown.parse_markdown_bytes(blob, token_num)
-        sections = list(sections)
-        for t in tables:
-            rendered = markdown.render_table_text(t)
-            if rendered:
-                sections.append((rendered, ""))
-        return sections, ""
+        rendered = [markdown.render_table_html(t) for t in tables]
+        return list(sections), [t for t in rendered if t], ""
     if fmt == "json":
         secs = jsonsplit.JsonSplitter(token_num).split_text_bytes(blob)
-        return [(s, "") for s in secs if s], ""
+        return [(s, "") for s in secs if s], [], ""
     if fmt == "pdf":
         if pdf_layout:
             from ragflow_spark.core.pdf_layout import layout_parse
 
-            return layout_parse(blob, lang), ""
-        return pdf_mini.plain_parse(blob), ""
+            secs, tbls = layout_parse(blob, lang, return_tables=True)
+            # table chunks carry their position tag inline; _finish strips
+            # it into chunk_text and parses the spans
+            return secs, [html + tag for html, tag in tbls], ""
+        return pdf_mini.plain_parse(blob), [], ""
     if fmt in ("xlsx", "xls"):
         from ragflow_spark.core import office
 
         if cfg.get("html4excel"):
-            return [(s, "") for s in office.xlsx_to_html_chunks(blob, 12) if s], ""
-        return [(s, "") for s in office.parse_xlsx(blob) if s], ""
+            return [(s, "") for s in office.xlsx_to_html_chunks(blob, 12) if s], [], ""
+        return [(s, "") for s in office.parse_xlsx(blob) if s], [], ""
     if fmt in ("pptx", "ppt"):
         from ragflow_spark.core import office
 
-        return [(s, "") for s in office.parse_pptx(blob) if s], ""
+        return [(s, "") for s in office.parse_pptx(blob) if s], [], ""
     if fmt == "docx":
         from ragflow_spark.core import office
 
-        secs, tables = office.parse_docx(blob)
-        out = [(t, "") for t, _style in secs if t]
-        out.extend((t, "") for t in tables if t)
-        return out, ""
+        secs, _row_tables = office.parse_docx(blob)
+        secs = office.parse_docx_caption_pairs(secs)
+        return (
+            [(t, "") for t, _style in secs if t],
+            [t for t in office.docx_tables_html(blob) if t],
+            "",
+        )
     raise NotImplementedError(f"format not supported yet: {fmt}")
 
 
@@ -124,14 +133,17 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
 
 def chunk_naive(blob: bytes, fmt: str, lang: str = "English",
                 cfg: dict | None = None) -> list[ChunkOut]:
+    """Table renders become standalone chunks BEFORE the merged text chunks
+    (``res = tokenize_table(tbls, …); res.extend(tokenize_chunks(…))``,
+    rag/app/naive.py:214-231,261-262)."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
-    sections, title = sections_for(
+    sections, tables, title = sections_for(
         blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True), lang=lang
     )
     chunks = naive_merge(
         sections, int(cfg["chunk_token_num"]), cfg.get("delimiter", "\n!?。；！？")
     )
-    return _finish(chunks, title)
+    return _finish([*tables, *chunks], title)
 
 
 def chunk_book(blob: bytes, fmt: str, lang: str = "English",
@@ -142,13 +154,28 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
     the vote over all sections is the vote the sample estimates)."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
     title = ""
+    table_chunks: list[str] = []
     if fmt in ("txt", "text"):
         # book's txt branch splits raw lines, no token pre-merge
         # (rag/app/book.py:90-93)
         raw = decode_bytes(blob)
         sections = [(ln, "") for ln in raw.split("\n") if ln]
+    elif fmt == "docx":
+        # book's docx path uses the deepdoc DocxParser row-line form, batches
+        # of 10 joined with the language delimiter (book.py:71-80 +
+        # tokenize_table's rows branch, rag/nlp/__init__.py:280-287)
+        from ragflow_spark.core import office
+
+        secs, row_tables = office.parse_docx(blob)
+        secs = office.parse_docx_caption_pairs(secs)
+        sections = [(t, "") for t, _style in secs if t]
+        de = "; " if lang.lower() == "english" else "； "
+        table_chunks = [
+            de.join(row_tables[i:i + 10])
+            for i in range(0, len(row_tables), 10)
+        ]
     else:
-        sections, title = sections_for(
+        sections, table_chunks, title = sections_for(
             blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True),
             lang=lang,
         )
@@ -169,7 +196,8 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
         chunks = naive_merge(
             split_pairs, cfg.get("chunk_token_num_book", 256), "\n。；！？"
         )
-    return _finish(chunks, title)
+    # tables first (book.py:139: res = tokenize_table before the merge)
+    return _finish([*table_chunks, *chunks], title)
 
 
 def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
@@ -177,6 +205,7 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
     """rag/app/paper.py:131-199, PlainParser branch (layout_recognize=False):
     pivot on the most frequent title level, merge runs between pivots."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
+    table_chunks: list[str] = []
     if fmt in ("txt", "text"):
         # paper expects PlainParser-shaped sections (one line each,
         # paper.py:140-146); for txt input that is a raw line split
@@ -184,14 +213,18 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         sections, title = [(ln, "") for ln in raw.split("\n") if ln], ""
     elif fmt == "pdf" and cfg.get("layout_recognize", True):
         # layout branch (paper.py:148-150): two-column detection + X-first
-        # reorder; tags ride inside the text exactly as paper.py:125-127
+        # reorder; tags ride inside the text exactly as paper.py:125-127;
+        # tables become standalone chunks first (paper.py:162)
         from ragflow_spark.core.pdf_layout import layout_parse
 
-        secs = layout_parse(blob, lang, two_column=True)
+        secs, tbls = layout_parse(blob, lang, two_column=True,
+                                  return_tables=True)
         sections, title = [(t + tag, "") for t, tag in secs], ""
+        table_chunks = [html + tag for html, tag in tbls]
     else:
-        # PlainParser branch (paper.py:139-146)
-        sections, title = sections_for(blob, fmt, cfg, pdf_layout=False)
+        # PlainParser branch (paper.py:139-146): no table tier
+        sections, _tables, title = sections_for(blob, fmt, cfg,
+                                                pdf_layout=False)
     bull = bullets_category([t for t, _ in sections])
     most_level, levels = title_frequency(bull, sections)
     sec_ids = []
@@ -209,16 +242,19 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
                 continue
         chunks.append(text)
         last_sid = sec_id
-    return _finish(chunks, title)
+    return _finish([*table_chunks, *chunks], title)
 
 
 def chunk_one(blob: bytes, fmt: str, lang: str = "English",
               cfg: dict | None = None) -> list[ChunkOut]:
-    """rag/app/one.py:59-126 — the whole document becomes a single chunk
-    (sections joined with newlines)."""
+    """rag/app/one.py:59-126 — the whole document becomes a single chunk;
+    table renders flow INTO the joined text (one.py:51-55 appends table rows
+    into sections; position-sort approximated by appending after the text)."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
-    sections, title = sections_for(blob, fmt, cfg, lang=lang)
-    joined = "\n".join(t for t, _ in sections if t)
+    sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
+    joined = "\n".join(
+        [t for t, _ in sections if t] + [t for t in tables if t]
+    )
     return _finish([joined] if joined else [], title)
 
 
@@ -308,7 +344,10 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
     if fmt in ("txt", "text"):
         sections = [(ln, "") for ln in decode_bytes(blob).split("\n") if ln]
     else:
-        sections, _title = sections_for(blob, fmt, cfg, lang=lang)
+        # laws reads paragraphs only — tables are dropped (rag/app/laws.py
+        # has no tokenize_table call; its docx path iterates Document
+        # paragraphs exclusively, laws.py:36-53)
+        sections, _tables, _title = sections_for(blob, fmt, cfg, lang=lang)
         sections = [(t, o) for t, o in sections if t]
     remove_contents_table(sections, eng)
     make_colon_as_title(sections)

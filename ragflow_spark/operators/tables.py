@@ -85,3 +85,49 @@ def table_rows_to_text(df: DataFrame, cols: list[str] | None = None,
         for c in cols
     ]
     return df.withColumn("row_text", F.concat_ws(sep, *parts))
+
+
+# ------------------------------------------------------ TSR-lite operator
+
+PDF_TABLE_CELLS_SCHEMA = (
+    "doc_no int, table_no int, caption string, rn int, cn int, cell string"
+)
+
+
+def pdf_table_cells(df: DataFrame, id_col: str = "doc_no",
+                    blob_col: str = "pdf") -> DataFrame:
+    """Distributed TSR-lite over a binary PDF column: one output row per
+    recovered table cell (J3 grid inference + J4 caption pairing,
+    ragflow_spark.core.tsr_lite; reference semantics from
+    deepdoc/vision/table_structure_recognizer.py:133-345 and
+    deepdoc/parser/pdf_parser.py:691-738). Arrow-batched mapInPandas — the
+    per-document work is sequential, the document axis is distributed."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ragflow_spark.core.tsr_lite import pdf_tables_cells
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in
+                ("doc_no", "table_no", "caption", "rn", "cn", "cell")
+            }
+            for r in pdf.itertuples():
+                blob = bytes(getattr(r, blob_col) or b"")
+                for tno, (cap, grid) in enumerate(pdf_tables_cells(blob)):
+                    for rn, row in enumerate(grid):
+                        for cn, cell in enumerate(row):
+                            if not cell:
+                                continue
+                            out["doc_no"].append(getattr(r, id_col))
+                            out["table_no"].append(tno + 1)
+                            out["caption"].append(cap)
+                            out["rn"].append(rn)
+                            out["cn"].append(cn)
+                            out["cell"].append(cell)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema=PDF_TABLE_CELLS_SCHEMA
+    )

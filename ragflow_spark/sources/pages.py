@@ -213,7 +213,30 @@ def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
             page = []
     if page:
         pages.append(page)
-    return pdf_mini.build_simple_pdf(pages or [[""]])
+    pages = pages or [[""]]
+    if rng.random() >= 0.5:
+        return pdf_mini.build_simple_pdf(pages)
+    # ~half the PDFs carry a captioned table page to exercise the TSR-lite
+    # tier (grid inference, caption pairing, HTML table chunks)
+    pos_pages = []
+    for lines in pages:
+        items, y = [], 770.0
+        for ln in lines:
+            items.append((72.0, y, ln))
+            y -= 13.0
+        pos_pages.append(items)
+    items = [(72.0, 700.0, f"Table 1: metrics for run {rng.randint(1, 99)}")]
+    xcols = (72.0, 200.0, 330.0, 460.0)
+    y = 670.0
+    for c, x in zip(("metric", "value", "unit", "note"), xcols):
+        items.append((x, y, c))
+    for r in range(rng.randint(3, 8)):
+        y -= 15.0
+        row = (f"m{r}", str(rng.randint(0, 9999)), "ms", f"sample {r}")
+        for c, x in zip(row, xcols):
+            items.append((x, y, c))
+    pos_pages.append(items)
+    return pdf_mini.build_positioned_pdf(pos_pages)
 
 
 def make_doc(doc_id: int, profile: str = "mixed") -> dict:

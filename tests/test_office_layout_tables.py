@@ -215,8 +215,17 @@ def test_docx_parse_and_templates():
     assert secs[0] == ("Chapter I", "Heading 1")
     assert tbls == ["k：x; v：1"]
     naive = run_template("naive", blob, "docx")
-    assert naive and "Body text" in naive[0].chunk_text
+    # naive docx: HTML table chunks come FIRST (rag/app/naive.py:214 —
+    # res = tokenize_table before the merged text chunks), colspan form
+    assert naive[0].chunk_text == (
+        "<table><tr><td>k</td><td>v</td></tr>"
+        "<tr><td>x</td><td>1</td></tr></table>"
+    )
+    assert "Body text" in naive[1].chunk_text
     book = run_template("book", blob, "docx")
+    # book docx: natural-language row lines, batched (tokenize_table rows
+    # branch) — also ahead of the merged chunks
+    assert book[0].chunk_text == "k：x; v：1"
     assert any("Chapter I" in c.chunk_text and "first chapter" in c.chunk_text
                for c in book)
 
