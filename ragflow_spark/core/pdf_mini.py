@@ -39,73 +39,21 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_simple_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def build_simple_pdf(pages: list[list[str]], compress: bool = True,
+                     outlines: list[tuple[str, int]] | None = None) -> bytes:
     """Deterministic PDF with one Helvetica text column per page; each list
-    entry becomes one text line (one ``Tj`` operator)."""
-    objects: list[bytes] = []
-
-    def add(obj: bytes) -> int:
-        objects.append(obj)
-        return len(objects)  # 1-based object number
-
-    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-
-    content_nums = []
+    entry becomes one text line (one ``Tj`` operator). ``outlines`` is an
+    optional bookmark list of (title, depth) pairs serialized as a real
+    /Outlines tree (First/Next/Parent links)."""
+    content_pages = []
     for lines in pages:
         ops = ["BT", "/F1 11 Tf", "1 0 0 1 72 770 Tm", "13 TL"]
         for ln in lines:
             ops.append(f"({_esc(ln)}) Tj")
             ops.append("T*")
         ops.append("ET")
-        data = "\n".join(ops).encode("latin-1", errors="replace")
-        if compress:
-            comp = zlib.compress(data, 9)
-            stream = (
-                b"<< /Length " + str(len(comp)).encode()
-                + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
-            )
-        else:
-            stream = (
-                b"<< /Length " + str(len(data)).encode()
-                + b" >>\nstream\n" + data + b"\nendstream"
-            )
-        content_nums.append(add(stream))
-
-    page_nums = []
-    pages_num_placeholder = len(objects) + len(pages) + 1
-    for cn in content_nums:
-        page_nums.append(
-            add(
-                (
-                    f"<< /Type /Page /Parent {pages_num_placeholder} 0 R "
-                    f"/MediaBox [0 0 612 792] "
-                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-                    f"/Contents {cn} 0 R >>"
-                ).encode()
-            )
-        )
-    kids = " ".join(f"{n} 0 R" for n in page_nums)
-    pages_num = add(
-        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
-    )
-    assert pages_num == pages_num_placeholder
-    catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
-
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for i, obj in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objects) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
-    return bytes(out)
+        content_pages.append(ops)
+    return _assemble_pdf(content_pages, compress, outlines)
 
 
 def build_positioned_pdf(pages: list[list[tuple[float, float, str]]],
@@ -124,7 +72,8 @@ def build_positioned_pdf(pages: list[list[tuple[float, float, str]]],
     return _assemble_pdf(content_pages, compress)
 
 
-def _assemble_pdf(content_pages: list[list[str]], compress: bool) -> bytes:
+def _assemble_pdf(content_pages: list[list[str]], compress: bool,
+                  outlines: list[tuple[str, int]] | None = None) -> bytes:
     objects: list[bytes] = []
 
     def add(obj: bytes) -> int:
@@ -161,7 +110,48 @@ def _assemble_pdf(content_pages: list[list[str]], compress: bool) -> bytes:
         f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode()
     )
     assert pages_num == pages_num_placeholder
-    catalog_num = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+
+    outline_ref = ""
+    if outlines:
+        # numbers are pre-computed because the tree links are circular
+        root_num = len(objects) + 1
+        item_nums = [root_num + 1 + i for i in range(len(outlines))]
+        parent = []
+        stack: list[int] = []
+        for i, (_t, d) in enumerate(outlines):
+            while stack and outlines[stack[-1]][1] >= d:
+                stack.pop()
+            parent.append(stack[-1] if stack else -1)
+            stack.append(i)
+        children: dict[int, list[int]] = {}
+        for i, p in enumerate(parent):
+            children.setdefault(p, []).append(i)
+        top = children.get(-1, [])
+        add((
+            f"<< /Type /Outlines /First {item_nums[top[0]]} 0 R "
+            f"/Last {item_nums[top[-1]]} 0 R /Count {len(outlines)} >>"
+        ).encode())
+        for i, (title, _d) in enumerate(outlines):
+            sibs = children.get(parent[i], [])
+            k = sibs.index(i)
+            parts = [f"/Title ({_esc(title)})"]
+            parts.append(
+                f"/Parent {root_num if parent[i] == -1 else item_nums[parent[i]]} 0 R"
+            )
+            if k > 0:
+                parts.append(f"/Prev {item_nums[sibs[k - 1]]} 0 R")
+            if k + 1 < len(sibs):
+                parts.append(f"/Next {item_nums[sibs[k + 1]]} 0 R")
+            kids_i = children.get(i, [])
+            if kids_i:
+                parts.append(f"/First {item_nums[kids_i[0]]} 0 R")
+                parts.append(f"/Last {item_nums[kids_i[-1]]} 0 R")
+            add(("<< " + " ".join(parts) + " >>").encode())
+        outline_ref = f" /Outlines {root_num} 0 R"
+
+    catalog_num = add(
+        f"<< /Type /Catalog /Pages {pages_num} 0 R{outline_ref} >>".encode()
+    )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
@@ -496,6 +486,52 @@ def extract_boxes(blob: bytes) -> list[list[dict]]:
     if not pages:
         raise UnsupportedPdfError("no extractable pages")
     return pages
+
+
+_PDF_STR = re.compile(rb"\((?:\\.|[^\\()])*\)")
+
+
+def extract_outlines(blob: bytes) -> list[tuple[str, int]]:
+    """S4: DFS over the /Outlines tree → [(title, depth)], the same order
+    and shape the reference collects via pypdf (pdf_parser.py:966-979:
+    ``dfs(outlines, 0)`` appending (a['/Title'], depth)). Returns [] when
+    the document carries no outline — the reference logs 'Miss outlines'
+    and continues the same way."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    root = None
+    for _num, (dct, _data) in sorted(objects.items()):
+        if b"/Type /Catalog" in dct or b"/Type/Catalog" in dct:
+            m = re.search(rb"/Outlines\s+(\d+)\s+0\s+R", dct)
+            if m:
+                root = int(m.group(1))
+            break
+    if root is None:
+        return []
+    out: list[tuple[str, int]] = []
+    seen: set[int] = set()
+
+    def first_child(dct: bytes) -> int | None:
+        m = re.search(rb"/First\s+(\d+)\s+0\s+R", dct)
+        return int(m.group(1)) if m else None
+
+    def walk(num: int | None, depth: int) -> None:
+        while num is not None and num not in seen:
+            seen.add(num)
+            dct, _d = objects.get(num, (b"", None))
+            tm = re.search(rb"/Title\s*(\((?:\\.|[^\\()])*\))", dct)
+            if tm:
+                out.append((_pdf_unescape(tm.group(1)[1:-1]), depth))
+            child = first_child(dct)
+            if child is not None:
+                walk(child, depth + 1)
+            nm = re.search(rb"/Next\s+(\d+)\s+0\s+R", dct)
+            num = int(nm.group(1)) if nm else None
+
+    root_dct, _ = objects.get(root, (b"", None))
+    walk(first_child(root_dct), 0)
+    return out
 
 
 def plain_parse(blob: bytes, from_page: int = 0, to_page: int = 100000

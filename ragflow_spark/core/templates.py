@@ -356,6 +356,197 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
     return _finish(["\n".join(ck) for ck in merged if ck])
 
 
+def chunk_email(blob: bytes, fmt: str, lang: str = "English",
+                cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/email.py:25-105 — header lines + text/plain payloads go
+    through the txt parser, text/html payloads through the HTML parser,
+    everything naive-merged; attachments recurse into the naive template by
+    extension (failures skipped, email.py:96-103)."""
+    import io
+    from email import policy
+    from email.parser import BytesParser
+
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    msg = BytesParser(policy=policy.default).parse(io.BytesIO(blob))
+    text_txt: list[str] = []
+    html_txt: list[str] = []
+    for header, value in msg.items():
+        text_txt.append(f"{header}: {value}")
+
+    def _add_content(m, content_type: str) -> None:
+        if content_type == "text/plain":
+            text_txt.append(
+                m.get_payload(decode=True).decode(
+                    m.get_content_charset() or "utf-8", "ignore"
+                )
+            )
+        elif content_type == "text/html":
+            html_txt.append(
+                m.get_payload(decode=True).decode(
+                    m.get_content_charset() or "utf-8", "ignore"
+                )
+            )
+        elif "multipart" in content_type and m.is_multipart():
+            for part in m.iter_parts():
+                _add_content(part, part.get_content_type())
+
+    _add_content(msg, msg.get_content_type())
+    sections = txt.parse_txt("\n".join(text_txt), 128, txt.DEFAULT_DELIMITER)
+    if html_txt:
+        sections += [
+            (ln, "")
+            for ln in html_extract.parse_html_bytes("\n".join(html_txt).encode())
+            if ln
+        ]
+    chunks = naive_merge(
+        sections, int(cfg["chunk_token_num"]), cfg.get("delimiter", "\n!?。；！？")
+    )
+    out = _finish(chunks)
+    for part in msg.iter_attachments():
+        disp = part.get("Content-Disposition")
+        if not disp or disp.strip().split(";")[0].lower() != "attachment":
+            continue
+        name = part.get_filename() or ""
+        ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+        payload = part.get_payload(decode=True)
+        try:
+            attached = chunk_naive(payload, ext, lang, cfg)
+        except Exception:
+            continue
+        for ck in attached:
+            ck.chunk_idx = len(out)
+            out.append(ck)
+    return out
+
+
+_WS_RUNS = re.compile(r"([\t 　]|　){2,}")
+
+
+def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
+                 cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/manual.py:168-266. PDF: sections leveled by outline-bigram
+    match (>10% outline coverage) or bullet title frequency, then packed by
+    the 32/1024-token rule with tables riding inline (sec_id -1) AND as
+    standalone table chunks first. DOCX: Heading-style question stack, one
+    chunk per (question-path, answer) pair."""
+    from ragflow_spark.core.tokens import num_tokens_from_string
+
+    cfg = {**DEFAULT_CFG, **(cfg or {})}
+    eng = lang.lower() == "english"
+    if fmt == "docx":
+        return _manual_docx(blob, lang)
+    if fmt != "pdf":
+        raise NotImplementedError(
+            "manual template: file type not supported yet(pdf and docx supported)"
+        )
+    if cfg.get("layout_recognize", True):
+        from ragflow_spark.core.pdf_layout import layout_parse
+
+        secs, tbls = layout_parse(blob, lang, return_tables=True)
+    else:
+        secs, tbls = pdf_mini.plain_parse(blob), []
+    # clean mess (manual.py:65-66)
+    sections = [
+        (_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs if t.strip()
+    ]
+    outlines = pdf_mini.extract_outlines(blob)
+    if sections and outlines and len(outlines) / len(sections) > 0.1:
+        # outline-driven levels (manual.py:191-206): bigram-set overlap > 0.8
+        max_lvl = max(lvl for _t, lvl in outlines)
+        most_level = max(0, max_lvl - 1)
+        levels = []
+        for text, _tag in sections:
+            for t, lvl in outlines:
+                tks = {t[i] + t[i + 1] for i in range(len(t) - 1)}
+                tks_ = {
+                    text[i] + text[i + 1]
+                    for i in range(min(len(t), len(text) - 1))
+                }
+                if len(tks & tks_) / max(len(tks), len(tks_), 1) > 0.8:
+                    levels.append(lvl)
+                    break
+            else:
+                levels.append(max_lvl + 1)
+    else:
+        bull = bullets_category([t for t, _ in sections])
+        most_level, levels = title_frequency(bull, sections)
+    sec_ids = []
+    sid = 0
+    for i, lvl in enumerate(levels):
+        if lvl <= most_level and i > 0 and lvl != levels[i - 1]:
+            sid += 1
+        sec_ids.append(sid)
+    entries = [
+        (text, sec_ids[i], tag) for i, (text, tag) in enumerate(sections)
+    ]
+    # tables ride the packed stream with sec_id -1 (manual.py:223-226) and
+    # ALSO emit standalone first via the tokenize_table pass below — both,
+    # exactly as the reference does
+    entries.extend((html, -1, tag) for html, tag in tbls)
+
+    def sort_key(e):
+        spans = parse_spans(e[2])
+        if not spans:
+            return (0, 0.0, 0.0)
+        s = spans[0]
+        return (s.page, s.top, s.left)
+
+    chunks: list[str] = []
+    last_sid = -2
+    tk_cnt = 0
+    for text, sec_id, tag in sorted(entries, key=sort_key):
+        if tk_cnt < 32 or (tk_cnt < 1024 and (sec_id == last_sid or sec_id == -1)):
+            if chunks:
+                chunks[-1] += "\n" + text + tag
+                tk_cnt += num_tokens_from_string(text)
+                continue
+        chunks.append(text + tag)
+        tk_cnt = num_tokens_from_string(text)
+        if sec_id > -1:
+            last_sid = sec_id
+    table_chunks = [html + tag for html, tag in tbls]
+    return _finish([*table_chunks, *chunks])
+
+
+_HEADING_RE = re.compile(r"Heading\s*(\d+)")
+
+
+def _manual_docx(blob: bytes, lang: str) -> list[ChunkOut]:
+    """manual.py Docx path (manual.py:107-166 + 253-263): Heading-N styles
+    build a question stack; each flush joins the question path with the
+    accumulated answer into one chunk; tables (colspan HTML) come first."""
+    from ragflow_spark.core import office
+
+    secs, _rows = office.parse_docx(blob)
+    ti_list: list[str] = []
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+    last_answer = ""
+    for text, style in secs:
+        txt_clean = re.sub(r"　", " ", text).strip()
+        m = _HEADING_RE.match(style or "")
+        level = int(m.group(1)) if m else 0
+        if not level or level > 6:  # not a question
+            last_answer = f"{last_answer}\n{txt_clean}"
+            continue
+        if last_answer.strip():
+            sum_question = "\n".join(question_stack)
+            if sum_question:
+                ti_list.append(f"{sum_question}\n{last_answer}")
+            last_answer = ""
+        while question_stack and level <= level_stack[-1]:
+            question_stack.pop()
+            level_stack.pop()
+        question_stack.append(txt_clean)
+        level_stack.append(level)
+    if last_answer.strip():
+        sum_question = "\n".join(question_stack)
+        if sum_question:
+            ti_list.append(f"{sum_question}\n{last_answer}")
+    tables = office.docx_tables_html(blob)
+    return _finish([*tables, *ti_list])
+
+
 TEMPLATES = {
     "naive": chunk_naive,
     "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
@@ -365,6 +556,8 @@ TEMPLATES = {
     "presentation": chunk_presentation,
     "qa": chunk_qa,
     "laws": chunk_laws,
+    "email": chunk_email,
+    "manual": chunk_manual,
 }
 
 

@@ -14,10 +14,34 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def normalize_text(col) -> Column:
+# X4 _strQ2B (rag_tokenizer.py:88-102): any char whose code minus 0xFEE0
+# lands in [0x20, 0x7E] folds to half-width (that is U+FF00..U+FF5E); the
+# ideographic space U+3000 maps to a plain space; everything else passes
+# through. Both sides are precomputed so the Spark expression is a single
+# native translate().
+_Q2B_FROM = "　" + "".join(chr(c) for c in range(0xFF00, 0xFF5F))
+_Q2B_TO = " " + "".join(chr(c - 0xFEE0) for c in range(0xFF00, 0xFF5F))
+
+
+def str_q2b(s: str) -> str:
+    """Scalar reference of the Q2B mapping (rag_tokenizer.py:88-93), used by
+    tests to pin the Column version."""
+    return s.translate(str.maketrans(_Q2B_FROM, _Q2B_TO))
+
+
+def q2b(col) -> Column:
+    """X4 full-width → half-width as ONE codegen'd translate()."""
+    return F.translate(col, _Q2B_FROM, _Q2B_TO)
+
+
+def normalize_text(col, q2b_fold: bool = False) -> Column:
     """lower + collapse whitespace + trim — the canonical form used for
-    fingerprints and exact dedup."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    fingerprints and exact dedup. ``q2b_fold=True`` additionally folds
+    full-width chars (X4) before normalizing, for corpora where the same
+    content appears in both widths; default OFF to keep fingerprints stable
+    with the round-1 oracles."""
+    c = q2b(col) if q2b_fold else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def rm_space_cjk(col) -> Column:

@@ -40,7 +40,7 @@ _ZH_WORDS = "æ•°æ® æŸ¥è¯¢ å¼•æ“Ž åˆ†åŒº è¿‡æ»¤ åˆå¹¶ æ–‡æ¡£ æå– å†…å®¹ æ–‡ç
 FMT_CYCLES = {
     "mixed": (
         "html", "txt", "md", "json", "docx", "txt", "html", "pdf", "xlsx",
-        "pptx",
+        "pptx", "eml",
     ),
     "web": (
         "html", "html", "html", "txt", "html", "pdf", "html", "md", "html",
@@ -49,7 +49,7 @@ FMT_CYCLES = {
 }
 FMT_CYCLE = FMT_CYCLES["mixed"]
 PARSER_CYCLE = (
-    "naive", "naive", "book", "naive", "paper", "naive", "qa", "laws",
+    "naive", "naive", "book", "naive", "paper", "manual", "qa", "laws",
 )
 EPOCH = _dt.datetime(2024, 12, 18, 0, 0, 0)
 
@@ -239,6 +239,25 @@ def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
     return pdf_mini.build_positioned_pdf(pos_pages)
 
 
+def _eml_doc(rng: random.Random, sents: list[str]) -> bytes:
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = f"sender{rng.randint(0, 99)}@fixture.test"
+    msg["To"] = f"rcpt{rng.randint(0, 99)}@fixture.test"
+    msg["Subject"] = " ".join(sents[0].split()[:6]).rstrip(".!?")
+    msg.set_content("\n".join(sents[1:]) or "empty body")
+    if rng.random() < 0.3:
+        msg.add_attachment(
+            "\n".join(sents[:4]).encode(),
+            maintype="text", subtype="plain", filename="notes.txt",
+        )
+        # the stdlib generates a RANDOM multipart boundary; the corpus must
+        # be a pure function of doc_id
+        msg.set_boundary(f"=-fixture-boundary-{rng.randint(0, 10**9)}")
+    return bytes(msg)
+
+
 def make_doc(doc_id: int, profile: str = "mixed") -> dict:
     """The whole row for one doc_id â€” deterministic, no global state."""
     rng = random.Random(42_000_000 + doc_id)
@@ -248,6 +267,8 @@ def make_doc(doc_id: int, profile: str = "mixed") -> dict:
     parser = PARSER_CYCLE[(doc_id // len(cycle)) % len(PARSER_CYCLE)]
     # template â†” format compatibility (mirrors each template's dispatch)
     if parser in ("book", "paper") and fmt not in ("txt", "pdf"):
+        parser = "naive"
+    elif parser == "manual" and fmt not in ("pdf", "docx"):
         parser = "naive"
     elif parser == "qa" and fmt not in ("txt", "xlsx"):
         parser = "naive"
@@ -274,6 +295,9 @@ def make_doc(doc_id: int, profile: str = "mixed") -> dict:
     elif fmt == "pptx":
         blob = _pptx_doc(rng, sents)
         parser = "presentation"
+    elif fmt == "eml":
+        blob = _eml_doc(rng, sents)
+        parser = "email"
     else:
         blob = _pdf_doc(rng, sents)
     return {
