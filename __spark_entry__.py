@@ -137,6 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
         )
 
+    def dup_clusters(spark, sf):
+        pairs = dedup.minhash_pairs(
+            _docs(spark, sf), "doc_id", "text",
+            num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
+        )
+        return dedup.dup_clusters(pairs)
+
     def doc_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(
             _docs(spark, sf), "doc_id", "text", "source",
@@ -278,6 +285,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.awaitTermination(300)
         return spark.read.parquet(os.path.join(d, "out"))
 
+    def events_stream_sessions(spark, sf):
+        """Custom stateful streaming operator (applyInPandasWithState):
+        per-user sessions, emitted once a later event closes them — so the
+        output equals the batch sessionizer's rows minus each user's
+        trailing (still-open) session, which is exactly what the oracle
+        computes."""
+        import tempfile
+
+        from ragflow_spark.streaming.events import (
+            run_stream_to_parquet,
+            sessionize_stateful,
+        )
+
+        d = tempfile.mkdtemp(prefix="rs_state_")
+        ev = _events(spark, sf)
+        src = os.path.join(d, "src")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = run_stream_to_parquet(
+            sessionize_stateful(stream),
+            os.path.join(d, "out"), os.path.join(d, "ckpt"),
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(os.path.join(d, "out")).withColumn(
+            "sum_value", F.round("sum_value", 4)
+        )
+
     # -------- relational competence (TPC-H-style over the star schema)
     def tpch_pricing_summary(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -387,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": doc_minhash_sig,
         "doc_minhash_bands": doc_minhash_bands,
         "doc_minhash_pairs": doc_minhash_pairs,
+        "dup_clusters": dup_clusters,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -401,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_stream_hourly": events_stream_hourly,
+        "events_stream_sessions": events_stream_sessions,
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_revenue_by_nation": tpch_revenue_by_nation,
         "extract_chunks_docs": extract_chunks_docs,
@@ -473,6 +509,30 @@ def _md5_byte_sql(col: str, i: int) -> str:
     hi = f"(strpos('0123456789abcdef', substr({hx}, {2 * i + 1}, 1)) - 1)"
     lo = f"(strpos('0123456789abcdef', substr({hx}, {2 * i + 2}, 1)) - 1)"
     return f"({hi} * 16 + {lo})"
+
+
+def _minhash_pairs_oracle() -> str:
+    """Mirror of dedup.minhash_pairs with its default hot-band guard
+    (DEFAULT_MAX_BAND_SIZE), reused by doc_minhash_pairs and dup_clusters."""
+    return f"""
+            with d as (select doc_id, {_toks_sql('text')} as toks from documents),
+            s as (select doc_id, {_SHINGLES3} as sh from d),
+            p as (select doc_id, sh, {_ab_sql()} as ab from s),
+            g as (select doc_id, sh, {_minhash_sig_sql(16)} as sig from p),
+            b as (select doc_id, sh, unnest({_bands_sql(4, 4)}) as band from g),
+            -- hot-band guard mirror (dedup.DEFAULT_MAX_BAND_SIZE)
+            ok as (select band from b group by band having count(*) <= 1024),
+            bb as (select b.doc_id, b.sh, b.band from b join ok using (band)),
+            cand as (select distinct a.doc_id as id_a, b2.doc_id as id_b,
+                            a.sh as sh_a, b2.sh as sh_b
+                     from bb a join bb b2 on a.band = b2.band and a.doc_id < b2.doc_id)
+            select id_a, id_b,
+                   round(len(list_intersect(sh_a, sh_b))::DOUBLE
+                         / len(list_distinct(list_concat(sh_a, sh_b))), 6) as jaccard
+            from cand
+            where len(list_intersect(sh_a, sh_b))::DOUBLE
+                  / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+        """
 
 
 def _stopword_hits_sql(col: str, words: list[str]) -> str:
@@ -653,24 +713,19 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, cast(r.i as int) as band_no, b.bands[r.i + 1] as band
             from b cross join (values (0), (1), (2), (3)) as r(i)
         """,
-        "doc_minhash_pairs": f"""
-            with d as (select doc_id, {_toks_sql('text')} as toks from documents),
-            s as (select doc_id, {_SHINGLES3} as sh from d),
-            p as (select doc_id, sh, {_ab_sql()} as ab from s),
-            g as (select doc_id, sh, {_minhash_sig_sql(16)} as sig from p),
-            b as (select doc_id, sh, unnest({_bands_sql(4, 4)}) as band from g),
-            -- hot-band guard mirror (dedup.DEFAULT_MAX_BAND_SIZE)
-            ok as (select band from b group by band having count(*) <= 1024),
-            bb as (select b.doc_id, b.sh, b.band from b join ok using (band)),
-            cand as (select distinct a.doc_id as id_a, b2.doc_id as id_b,
-                            a.sh as sh_a, b2.sh as sh_b
-                     from bb a join bb b2 on a.band = b2.band and a.doc_id < b2.doc_id)
-            select id_a, id_b,
-                   round(len(list_intersect(sh_a, sh_b))::DOUBLE
-                         / len(list_distinct(list_concat(sh_a, sh_b))), 6) as jaccard
-            from cand
-            where len(list_intersect(sh_a, sh_b))::DOUBLE
-                  / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+        "doc_minhash_pairs": _minhash_pairs_oracle(),
+        "dup_clusters": f"""
+            with recursive pairs as ({_minhash_pairs_oracle()}),
+            edges as (select id_a as a, id_b as b from pairs
+                      union
+                      select id_b, id_a from pairs),
+            nodes as (select distinct a as node from edges),
+            reach(node, r) as (
+              select node, node from nodes
+              union
+              select e.a, r.r from edges e join reach r on e.b = r.node)
+            select node as doc_id, cast(min(r) as bigint) as cluster_id
+            from reach group by node
         """,
         "doc_ngram_jaccard": f"""
             with d as (select doc_id, source,
@@ -862,6 +917,30 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_events,
                    round(sum(value), 4) as sum_value
             from s group by user_id, session_seq
+        """,
+        "events_stream_sessions": """
+            with g as (
+              select user_id, ts, value,
+                     case when epoch(ts) - lag(epoch(ts))
+                               over (partition by user_id order by ts) > 1800
+                          or lag(ts) over (partition by user_id order by ts) is null
+                          then 1 else 0 end as new_session
+              from events),
+            s as (select user_id, ts, value,
+                         sum(new_session) over (partition by user_id order by ts
+                            rows between unbounded preceding and current row) as session_seq
+                  from g),
+            agg as (select user_id, session_seq,
+                           min(ts) as session_start, max(ts) as session_end,
+                           cast(count(*) as bigint) as n_events,
+                           round(sum(value), 4) as sum_value
+                    from s group by user_id, session_seq)
+            -- append-mode contract: only sessions CLOSED by a later event
+            -- are emitted, i.e. everything but each user's trailing session
+            select user_id, session_start, session_end, n_events, sum_value
+            from agg
+            where session_seq < (select max(session_seq) from agg a2
+                                 where a2.user_id = agg.user_id)
         """,
         "tpch_pricing_summary": """
             select l_returnflag, l_linestatus,

@@ -56,15 +56,22 @@ def build_simple_pdf(pages: list[list[str]], compress: bool = True,
     return _assemble_pdf(content_pages, compress, outlines)
 
 
-def build_positioned_pdf(pages: list[list[tuple[float, float, str]]],
+def build_positioned_pdf(pages: list[list[tuple]],
                          compress: bool = True) -> bytes:
-    """PDF writer with explicit (x, y, text) placement per line (y is the
-    baseline in PDF bottom-up coordinates) — used to synthesize multi-column
-    fixtures for the layout operators."""
+    """PDF writer with explicit (x, y, text[, gray]) placement per line (y
+    is the baseline in PDF bottom-up coordinates) — used to synthesize
+    multi-column / table fixtures. An optional 4th element sets the gray
+    fill level (``1.0`` = white-on-white invisible text, for F2 tests)."""
     content_pages = []
     for items in pages:
         ops = ["BT", "/F1 11 Tf"]
-        for x, y, text in items:
+        gray = 0.0
+        for item in items:
+            x, y, text = item[0], item[1], item[2]
+            g = item[3] if len(item) > 3 else 0.0
+            if g != gray:
+                ops.append(f"{g:g} g")
+                gray = g
             ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
             ops.append(f"({_esc(text)}) Tj")
         ops.append("ET")
@@ -379,9 +386,10 @@ def _content_boxes(content: bytes, page_height: float) -> list[dict]:
     tl = 0.0
     stack_nums: list[float] = []
     pending: str | None = None
+    fill_visible = True  # F2: white-on-white text is dropped at collection
 
     def emit(text: str) -> None:
-        if not text:
+        if not text or not fill_visible:
             return
         top = page_height - y - size
         boxes.append({
@@ -431,6 +439,19 @@ def _content_boxes(content: bytes, page_height: float) -> list[dict]:
         elif t == b"TL":
             if stack_nums:
                 tl = stack_nums[-1]
+        # F2 invisible chars (pdf_parser.py:178-184 _has_color): text whose
+        # fill color is (near-)white never reaches the box stream. Gray /
+        # RGB / CMYK non-stroking color operators tracked; stroke color (G,
+        # RG, K) is irrelevant for fill-rendered text.
+        elif t == b"g":
+            if stack_nums:
+                fill_visible = stack_nums[-1] < 0.95
+        elif t == b"rg":
+            if len(stack_nums) >= 3:
+                fill_visible = not all(v >= 0.95 for v in stack_nums[-3:])
+        elif t == b"k":
+            if len(stack_nums) >= 4:
+                fill_visible = not all(v <= 0.05 for v in stack_nums[-4:])
         elif t == b"T*":
             y -= tl
         elif t == b"Tj":

@@ -332,6 +332,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ------------------------------------------------------ duplicate clusters
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id) with
+    cluster_id = min doc id in the component (the canonical keeper, matching
+    ``exact_dedup_groups``'s min-id convention).
+
+    Algorithm: min-label propagation — each round every node takes the min
+    label among itself and its neighbors; converges in O(component diameter)
+    rounds (near-dup clusters are shallow: a chain of pairwise-similar docs).
+    Each round is ONE shuffle join + map-side-combined min agg; labels are
+    persisted per round and the previous round released, so executor memory
+    holds 2×|nodes| small rows regardless of input scale. The driver only
+    reads a 1-row convergence count per round. For adversarial long-chain
+    graphs swap in large-star/small-star (Kiveris et al., SoCC'14) — same
+    join shape, O(log n) rounds."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    out._rs_cached = [edges, labels]
+    return out
+
+
 # -------------------------------------------------------------- embedding
 
 def embedding_near_dup_pairs(

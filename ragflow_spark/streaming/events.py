@@ -77,3 +77,60 @@ def run_stream_to_parquet(stream_df: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    session assembly with a ``gap_minutes`` inactivity close, the streaming
+    face of operators.events.sessionize.
+
+    State per user = the one OPEN session (start, last_ts, n, sum); a new
+    event either extends it or closes it (emitting the closed session) and
+    starts the next. Append semantics: a session row is emitted only once a
+    LATER event proves it closed — each user's trailing session stays in
+    state, exactly like the batch operator's last session minus the
+    emission. Bounded state: one row per active user regardless of input
+    length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint, sum_value double"
+    )
+    state_schema = "start timestamp, last timestamp, n bigint, sv double"
+    gap = gap_minutes * 60.0
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values("ts")
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+        out = []
+        for ts, val in zip(rows["ts"], rows["value"]):
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last).total_seconds() > gap:
+                out.append((key[0], start, last, n, round(sv, 4)))
+                start, n, sv = None, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            sv += float(val)
+        if start is not None:
+            state.update((start, last, n, sv))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end",
+                     "n_events", "sum_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -100,6 +100,16 @@ def test_ngram_pairs_id_only_join_same_results(spark):
     assert got == {("g1", 1, 2, 0.6)}
 
 
+def test_dup_clusters_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 7)], "id_a long, id_b long"
+    )
+    out = dedup.dup_clusters(pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
+    dedup.release(out)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5}
+
+
 # ------------------------------------------- manifest modulus guard
 
 def test_resume_rejects_different_num_partitions(spark, tmpdir_path):
@@ -128,6 +138,21 @@ def test_indirect_length_stream_falls_back_to_endstream_scan():
     assert patched != blob
     pages = pdf_mini.extract_text_lines(patched)
     assert pages[0] == ["hello world", "second line"]
+
+
+def test_invisible_white_text_dropped():
+    # F2: white-fill (gray=1) text never reaches the box stream; visible
+    # text around it is unaffected
+    items = [
+        (72.0, 700.0, "visible heading text"),
+        (72.0, 650.0, "hidden keyword stuffing", 1.0),
+        (72.0, 600.0, "visible body text"),
+    ]
+    blob = pdf_mini.build_positioned_pdf([items])
+    texts = [b["text"] for b in pdf_mini.extract_boxes(blob)[0]]
+    assert "visible heading text" in texts
+    assert "visible body text" in texts
+    assert all("hidden" not in t for t in texts)
 
 
 def test_layout_parse_from_page_tags_are_document_absolute():
