@@ -94,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_lang_id(spark, sf):
         return textstats.lang_id(_docs(spark, sf), "doc_id", "text")
 
+    def doc_repetition(spark, sf):
+        return textstats.repetition_signals(_docs(spark, sf), "doc_id", "text")
+
     def top_terms_by_lang(spark, sf):
         from pyspark.sql import Window
 
@@ -417,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
+        "doc_repetition": doc_repetition,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_sig": doc_minhash_sig,
         "doc_minhash_bands": doc_minhash_bands,
@@ -686,6 +690,34 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, score_en, score_de, score_es, score_fr, score_zh,
                    case when {best} <= 0 then 'und' {pred_cases} end as pred_lang
             from s
+        """,
+        "doc_repetition": f"""
+            with t as (select doc_id, {_toks_sql('lower(text)')} as toks
+                       from documents),
+            m as (select doc_id, toks, len(toks) as n,
+                         len(list_distinct(toks)) as nd,
+                         case when len(toks) >= 2 then
+                           list_transform(range(0, len(toks) - 1),
+                             i -> array_to_string(toks[i+1:i+2], ' '))
+                         else [] end as bg
+                  from t),
+            r as (select doc_id,
+                         cast(n as int) as n_tokens,
+                         round(1.0 - nd::DOUBLE / greatest(n, 1), 6)
+                           as dup_word_frac,
+                         round(list_max(list_transform(list_distinct(toks),
+                                 t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
+                               / greatest(n, 1), 6) as top_word_frac,
+                         round(case when len(bg) > 0
+                               then 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                               else 0.0 end, 6) as dup_bigram_frac
+                  from m)
+            select doc_id, n_tokens, dup_word_frac, top_word_frac,
+                   dup_bigram_frac,
+                   cast(case when dup_word_frac <= 0.3
+                             and dup_bigram_frac <= 0.2
+                        then 1 else 0 end as int) as repetition_keep
+            from r
         """,
         "top_terms_by_lang": f"""
             with t as (

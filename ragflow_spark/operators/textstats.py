@@ -114,6 +114,58 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).drop("norm_text")
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str,
+                       max_dup_word: float = 0.3,
+                       max_dup_bigram: float = 0.2) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 family):
+    duplicate-word fraction, most-frequent-word fraction, duplicate-bigram
+    fraction, and a composite keep flag. All native array expressions —
+    zero Python. The top-word fraction is O(|tokens|·|distinct|) per row
+    (count of each distinct token via a filter scan), which is fine for
+    web-page-sized docs; a giant-doc corpus would compute it from an
+    exploded groupBy instead."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    dup_word = F.round(
+        F.lit(1.0) - n_dist.cast("double") / F.greatest(n, F.lit(1)), 6
+    )
+    top_word = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ).cast("double") / F.greatest(n, F.lit(1)),
+        6,
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    dup_bigram = F.round(
+        F.when(
+            nb > 0,
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / nb,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        (
+            (dup_word <= max_dup_word) & (dup_bigram <= max_dup_bigram)
+        ).cast("int").alias("repetition_keep"),
+    )
+
+
 # ------------------------------------------------------- winnowing (UDF)
 
 WINNOW_SCHEMA = "doc_id long, fingerprints array<long>"
