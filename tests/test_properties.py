@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for the pure scalar/parity kernels —
+the SURVEY §5 test-strategy item the example-based suites don't cover:
+random inputs, invariant assertions."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragflow_spark.core.merges import naive_merge
+from ragflow_spark.core.spans import line_tag, parse_spans, remove_tag
+from ragflow_spark.core.tokens import num_tokens_from_string
+from ragflow_spark.functions.text import str_q2b
+from ragflow_spark.operators.textstats import winnow_numpy, winnow_reference
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_st)
+def test_winnow_vectorized_equals_reference(s):
+    assert winnow_numpy(s) == winnow_reference(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text_st, st.integers(2, 12), st.integers(1, 8))
+def test_winnow_params_equal(s, k, w):
+    assert winnow_numpy(s, k, w) == winnow_reference(s, k, w)
+
+
+def _ref_q2b(ustring: str) -> str:
+    out = ""
+    for uchar in ustring:
+        code = ord(uchar)
+        if code == 0x3000:
+            code = 0x0020
+        else:
+            code -= 0xFEE0
+        out += uchar if code < 0x0020 or code > 0x7E else chr(code)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_st)
+def test_q2b_equals_reference(s):
+    assert str_q2b(s) == _ref_q2b(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=60), st.just("")), max_size=30
+    ),
+    st.integers(1, 64),
+)
+def test_naive_merge_invariants(sections, budget):
+    """Every input character (from non-empty sections) lands in exactly one
+    chunk, in order; no chunk is empty after strip."""
+    chunks = naive_merge(sections, budget, "\n!?。；！？")
+    joined = "".join(chunks)
+    expect = "".join(t for t, _ in sections)
+    # the reference drops sub-8-token trailing fragments only when adding a
+    # new chunk; the concatenation must be a subsequence-preserving join of
+    # the kept text — verify monotone containment
+    pos = 0
+    for ch in joined:
+        found = expect.find(ch, pos)
+        assert found != -1, "merge emitted text not present in input order"
+        pos = found + 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 999),
+    st.floats(0, 2000, allow_nan=False, allow_infinity=False),
+    st.floats(0, 2000, allow_nan=False, allow_infinity=False),
+    st.floats(0, 2000, allow_nan=False, allow_infinity=False),
+    st.floats(0, 2000, allow_nan=False, allow_infinity=False),
+)
+def test_line_tag_roundtrip(pn, x0, x1, top, bottom):
+    tag = line_tag(pn, x0, x1, top, bottom)
+    spans = parse_spans("prefix " + tag + " suffix")
+    assert len(spans) == 1
+    s = spans[0]
+    assert s.page == pn - 1
+    assert abs(s.left - round(x0, 1)) < 0.06
+    assert abs(s.bottom - round(bottom, 1)) < 0.06
+    assert remove_tag("prefix " + tag + " suffix") == "prefix  suffix"
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_st)
+def test_token_count_nonnegative_and_monotone_concat(s):
+    n = num_tokens_from_string(s)
+    assert n >= 0
+    assert num_tokens_from_string(s + s) >= n
