@@ -187,6 +187,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_vecs")
         )
 
+    # -------- product quantization (ANN at billion scale: 64 floats → m
+    # codes; encode + asymmetric-distance search, both oracle-gated)
+    def emb_pq_codes(spark, sf):
+        e = _emb(spark, sf)
+        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        enc = similarity.pq_encode(e, "embedding", "vec_id", books)
+        return enc.select(
+            "vec_id",
+            F.concat_ws(
+                ",", F.transform("codes", lambda x: x.cast("string"))
+            ).alias("code"),
+        )
+
+    def emb_pq_topk(spark, sf):
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        enc = similarity.pq_encode(e, "embedding", "vec_id", books)
+        return similarity.pq_adc_topk(enc, books, qv, topk=10)
+
     # -------- table typing (SURVEY §2.6 C6 as native DataFrame ops)
     def table_typing(spark, sf):
         from ragflow_spark.operators.tables import column_type_votes
@@ -433,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cluster_sizes": emb_cluster_sizes,
+        "emb_pq_codes": emb_pq_codes,
+        "emb_pq_topk": emb_pq_topk,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "table_typing": table_typing,
         "pdf_table_cells": pdf_table_cells,
@@ -573,6 +595,34 @@ def _table_typing_oracle() -> str:
                else 'text' end as inferred_type
         from v
     """
+
+
+# shared CTE block mirroring pq_codebooks_from_rows + pq_encode (m=4, k=8,
+# sub_dim=16): deterministic codebooks from the 8 lowest-id rows, per-
+# subspace argmin of squared L2 rounded to 9 (tie → lower code)
+_PQ_CTES = """
+            cents as (
+              select row_number() over (order by vec_id) - 1 as cid,
+                     embedding::DOUBLE[] as v
+              from (select * from embeddings order by vec_id limit 8)),
+            subc as (select cid, cast(r.j as int) as j,
+                            v[r.j*16+1 : (r.j+1)*16] as sv
+                     from cents, range(4) r(j)),
+            esub as (select vec_id, cast(r.j as int) as j,
+                            (embedding::DOUBLE[])[r.j*16+1 : (r.j+1)*16] as sv
+                     from embeddings, range(4) r(j)),
+            d as (select e.vec_id, e.j, s.cid,
+                         round(list_sum(list_transform(range(1, 17),
+                               i -> (e.sv[i] - s.sv[i]) * (e.sv[i] - s.sv[i]))), 9)
+                           as dist
+                  from esub e join subc s using (j)),
+            best as (select vec_id, j, cid,
+                            row_number() over (partition by vec_id, j
+                                               order by dist, cid) as rn
+                     from d),
+            codes as (select vec_id, list(cid order by j) as codes
+                      from best where rn = 1 group by vec_id)
+"""
 
 
 def _bucket_expr_sql(n_planes: int, seed: int, vec: str = "embedding") -> str:
@@ -892,6 +942,26 @@ def oracle_sql() -> dict[str, str]:
             select cast(cluster_id as int) as cluster_id,
                    cast(count(*) as bigint) as n_vecs
             from assigned where rn = 1 group by cluster_id
+        """,
+        "emb_pq_codes": f"""
+            with {_PQ_CTES}
+            select vec_id, array_to_string(codes, ',') as code from codes
+        """,
+        "emb_pq_topk": f"""
+            with {_PQ_CTES},
+            q as (select embedding::DOUBLE[] as qv from embeddings
+                  where vec_id = 0),
+            qd as (select s.j, s.cid,
+                          list_sum(list_transform(range(1, 17),
+                            i -> (q.qv[s.j*16 + i] - s.sv[i])
+                               * (q.qv[s.j*16 + i] - s.sv[i]))) as dist
+                   from subc s, q),
+            sel as (select b.vec_id, b.j, qd.dist
+                    from best b join qd using (j, cid) where b.rn = 1),
+            adc as (select vec_id,
+                           round(list_sum(list(dist order by j)), 6) as adc
+                    from sel group by vec_id)
+            select vec_id, adc from adc order by adc, vec_id limit 10
         """,
         "table_typing": _table_typing_oracle(),
         "pdf_table_cells": """

@@ -165,3 +165,84 @@ def hyperplane_lsh_bucket(
         for p in planes
     ]
     return df.withColumn("bucket", F.concat(*bits))
+
+
+# --------------------------------------------------- product quantization
+
+def pq_codebooks_from_rows(df: DataFrame, vec_col: str, id_col: str,
+                           m: int = 4, k: int = 8) -> list:
+    """Deterministic PQ codebooks: per subspace j, the k centroids are the
+    j-th subvectors of the k lowest-id rows (the same seeding convention as
+    make_centroids_from_rows, keeping the oracle expressible). Returns
+    books[m][k][sub_dim] as python floats; a k-means refinement per subspace
+    would slot in front without changing encode/search."""
+    rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    dim = len(rows[0][0])
+    sub = dim // m
+    return [
+        [[float(x) for x in r[0][j * sub:(j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _sq_l2_lit(slice_col, centroid: list):
+    """Squared L2 between an array slice and a literal centroid — summed
+    left-to-right (matches DuckDB list_sum order for bit-equal oracles)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            slice_col, lit,
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list
+              ) -> DataFrame:
+    """Encode every vector as m small codes: per subspace, argmin squared-L2
+    over the codebook (tie → lower code). One narrow projection, fully
+    codegen'd; output is m·log2(k) bits per vector — the 64-float embedding
+    becomes 4 bytes, which is what makes billion-scale ANN shippable."""
+    m = len(books)
+    k = len(books[0])
+    sub = len(books[0][0])
+    codes = []
+    for j in range(m):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        best = F.array_min(F.array(*[
+            F.struct(
+                F.round(_sq_l2_lit(sl, books[j][c]), 9).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(k)
+        ]))
+        codes.append(best["c"])
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(encoded: DataFrame, books: list, query_vec: list,
+                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query's distance to
+    every codebook centroid is precomputed on the driver (m·k doubles) and
+    baked into the plan as literals, so scoring a row is m array lookups +
+    adds — no vector math per row. Plans as TakeOrderedAndProject: only k
+    rows per partition reach the merge."""
+    m = len(books)
+    sub = len(books[0][0])
+    adc = None
+    for j in range(m):
+        q = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+        dists = [
+            sum((a - b) * (a - b) for a, b in zip(q, cent))
+            for cent in books[j]
+        ]
+        lut = F.array(*[F.lit(d) for d in dists])
+        term = F.element_at(lut, F.element_at("codes", j + 1) + 1)
+        adc = term if adc is None else adc + term
+    return (
+        encoded.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col))
+        .limit(topk)
+    )
