@@ -433,6 +433,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media, backend="fake"
         ).select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
 
+    def media_frame_plan(spark, sf):
+        """Frame-sampling plan over the (fake-decoded) media metadata: one
+        row per frame to decode, every 30th frame — a pure explode off the
+        deterministic metadata, so the oracle reconstructs it exactly."""
+        from ragflow_spark.operators.multimodal import (
+            decode_media_meta,
+            frame_sample_plan,
+        )
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("blob"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video").alias("kind"),
+        )
+        meta = decode_media_meta(media, backend="fake")
+        return frame_sample_plan(meta, every_n=30)
+
     return {
         "doc_filter_stats": doc_filter_stats,
         "doc_fingerprint": doc_fingerprint,
@@ -470,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_manifest": extract_manifest,
         "doc_winnow_fp": doc_winnow_fp,
         "media_meta": media_meta,
+        "media_frame_plan": media_frame_plan,
     }
 
 
@@ -891,6 +911,16 @@ def oracle_sql() -> dict[str, str]:
                              else 1 + {_md5_byte_sql('text', 2)} % 300 end as int)
                      as n_frames
             from documents
+        """,
+        "media_frame_plan": f"""
+            with m as (
+              select doc_id as media_id,
+                     case when doc_id % 3 = 0 then 1
+                          else 1 + {_md5_byte_sql('text', 2)} % 300 end as n_frames
+              from documents)
+            select media_id, cast(u.f as int) as frame_no
+            from m, unnest(range(0, n_frames, 30)) u(f)
+            where n_frames > 0
         """,
         "emb_cosine_topk": """
             with q as (select embedding as qv from embeddings where vec_id = 0)

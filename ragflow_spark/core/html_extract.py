@@ -24,6 +24,9 @@ newlines, and ``parse_html_bytes`` adds the find_codec decode step
 from __future__ import annotations
 
 import re
+
+# hot path: collapsed per-node subtree text runs ~20k times per document
+_WS_RUN = re.compile(r"\s+")
 from html import unescape
 from html.parser import HTMLParser
 
@@ -87,7 +90,7 @@ class Node:
                 yield from c.itertext()
 
     def text(self) -> str:
-        return re.sub(r"\s+", " ", "".join(self.itertext())).strip()
+        return _WS_RUN.sub(" ", "".join(self.itertext())).strip()
 
     def iter_nodes(self):
         yield self
@@ -149,7 +152,7 @@ def build_tree(html: str) -> tuple[Node, str]:
         builder.close()
     except Exception:
         pass
-    title = re.sub(r"\s+", " ", unescape("".join(builder.title_parts))).strip()
+    title = _WS_RUN.sub(" ", unescape("".join(builder.title_parts))).strip()
     return builder.root, title
 
 
@@ -228,7 +231,7 @@ def _subtree_stats(root: Node) -> "dict[int, tuple[str, int]]":
                 t, ll = walk(c)
                 parts.append(t)
                 link_len += ll
-        text = re.sub(r"\s+", " ", "".join(parts)).strip()
+        text = _WS_RUN.sub(" ", "".join(parts)).strip()
         if n.tag == "a":
             link_len = len(text)
         stats[id(n)] = (text, link_len)
@@ -301,7 +304,7 @@ def render_text(node: Node) -> str:
 
     walk(node)
     raw = "".join(pieces)
-    lines = [re.sub(r"\s+", " ", ln).strip() for ln in raw.split("\n")]
+    lines = [_WS_RUN.sub(" ", ln).strip() for ln in raw.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 
 

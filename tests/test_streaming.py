@@ -1,0 +1,86 @@
+"""Streaming-tier tests: the streaming extraction path must produce exactly
+the batch pipeline's rows (same parity core, same deterministic ids), and
+the stateful sessionizer must equal the batch sessionizer minus trailing
+open sessions."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.events import sessionize
+from ragflow_spark.operators.extract import extract_chunks
+from ragflow_spark.sources import pages as pages_src
+from ragflow_spark.streaming.events import (
+    extract_chunks_stream,
+    run_stream_to_parquet,
+    sessionize_stateful,
+)
+
+
+def test_stream_extraction_equals_batch(spark, tmpdir_path):
+    src = os.path.join(tmpdir_path, "pages")
+    pages_src.generate_pages_df(spark, 48, parallelism=2).write.parquet(src)
+    pages = spark.read.parquet(src)
+
+    batch = {
+        (r.url, r.chunk_idx): (r.chunk_text, r.content_hash)
+        for r in extract_chunks(pages, num_partitions=8)
+        .select("url", "chunk_idx", "chunk_text", "content_hash").collect()
+    }
+
+    stream = spark.readStream.schema(pages.schema).parquet(src)
+    out = os.path.join(tmpdir_path, "chunks")
+    q = run_stream_to_parquet(
+        extract_chunks_stream(stream, num_partitions=8),
+        out, os.path.join(tmpdir_path, "ckpt"),
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.url, r.chunk_idx): (r.chunk_text, r.content_hash)
+        for r in spark.read.parquet(out)
+        .select("url", "chunk_idx", "chunk_text", "content_hash").collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_sessions_equal_batch_minus_trailing(spark, tmpdir_path):
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for u in (1, 2):
+        t = base
+        for s in range(3):          # 3 sessions per user
+            for e in range(4):      # 4 events each, 5 min apart
+                rows.append((u, t, 1.5))
+                t += dt.timedelta(minutes=5)
+            t += dt.timedelta(minutes=45)  # gap closes the session
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = os.path.join(tmpdir_path, "ev")
+    ev.write.parquet(src)
+
+    batch = sessionize(spark.read.parquet(src))
+    per_user_max = batch.groupBy("user_id").agg(
+        F.max("session_seq").alias("mx")
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 4))
+        for r in batch.join(per_user_max, "user_id")
+        .filter(F.col("session_seq") < F.col("mx")).collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = os.path.join(tmpdir_path, "sess")
+    q = run_stream_to_parquet(
+        sessionize_stateful(stream),
+        out, os.path.join(tmpdir_path, "ckpt2"),
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         round(r.sum_value, 4))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # 2 users × (3 sessions − 1 trailing)
