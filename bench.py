@@ -81,7 +81,8 @@ def main() -> None:
         "events_hourly", "events_sessions",
         "tpch_pricing_summary", "tpch_revenue_by_nation",
         "doc_winnow_fp",
-        "doc_simhash_pairs", "pdf_table_cells",
+        "doc_simhash_pairs", "pdf_table_cells", "dup_clusters",
+        "emb_pq_topk", "doc_repetition",
     ):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
 
@@ -93,7 +94,8 @@ def main() -> None:
     doc_queries = {
         "doc_exact_dedup", "doc_minhash_pairs", "doc_simhash",
         "doc_ngram_jaccard", "doc_lang_id", "doc_quality", "doc_token_stats",
-        "doc_winnow_fp", "doc_simhash_pairs",
+        "doc_winnow_fp", "doc_simhash_pairs", "dup_clusters",
+        "doc_repetition",
     }
     rates = {"extract_pages": docs_per_sec}
     for name, t in timings.items():
