@@ -187,6 +187,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_vecs")
         )
 
+    def emb_kmeans_step_sizes(spark, sf):
+        """One native Lloyd iteration: seed centroids → assign → per-cluster
+        element-wise mean → REASSIGN against the refined centroids →
+        cluster sizes. Gates kmeans_refine end-to-end."""
+        e = _emb(spark, sf)
+        cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
+        indexed = similarity.ivf_build(e, "embedding", "vec_id", cents)
+        refined = similarity.kmeans_refine(indexed, "embedding", "vec_id")
+        indexed2 = similarity.ivf_build(e, "embedding", "vec_id", refined)
+        return indexed2.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+
     # -------- product quantization (ANN at billion scale: 64 floats → m
     # codes; encode + asymmetric-distance search, both oracle-gated)
     def emb_pq_codes(spark, sf):
@@ -472,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cluster_sizes": emb_cluster_sizes,
+        "emb_kmeans_step_sizes": emb_kmeans_step_sizes,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_topk": emb_pq_topk,
         "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -972,6 +986,35 @@ def oracle_sql() -> dict[str, str]:
             select cast(cluster_id as int) as cluster_id,
                    cast(count(*) as bigint) as n_vecs
             from assigned where rn = 1 group by cluster_id
+        """,
+        "emb_kmeans_step_sizes": """
+            with cents as (
+              select row_number() over (order by vec_id) as cluster_id,
+                     embedding::DOUBLE[] as centroid
+              from (select * from embeddings order by vec_id limit 8)),
+            a0 as (
+              select e.vec_id, e.embedding, c.cluster_id,
+                     row_number() over (partition by e.vec_id
+                        order by list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) desc,
+                                 c.cluster_id) as rn
+              from embeddings e cross join cents c),
+            idx0 as (select vec_id, embedding, cluster_id from a0 where rn = 1),
+            dims as (select cluster_id, r.i as dim,
+                            avg(embedding[r.i]::DOUBLE) as mean_val
+                     from idx0, range(1, 65) r(i)
+                     group by cluster_id, r.i),
+            refined as (select cluster_id,
+                               list(mean_val order by dim) as centroid
+                        from dims group by cluster_id),
+            a1 as (
+              select e.vec_id, c.cluster_id,
+                     row_number() over (partition by e.vec_id
+                        order by list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) desc,
+                                 c.cluster_id) as rn
+              from embeddings e cross join refined c)
+            select cast(cluster_id as int) as cluster_id,
+                   cast(count(*) as bigint) as n_vecs
+            from a1 where rn = 1 group by cluster_id
         """,
         "emb_pq_codes": f"""
             with {_PQ_CTES}
