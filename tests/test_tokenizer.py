@@ -1,0 +1,118 @@
+"""X5 tokenizer machinery tests on a fixture dictionary (huqie.txt is not
+shippable; the algorithm is what's pinned here)."""
+
+import pytest
+
+from ragflow_spark.core.tokenizer import RagTokenizer, porter_stem
+
+# fixture dictionary: word frequency tag
+DICT = [
+    "数据 500000 n",
+    "数据库 800000 n",
+    "库管理 100 n",
+    "管理 600000 v",
+    "管理系统 300000 n",
+    "系统 700000 n",
+    "数据库管理系统 200000 n",
+    "查询 400000 v",
+    "引擎 300000 n",
+    "查询引擎 250000 n",
+    "分布 200000 n",
+    "分布式 350000 n",
+    "式查询 50 n",
+]
+
+
+@pytest.fixture(scope="module")
+def tk():
+    return RagTokenizer(DICT)
+
+
+def test_max_forward_greedy(tk):
+    tks, _ = tk.maxForward_("数据库管理系统")
+    assert tks == ["数据库管理系统"]
+
+
+def test_max_forward_falls_back(tk):
+    tks, _ = tk.maxForward_("数据管理")
+    assert tks == ["数据", "管理"]
+
+
+def test_max_backward(tk):
+    tks, _ = tk.maxBackward_("查询引擎")
+    assert tks == ["查询引擎"]
+
+
+def test_dfs_best_segmentation(tk):
+    tkslist = []
+    tk.dfs_("分布式查询引擎", 0, [], tkslist)
+    best = tk.sortTks_(tkslist)[0][0]
+    # 分布式 + 查询引擎 outscores 分布 + 式查询 + 引擎 (higher freq, fewer toks)
+    assert best == ["分布式", "查询引擎"]
+
+
+def test_tokenize_mixed_cjk_latin(tk):
+    out = tk.tokenize("спарк Spark 数据库管理系统 queries 分布式查询引擎!")
+    assert "数据库管理系统" in out.split(" ")
+    assert "分布式" in out.split(" ")
+    assert "查询引擎" in out.split(" ")
+    # Latin goes through the stemmer path
+    assert "queri" in out.split(" ")
+
+
+def test_tokenize_pure_english_stems(tk):
+    out = tk.tokenize("Connections were processed quickly and caresses happened")
+    toks = out.split(" ")
+    assert "connect" in toks
+    assert "process" in toks
+    assert "quickli" in toks  # original Porter output
+    assert "caress" in toks
+
+
+def test_fine_grained_second_best(tk):
+    coarse = tk.tokenize("数据库管理系统")
+    fine = tk.fine_grained_tokenize(coarse)
+    # the second-best segmentation splits the compound
+    assert fine != coarse
+    assert set(fine.split(" ")) <= {"数据库", "管理系统", "数据", "库管理", "系统", "管理"}
+
+
+def test_freq_and_tag(tk):
+    assert tk.freq("数据库") > 0
+    assert tk.tag("管理") == "v"
+    assert tk.freq("不存在词") == 0
+
+
+@pytest.mark.parametrize("word,stem", [
+    ("caresses", "caress"),
+    ("ponies", "poni"),
+    ("agreed", "agre"),
+    ("plastered", "plaster"),
+    ("motoring", "motor"),
+    ("sing", "sing"),
+    ("conflated", "conflat"),
+    ("troubled", "troubl"),
+    ("sized", "size"),
+    ("hopping", "hop"),
+    ("falling", "fall"),
+    ("happy", "happi"),
+    ("relational", "relat"),
+    ("conditional", "condit"),
+    ("rational", "ration"),
+    ("digitizer", "digit"),
+    ("operator", "oper"),
+    ("triplicate", "triplic"),
+    ("formative", "form"),
+    ("formalize", "formal"),
+    ("revival", "reviv"),
+    ("allowance", "allow"),
+    ("inference", "infer"),
+    ("adoption", "adopt"),
+    ("probate", "probat"),
+    ("cease", "ceas"),
+    ("controll", "control"),
+    ("roll", "roll"),
+])
+def test_porter_canonical_vectors(word, stem):
+    # vectors from Porter's 1980 paper examples
+    assert porter_stem(word) == stem
