@@ -180,6 +180,34 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def tokenize_column(
+    df: DataFrame, id_col: str, text_col: str, dict_lines: list[str],
+) -> DataFrame:
+    """The reference's ``content_ltks`` / ``content_sm_ltks`` fields
+    (rag/nlp/__init__.py:227-246 tokenize) as a distributed operator: the
+    bilingual tokenizer (core/tokenizer.py) runs per doc inside an Arrow
+    batch with the trie built ONCE per python worker (the reference's
+    model-singleton pattern). ``dict_lines`` is the pluggable 'word freq
+    tag' dictionary — huqie.txt-shaped."""
+    schema = "doc_id long, content_ltks string, content_sm_ltks string"
+
+    def run(batches):
+        import pandas as pd
+
+        from ragflow_spark.core.tokenizer import RagTokenizer
+
+        tk = RagTokenizer(dict_lines)  # once per worker-process generator
+        for pdf in batches:
+            ltks = [tk.tokenize(t or "") for t in pdf[text_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "content_ltks": ltks,
+                "content_sm_ltks": [tk.fine_grained_tokenize(t) for t in ltks],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 # ------------------------------------------------------- winnowing (UDF)
 
 WINNOW_SCHEMA = "doc_id long, fingerprints array<long>"

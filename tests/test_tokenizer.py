@@ -116,3 +116,42 @@ def test_freq_and_tag(tk):
 def test_porter_canonical_vectors(word, stem):
     # vectors from Porter's 1980 paper examples
     assert porter_stem(word) == stem
+
+
+# ------------------------------------------------ properties + Spark op
+
+def test_cjk_roundtrip_property(tk):
+    """For CJK-only input, tokenization must be a partition: joining the
+    tokens reproduces the input exactly."""
+
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    chars = "数据库管理系统查询引擎分布式"
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=chars, min_size=2, max_size=30))
+    def check(s):
+        out = tk.tokenize(s)
+        assert out.replace(" ", "") == s
+
+    check()
+
+
+def test_tokenize_column_spark(spark):
+    from ragflow_spark.operators.textstats import tokenize_column
+
+    rows = [
+        (1, "数据库管理系统 handles queries"),
+        (2, "分布式查询引擎 scaling"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.content_ltks, r.content_sm_ltks)
+           for r in tokenize_column(df, "doc_id", "text", DICT).collect()}
+    expect_tk = RagTokenizer(DICT)
+    for i, (_id, text) in enumerate(rows, start=1):
+        ltks = expect_tk.tokenize(rows[i - 1][1])
+        assert out[i][0] == ltks
+        assert out[i][1] == expect_tk.fine_grained_tokenize(ltks)
+    assert "数据库管理系统" in out[1][0]
