@@ -147,6 +147,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.dup_clusters(pairs)
 
+    def doc_seg_dedup(spark, sf):
+        """CCNet-style paragraph dedup: documents are segmented into
+        10-token lines with a shared boilerplate line injected at the top;
+        the operator must drop exactly the boilerplate from every doc and
+        reassemble the rest in order (gated by clean_md5)."""
+        d = _docs(spark, sf)
+        toks = F.split(F.trim("text"), r"\s+")
+        n = F.size(toks)
+        nseg = F.ceil(n / F.lit(10.0)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+        )
+        text2 = F.concat(
+            F.lit("copyright fixture boilerplate all rights reserved\n"),
+            F.array_join(segs, "\n"),
+        )
+        staged = d.select("doc_id", text2.alias("text2"))
+        return dedup.drop_common_segments(staged, "doc_id", "text2", "\n", 2)
+
     def doc_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(
             _docs(spark, sf), "doc_id", "text", "source",
@@ -478,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_bands": doc_minhash_bands,
         "doc_minhash_pairs": doc_minhash_pairs,
         "dup_clusters": dup_clusters,
+        "doc_seg_dedup": doc_seg_dedup,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -842,6 +863,40 @@ def oracle_sql() -> dict[str, str]:
               select e.a, r.r from edges e join reach r on e.b = r.node)
             select node as doc_id, cast(min(r) as bigint) as cluster_id
             from reach group by node
+        """,
+        "doc_seg_dedup": f"""
+            with t as (select doc_id, {_toks_sql('text')} as toks
+                       from documents),
+            built as (select doc_id,
+                        'copyright fixture boilerplate all rights reserved'
+                        || chr(10) ||
+                        array_to_string(
+                          list_transform(
+                            range(0, cast(ceil(len(toks) / 10.0) as int)),
+                            i -> array_to_string(toks[i*10+1 : i*10+10], ' ')),
+                          chr(10)) as text2
+                      from t),
+            lists as (select doc_id, string_split(text2, chr(10)) as l
+                      from built),
+            seg0 as (select doc_id,
+                            unnest(list_transform(range(len(l)),
+                              i -> {{'pos': i, 'seg': l[i + 1]}})) as u
+                     from lists),
+            segs as (select doc_id, cast(u.pos as int) as pos, u.seg as seg
+                     from seg0),
+            counts as (select seg, count(distinct doc_id) as nd
+                       from segs group by seg),
+            tagged as (select s.doc_id, s.pos, s.seg, c.nd
+                       from segs s join counts c using (seg))
+            select doc_id,
+                   cast(sum(case when nd < 2 then 1 else 0 end) as bigint)
+                     as n_kept,
+                   cast(sum(case when nd >= 2 then 1 else 0 end) as bigint)
+                     as n_dropped,
+                   md5(coalesce(
+                     string_agg(seg, chr(10) order by pos)
+                       filter (where nd < 2), '')) as clean_md5
+            from tagged group by doc_id
         """,
         "doc_ngram_jaccard": f"""
             with d as (select doc_id, source,

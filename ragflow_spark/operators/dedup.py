@@ -332,6 +332,58 @@ def ngram_jaccard_pairs(
     return out
 
 
+# -------------------------------------------------- paragraph-level dedup
+
+def drop_common_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal: segments (split on
+    ``delim``) that appear in ≥ ``min_docs`` DISTINCT documents are dropped
+    from every document; the rest reassemble in order.
+
+    Scale shape: one explode + one groupBy(segment) with a countDistinct
+    partial agg (the distinct-id set stays map-side-combined per segment),
+    one join back on the segment hash, one groupBy(doc) reassembly. The
+    common-segment set is tiny by construction (it IS the boilerplate), so
+    AQE turns the join broadcast at runtime. Output is compact:
+    (doc_id, n_kept, n_dropped, clean_md5) — the md5 gates reassembly order
+    without shipping the cleaned text."""
+    segs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias("pos", "seg"),
+    )
+    counts = segs.groupBy("seg").agg(
+        F.countDistinct("_id").alias("_ndocs")
+    )
+    tagged = segs.join(counts, "seg")
+    kept_struct = F.when(
+        F.col("_ndocs") < min_docs, F.struct("pos", "seg")
+    )  # null (dropped by collect_list) when the segment is common
+    return (
+        tagged.groupBy("_id")
+        .agg(
+            F.sum((F.col("_ndocs") < min_docs).cast("long")).alias("n_kept"),
+            F.sum((F.col("_ndocs") >= min_docs).cast("long")).alias("n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    delim,
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_kept", "n_dropped", "clean_md5"
+        )
+    )
+
+
 # ------------------------------------------------------ duplicate clusters
 
 def dup_clusters(

@@ -165,3 +165,20 @@ def test_layout_parse_from_page_tags_are_document_absolute():
         for m in [re.match(r"@@(\d+)\t", tag)] if m
     }
     assert tag_pages and tag_pages.issubset({2, 3}), tag_pages
+
+
+def test_drop_common_segments(spark):
+    rows = [
+        (1, "unique one\nshared footer\nunique two"),
+        (2, "other text\nshared footer"),
+        (3, "third doc\nno repeats here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept, r.n_dropped, r.clean_md5)
+           for r in dedup.drop_common_segments(df, "doc_id", "text").collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (2, 1, md5("unique one\nunique two"))
+    assert out[2] == (1, 1, md5("other text"))
+    assert out[3] == (2, 0, md5("third doc\nno repeats here"))
