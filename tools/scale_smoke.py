@@ -1,0 +1,88 @@
+"""131k-doc extraction scale smoke: generate the web-profile corpus (4× the
+scaling-gate size), run the full pipeline to a noop sink, report chunk/error
+counts and steady-state docs/sec; rewrites the '## Scale smoke' section of
+BENCH/BASELINE.md (other sections preserved).
+
+Usage: python tools/scale_smoke.py [n_docs] [cores]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    parts = 8 * cores
+
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.operators.extract import extract_chunks
+    from ragflow_spark.session import get_spark
+    from ragflow_spark.sources.pages import write_pages
+
+    spark = get_spark(app_name="scale_smoke", master=f"local[{cores}]",
+                      shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
+    gen_sec = None
+    if not os.path.exists(path):
+        t0 = time.perf_counter()
+        write_pages(spark, n_docs, path, parallelism=parts, profile="web")
+        gen_sec = round(time.perf_counter() - t0, 1)
+    pages = spark.read.parquet(path)
+
+    chunks = extract_chunks(pages, num_partitions=parts)
+    stats = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        F.countDistinct("url").alias("n_docs"),
+    ).first()
+    # steady state: the stats pass above is the warm-up
+    t0 = time.perf_counter()
+    extract_chunks(pages, num_partitions=parts).write.format("noop").mode(
+        "overwrite").save()
+    wall = round(time.perf_counter() - t0, 1)
+    dps = round(n_docs / wall, 0)
+
+    result = {
+        "n_docs": n_docs, "cores": cores, "partitions": parts,
+        "n_chunks": int(stats.n_chunks), "n_errors": int(stats.n_errors),
+        "docs_covered": int(stats.n_docs),
+        "steady_sec": wall, "docs_per_sec": dps,
+        "gen_sec": gen_sec, "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result))
+
+    md = f"""## Scale smoke (4× the gate corpus; round-2 corpus with TSR tables)
+
+{n_docs:,} web-profile docs at local[{cores}], {parts} partitions, measured
+{result['ts']}: **{result['n_chunks']:,} chunks, {result['n_errors']}
+error rows, {wall} s steady-state → {dps:.0f} docs/s**; no spill, giant
+PDFs bounded by 12-page task windows; ~half the PDFs carry TSR-lite table
+pages.{f" (Corpus generation, distributed via mapInPandas: {gen_sec} s.)" if gen_sec else ""}
+"""
+    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(out_md):
+        prev = open(out_md).read()
+        pat = re.compile(r"## Scale smoke.*?(?=\n## |\Z)", re.S)
+        if pat.search(prev):
+            prev = pat.sub(md.rstrip() + "\n", prev, count=1)
+        else:
+            prev = prev.rstrip() + "\n\n" + md
+        with open(out_md, "w") as f:
+            f.write(prev)
+        print("updated BENCH/BASELINE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
