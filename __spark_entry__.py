@@ -97,6 +97,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_repetition(spark, sf):
         return textstats.repetition_signals(_docs(spark, sf), "doc_id", "text")
 
+    def doc_tokenize(spark, sf):
+        """Bilingual-tokenizer fields (content_ltks shape) over a built-in
+        demo dictionary — rows-only (the DP segmentation has no SQL
+        equivalent; the algorithm is pinned by tests/test_tokenizer.py)."""
+        demo_dict = [
+            "数据 500000 n", "数据库 800000 n", "管理 600000 v",
+            "系统 700000 n", "管理系统 300000 n", "查询 400000 v",
+            "引擎 300000 n", "查询引擎 250000 n", "分布式 350000 n",
+        ]
+        return textstats.tokenize_column(
+            _docs(spark, sf).limit(200), "doc_id", "text", demo_dict
+        )
+
     def top_terms_by_lang(spark, sf):
         from pyspark.sql import Window
 
@@ -493,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_repetition": doc_repetition,
+        "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_sig": doc_minhash_sig,
         "doc_minhash_bands": doc_minhash_bands,
