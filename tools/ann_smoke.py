@@ -76,7 +76,7 @@ def main() -> None:
 
     cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 64)
     def _build():
-        idx = similarity.ivf_build(e, "embedding", "vec_id", cents).persist()
+        idx = similarity.ivf_build_arrow(e, "embedding", "vec_id", cents).persist()
         idx.count()
         return idx
 
@@ -114,7 +114,7 @@ Query = vector 12345; ground truth = brute cosine top-10. Measured
 | path | wall sec | recall vs brute |
 |---|---|---|
 | brute cosine top-10 (TakeOrderedAndProject) | {result['brute_sec']} | 1.0 (truth) |
-| IVF build (64 centroids) | {result['ivf_build_sec']} | — |
+| IVF build (arrow path, 64 centroids) | {result['ivf_build_sec']} | — |
 | IVF top-10, nprobe 8/64 | {result['ivf_topk_sec']} | {result['ivf_recall']:.2f} |
 | PQ train (sampled k-means, driver numpy) | {result['pq_train_sec']} | — |
 | PQ encode (arrow path; m=8, k=64 → 8 codes/vec) | {result['pq_encode_sec']} | — |
