@@ -107,7 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "引擎 300000 n", "查询引擎 250000 n", "分布式 350000 n",
         ]
         return textstats.tokenize_column(
-            _docs(spark, sf).limit(200), "doc_id", "text", demo_dict
+            _docs(spark, sf).orderBy("doc_id").limit(200),
+            "doc_id", "text", demo_dict,
         )
 
     def top_terms_by_lang(spark, sf):
