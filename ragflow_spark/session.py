@@ -17,7 +17,11 @@ from pyspark.sql import SparkSession
 # default Arrow batch would hold gigabytes. 256 rows balances per-batch
 # overhead against worst-case batch bytes — and with 8 MB scan splits a
 # batch can never exceed its split's bytes anyway.
-ARROW_BATCH_ROWS = 256
+# measured at sf0.1 (4096 web docs, local[32]): 64-row batches beat 256
+# (2.1 s vs 2.8 s steady-state) — smaller batches keep python workers fed
+# around giant documents instead of stalling a whole 256-row batch behind
+# one multi-MB PDF; 32 is too fine (per-batch overhead wins again)
+ARROW_BATCH_ROWS = 64
 
 
 def get_spark(
