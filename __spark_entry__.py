@@ -106,8 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "系统 700000 n", "管理系统 300000 n", "查询 400000 v",
             "引擎 300000 n", "查询引擎 250000 n", "分布式 350000 n",
         ]
+        # pruning filter, not orderBy+limit: a global sort of the full table
+        # just to pick a demo slice is the wrong reflex at scale (doc_id is
+        # dense from 0, so the filter selects the same 200 rows)
         return textstats.tokenize_column(
-            _docs(spark, sf).orderBy("doc_id").limit(200),
+            _docs(spark, sf).filter(F.col("doc_id") < 200),
             "doc_id", "text", demo_dict,
         )
 
@@ -333,9 +336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return events.sessionize(_events(spark, sf))
 
     def events_stream_hourly(spark, sf):
-        """Structured Streaming windowed agg, drained with availableNow —
-        rows-only (append mode emits only watermark-closed windows, so the
-        batch oracle's open tail windows are intentionally absent)."""
+        """Structured Streaming windowed agg, drained with availableNow.
+        Oracle-checked: append mode emits exactly the windows CLOSED by the
+        final watermark (max event ts − 2h), so the batch oracle applies the
+        same closed-window filter."""
         import tempfile
 
         from ragflow_spark.streaming.events import (
@@ -1162,6 +1166,18 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_events,
                    round(sum(value), 4) as sum_value
             from s group by user_id, session_seq
+        """,
+        "events_stream_hourly": """
+            -- append-mode contract: only windows closed by the final
+            -- watermark (max ts - 2h) are emitted; a window [s, s+1h) is
+            -- closed when s+1h <= watermark
+            select date_trunc('hour', ts) as window_start, event_type,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 4) as sum_value
+            from events
+            group by 1, 2
+            having date_trunc('hour', ts) + interval 1 hour
+                   <= (select max(ts) from events) - interval 2 hours
         """,
         "events_stream_sessions": """
             with g as (

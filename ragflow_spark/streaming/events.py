@@ -90,7 +90,17 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     LATER event proves it closed — each user's trailing session stays in
     state, exactly like the batch operator's last session minus the
     emission. Bounded state: one row per active user regardless of input
-    length."""
+    length.
+
+    ORDERING CONTRACT: events are sorted within each micro-batch, but there
+    is no watermark across triggers — an event older than the user's
+    ``state.last`` (late arrival in a later batch) cannot be merged into an
+    already-summarized session, so it is DROPPED, not appended (appending
+    would corrupt the open session's boundaries). The single availableNow
+    batch used by tests/backfills sees every event in one trigger, so
+    nothing is dropped there; for genuinely multi-trigger feeds, put an
+    upstream watermarked sort (or accept the drop) — this matches the
+    documented semantics rather than silently corrupting sessions."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
@@ -109,6 +119,10 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         rows = pd.concat(frames).sort_values("ts")
         if state.exists:
             start, last, n, sv = state.get
+            # late events (before the open session's last seen ts) can't be
+            # merged into already-folded state — drop, per the ordering
+            # contract in the docstring
+            rows = rows[rows["ts"] >= pd.Timestamp(last)]
         else:
             start = last = None
             n, sv = 0, 0.0

@@ -182,3 +182,66 @@ def test_drop_common_segments(spark):
     assert out[1] == (2, 1, md5("unique one\nunique two"))
     assert out[2] == (1, 1, md5("other text"))
     assert out[3] == (2, 0, md5("third doc\nno repeats here"))
+
+
+# ------------------------------------------- round-3 guards
+
+def test_dup_clusters_path_graph_logarithmic_rounds(spark):
+    """Adversarial 10k-node path graph: large-star/small-star must converge
+    in O(log n) rounds (naive min-label propagation needs ~n rounds)."""
+    import math
+
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.dup_clusters(pairs)
+    rows = out.collect()
+    assert out._rs_rounds <= 2 * math.log2(n)
+    assert len(rows) == n
+    assert all(r.cluster_id == 0 for r in rows)
+    dedup.release(out)
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.dup_clusters(pairs, max_iter=0)
+
+
+def test_embedding_near_dup_full_scan_requires_opt_in(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        dedup.embedding_near_dup_pairs(df, "vec_id", "embedding")
+    out = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", allow_full_scan=True
+    )
+    assert out.count() == 1
+
+
+def test_dropped_band_count_audit(boilerplate_df):
+    pairs = dedup.minhash_pairs(
+        boilerplate_df, "doc_id", "text", max_band_size=100,
+    )
+    pairs.collect()
+    assert dedup.dropped_band_count(pairs) > 0
+    dedup.release(pairs)
+    ok = dedup.minhash_pairs(
+        boilerplate_df.limit(3), "doc_id", "text", max_band_size=100,
+    )
+    ok.collect()
+    assert dedup.dropped_band_count(ok) == 0
+    dedup.release(ok)
+
+
+def test_drop_common_segments_regex_special_delim(spark):
+    # '|' is regex-special: unescaped it splits between every character
+    rows = [(1, "shared|unique one"), (2, "shared|unique two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_kept, r.n_dropped)
+           for r in dedup.drop_common_segments(df, "doc_id", "text", "|").collect()}
+    assert out == {1: (1, 1), 2: (1, 1)}
