@@ -228,11 +228,23 @@ def layout_parse(
     from_page: int = 0, to_page: int = 100000,
     two_column: bool = False,
     return_tables: bool = False,
+    merge_mode: str = "naive",
+    toc_filter: bool = False,
 ):
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
-    PDFs: boxes → reading-order sort → W3 → W4 → [(text, position_tag)].
+    PDFs: boxes → reading-order sort → W3 → W4/W5 → [(text, position_tag)].
     Documents beyond TASK_PAGE_SIZE pages are processed in page windows,
     mirroring the reference's page-range task splitting (SURVEY §2.5 P1).
+
+    ``merge_mode`` selects the vertical merge tier, matching which one each
+    reference template runs:
+    - ``"naive"``  — W4 ``_naive_vertical_merge`` (book.py:46, laws.py:126)
+    - ``"updown"`` — W5 ``_concat_downward`` with the pluggable scorer
+      (naive.py:150, one.py:47, paper.py:50, manual.py:60); in this mode
+      ``two_column=True`` applies the reference paper pipeline's
+      post-concat X-sort when the pre-concat median box width is under
+      half the page (paper.py:49-58), and ``toc_filter=True`` runs the
+      box-level TOC removal (``_filter_forpages``, paper/manual).
 
     ``return_tables=True`` additionally runs the TSR-lite tier (J3/J4/J5 +
     X9 render, the heuristic analog of ``_extract_table_figure``,
@@ -257,6 +269,7 @@ def layout_parse(
         secs, tbls = _layout_parse_window(
             all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
             w + from_page, extract_tables=return_tables,
+            merge_mode=merge_mode, toc_filter=toc_filter,
         )
         out.extend(secs)
         tables.extend(tbls)
@@ -265,9 +278,73 @@ def layout_parse(
     return out
 
 
+def parse_pdf_general(blob: bytes, lang: str = "English") -> str:
+    """The base parser's generic ``__call__`` surface
+    (pdf_parser.py:1031-1040): text merge → W5 up-down concat → TOC filter
+    → F6 scrap filter, returning the kept chains as one string — chains
+    joined by blank lines, lines carrying their position tags. This is the
+    contract users of ``RAGFlowPdfParser()(path)`` get; the in-scope chunk
+    templates use their own per-app pipelines (see ``layout_parse``)."""
+    from ragflow_spark.core import updown
+
+    all_pages = pdf_mini.extract_boxes(blob)
+    if not all_pages:
+        return ""
+    all_pages = [
+        [b for b in page if not is_garbage_line(b["text"])]
+        for page in all_pages
+    ]
+    all_pages = drop_repeated_chrome(all_pages)
+    page_h, page_w = 792.0, 612.0
+    out_blocks: list[str] = []
+    for w in range(0, len(all_pages), TASK_PAGE_SIZE):
+        pages = all_pages[w:w + TASK_PAGE_SIZE]
+        mh = mean_heights(pages)
+        mw = []
+        for page in pages:
+            ws = [
+                (b["x1"] - b["x0"]) / max(1, len(b["text"]))
+                for b in page if b["text"]
+            ]
+            mw.append(statistics.median(ws) if ws else 6.0)
+        cum = [0.0]
+        for _ in pages:
+            cum.append(cum[-1] + page_h)
+        boxes = []
+        for pn, page in enumerate(pages):
+            for b in sort_y_first(page, mh[pn] / 3):
+                b["top"] += cum[pn]
+                b["bottom"] += cum[pn]
+                b["page_number"] = pn + 1
+                boxes.append(b)
+        boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
+        updown.assign_pseudo_regions(boxes, mh)
+        boxes = updown.concat_downward(boxes, mh, mw)
+        boxes = updown.filter_forpages(boxes, len(pages))
+        # the scrap filter judges usefulness by raw width/height statistics
+        # — strip the pseudo layout_type (a geometric guess, not detector
+        # evidence) so it cannot blanket-qualify every box
+        for b in boxes:
+            b.pop("layout_type", None)
+            b.pop("layoutno", None)
+        chains = updown.filterout_scraps(boxes, page_w, mh)
+        for chain in chains:
+            lines = []
+            for c in chain:
+                off = cum[c["page_number"] - 1]
+                lines.append(c["text"] + line_tag(
+                    c["page_number"] + w,
+                    c["x0"], c["x1"], c["top"] - off, c["bottom"] - off,
+                ))
+            out_blocks.append("\n".join(lines))
+    return "\n\n".join(out_blocks)
+
+
 def _layout_parse_window(
     pages: list[list[dict]], lang: str, two_column: bool, page_offset: int,
     extract_tables: bool = False,
+    merge_mode: str = "naive",
+    toc_filter: bool = False,
 ) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     mh = mean_heights(pages)
     mw = []
@@ -327,7 +404,21 @@ def _layout_parse_window(
     else:
         boxes = [b for pb in per_page for b in pb]
     boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
-    if two_column:
+    if merge_mode == "updown":
+        from ragflow_spark.core import updown
+
+        # paper.py:49: column width is measured BEFORE the concat
+        col_w = None
+        if two_column and boxes:
+            ws = sorted(b["x1"] - b["x0"] for b in boxes)
+            col_w = ws[len(ws) // 2]
+        updown.assign_pseudo_regions(boxes, mh)
+        boxes = updown.concat_downward(boxes, mh, mw)
+        if toc_filter:
+            boxes = updown.filter_forpages(boxes, len(pages))
+        if col_w is not None and col_w < 612.0 / 2:
+            boxes = sort_x_by_page(boxes, col_w / 2)
+    elif two_column:
         # paper pipeline (paper.py:49-58): column detection + X-first
         # reorder replaces the naive vertical merge (which would re-sort Y)
         boxes = two_column_reorder(boxes)
@@ -338,9 +429,18 @@ def _layout_parse_window(
         if not b["text"].strip():
             continue
         off = cum[b["page_number"] - 1]
+        top, bott = b["top"] - off, b["bottom"] - off
+        # W5 can merge across pages: extend the tag's page list while the
+        # bottom overruns the page, reducing bottom into the last page's
+        # coordinates (pdf_parser.py:848-856 _line_tag)
+        pn, extra = b["page_number"], []
+        while bott > page_h and pn < len(pages):
+            bott -= page_h
+            pn += 1
+            extra.append(pn + page_offset)
         tag = line_tag(
             b["page_number"] + page_offset,
-            b["x0"], b["x1"], b["top"] - off, b["bottom"] - off,
+            b["x0"], b["x1"], top, bott, extra_pages=extra,
         )
         sections.append((b["text"], tag))
     return sections, tables_out

@@ -67,7 +67,8 @@ def _finish(chunks: list[str], title: str = "") -> list[ChunkOut]:
 
 
 def sections_for(blob: bytes, fmt: str, cfg: dict,
-                 pdf_layout: bool = True, lang: str = "English"
+                 pdf_layout: bool = True, lang: str = "English",
+                 pdf_merge_mode: str = "updown",
                  ) -> tuple[list, list[str], str]:
     """Format dispatch (rag/app/naive.py:209-289) → (sections, tables,
     title). ``tables`` carries the *naive-template contract* renders —
@@ -100,7 +101,11 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
         if pdf_layout:
             from ragflow_spark.core.pdf_layout import layout_parse
 
-            secs, tbls = layout_parse(blob, lang, return_tables=True)
+            # W5 up-down concat is the naive/one PDF merge tier
+            # (naive.py:150, one.py:47); book/laws pass "naive" for their
+            # _naive_vertical_merge contract (book.py:46, laws.py:126)
+            secs, tbls = layout_parse(blob, lang, return_tables=True,
+                                      merge_mode=pdf_merge_mode)
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
             return secs, [html + tag for html, tag in tbls], ""
@@ -177,7 +182,7 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
     else:
         sections, table_chunks, title = sections_for(
             blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True),
-            lang=lang,
+            lang=lang, pdf_merge_mode="naive",  # book.py:46 W4, not W5
         )
     if fmt in ("txt", "text", "html", "htm"):
         texts_only = [t for t, _ in sections]
@@ -218,7 +223,8 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core.pdf_layout import layout_parse
 
         secs, tbls = layout_parse(blob, lang, two_column=True,
-                                  return_tables=True)
+                                  return_tables=True,
+                                  merge_mode="updown", toc_filter=True)
         sections, title = [(t + tag, "") for t, tag in secs], ""
         table_chunks = [html + tag for html, tag in tbls]
     else:
@@ -347,7 +353,10 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
         # laws reads paragraphs only — tables are dropped (rag/app/laws.py
         # has no tokenize_table call; its docx path iterates Document
         # paragraphs exclusively, laws.py:36-53)
-        sections, _tables, _title = sections_for(blob, fmt, cfg, lang=lang)
+        sections, _tables, _title = sections_for(
+            blob, fmt, cfg, lang=lang,
+            pdf_merge_mode="naive",  # laws.py:126 runs W4, not W5
+        )
         sections = [(t, o) for t, o in sections if t]
     remove_contents_table(sections, eng)
     make_colon_as_title(sections)
@@ -442,7 +451,9 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
     if cfg.get("layout_recognize", True):
         from ragflow_spark.core.pdf_layout import layout_parse
 
-        secs, tbls = layout_parse(blob, lang, return_tables=True)
+        # manual.py:60-61: W5 concat + TOC filter before outline leveling
+        secs, tbls = layout_parse(blob, lang, return_tables=True,
+                                  merge_mode="updown", toc_filter=True)
     else:
         secs, tbls = pdf_mini.plain_parse(blob), []
     # clean mess (manual.py:65-66)

@@ -159,10 +159,13 @@ def test_layout_parse_from_page_tags_are_document_absolute():
     pages = [[f"page {p} line {i}" for i in range(3)] for p in range(1, 4)]
     blob = pdf_mini.build_simple_pdf(pages)
     secs = layout_parse(blob, from_page=1, to_page=3)
+    # page field may be multi-page ("2-3") when a merge crosses pages,
+    # exactly like the reference's _line_tag (pdf_parser.py:848-856)
     tag_pages = {
-        int(m.group(1))
+        int(p)
         for _text, tag in secs
-        for m in [re.match(r"@@(\d+)\t", tag)] if m
+        for m in [re.match(r"@@([\d-]+)\t", tag)] if m
+        for p in m.group(1).split("-")
     }
     assert tag_pages and tag_pages.issubset({2, 3}), tag_pages
 
