@@ -234,6 +234,13 @@ def table_grid(boxes: list[dict], is_english: bool = False
 
     Returns (caption, tbl[rn][cn] -> list of boxes, header row set,
     majority block type)."""
+    cap, tbl, hdset, max_type, _rows, _cols = _table_grid_impl(
+        boxes, is_english
+    )
+    return cap, tbl, hdset, max_type
+
+
+def _table_grid_impl(boxes: list[dict], is_english: bool = False):
     boxes = list(boxes)
     cap = ""
     i = 0
@@ -244,7 +251,7 @@ def table_grid(boxes: list[dict], is_english: bool = False
             i -= 1
         i += 1
     if not boxes:
-        return cap, [], set(), ""
+        return cap, [], set(), "", [], []
 
     from collections import Counter
 
@@ -306,7 +313,7 @@ def table_grid(boxes: list[dict], is_english: bool = False
                 h += 1
         if cnt and h / cnt > 0.5:
             hdset.add(r)
-    return cap, tbl, hdset, max_type
+    return cap, tbl, hdset, max_type, rows, cols
 
 
 def _relocate_singles(tbl, rows, cols) -> None:
@@ -397,15 +404,133 @@ def _relocate_singles(tbl, rows, cols) -> None:
             rows.pop(i)
 
 
+# ------------------------------------------------------- span inference
+
+
+def _centers(groups: list[list[dict]], lo_key: str, hi_key: str
+             ) -> tuple[list[float], list[float]]:
+    lo = [sum(c[lo_key] for c in g) / len(g) for g in groups]
+    hi = [sum(c[hi_key] for c in g) / len(g) for g in groups]
+    return lo, hi
+
+
+def mark_spanning(boxes: list[dict], rows: list[list[dict]],
+                  cols: list[list[dict]]) -> None:
+    """Detector-free stand-in for the TSR model's 'spanning cell' class
+    (pdf_parser.py:270-275 sets SP/H_* from detected span regions): a text
+    box whose own extent covers the centers of ≥2 columns or ≥2 rows IS a
+    merged cell in the rendered PDF, and its box is the span region."""
+    clft, crgt = _centers(cols, "x0", "x1")
+    rtop, rbtm = _centers(rows, "top", "bottom")
+    for b in boxes:
+        ncols = sum(
+            1 for j in range(len(cols))
+            if b["x0"] <= clft[j] + (crgt[j] - clft[j]) / 2 <= b["x1"]
+        )
+        nrows = sum(
+            1 for j in range(len(rows))
+            if b["top"] <= rtop[j] + (rbtm[j] - rtop[j]) / 2 <= b["bottom"]
+        )
+        if ncols >= 2 or nrows >= 2:
+            b["SP"] = 1
+            b["H_left"], b["H_right"] = b["x0"], b["x1"]
+            b["H_top"], b["H_bott"] = b["top"], b["bottom"]
+
+
+def cal_spans(boxes: list[dict], rows: list[list[dict]],
+              cols: list[list[dict]], tbl: list[list], html: bool = True
+              ) -> list[list]:
+    """``__cal_spans`` (table_structure_recognizer.py:500-584): for each
+    SP-tagged box, its colspan covers every column whose center falls in
+    [H_left, H_right] (rows likewise); spanned cells merge into the span's
+    top-left position, becoming None (html render skips them) or sharing
+    the merged array (desc render repeats it), with rowspan/colspan counts
+    written onto the boxes for the HTML attributes."""
+    clft, crgt = _centers(cols, "x0", "x1")
+    rtop, rbtm = _centers(rows, "top", "bottom")
+    for b in boxes:
+        if "SP" not in b:
+            continue
+        b["colspan"] = [b["cn"]]
+        b["rowspan"] = [b["rn"]]
+        for j in range(len(clft)):
+            if j == b["cn"]:
+                continue
+            if clft[j] + (crgt[j] - clft[j]) / 2 < b["H_left"]:
+                continue
+            if crgt[j] - (crgt[j] - clft[j]) / 2 > b["H_right"]:
+                continue
+            b["colspan"].append(j)
+        for j in range(len(rtop)):
+            if j == b["rn"]:
+                continue
+            if rtop[j] + (rbtm[j] - rtop[j]) / 2 < b["H_top"]:
+                continue
+            if rbtm[j] - (rbtm[j] - rtop[j]) / 2 > b["H_bott"]:
+                continue
+            b["rowspan"].append(j)
+
+    def join(arr):
+        return "".join(t["text"] for t in arr) if arr else ""
+
+    for i in range(len(tbl)):
+        for j, arr in enumerate(tbl[i]):
+            if not arr:
+                continue
+            if all("rowspan" not in a and "colspan" not in a for a in arr):
+                continue
+            rowspan, colspan = [], []
+            for a in arr:
+                if isinstance(a.get("rowspan", 0), list):
+                    rowspan.extend(a["rowspan"])
+                if isinstance(a.get("colspan", 0), list):
+                    colspan.extend(a["colspan"])
+            rowspan, colspan = set(rowspan), set(colspan)
+            if len(rowspan) < 2 and len(colspan) < 2:
+                for a in arr:
+                    a.pop("rowspan", None)
+                    a.pop("colspan", None)
+                continue
+            # relocation passes can leave rn/cn stale; the reference
+            # asserts here (tsr:566-567) — include the actual position
+            # instead so a heuristic region degrades, not dies
+            rowspan.add(i)
+            colspan.add(j)
+            rowspan, colspan = sorted(rowspan), sorted(colspan)
+            rowspan = list(range(rowspan[0], rowspan[-1] + 1))
+            colspan = list(range(colspan[0], colspan[-1] + 1))
+            rowspan = [r for r in rowspan if r < len(tbl)]
+            colspan = [c for c in colspan if c < len(tbl[i])]
+            arr = []
+            for r in rowspan:
+                for c in colspan:
+                    arr_txt = join(arr)
+                    if tbl[r][c] and join(tbl[r][c]) != arr_txt:
+                        arr.extend(tbl[r][c])
+                    tbl[r][c] = None if html else arr
+            for a in arr:
+                if len(rowspan) > 1:
+                    a["rowspan"] = len(rowspan)
+                else:
+                    a.pop("rowspan", None)
+                if len(colspan) > 1:
+                    a["colspan"] = len(colspan)
+                else:
+                    a.pop("colspan", None)
+            tbl[rowspan[0]][colspan[0]] = arr
+    return tbl
+
+
 # -------------------------------------------------------------- renders
 
 
 def render_html_table(cap: str, hdset: set[int],
                       tbl: list[list[list[dict]]]) -> str:
-    """``__html_table`` (table_structure_recognizer.py:350-393) without the
-    span machinery (no SP fields model-free). The reference's quirk of
-    adding header TEXTS into the header-row-index set (so a repeated header
-    row is skipped) is kept."""
+    """``__html_table`` (table_structure_recognizer.py:350-393) including
+    colspan/rowspan attributes (``cal_spans`` sets them; spanned positions
+    arrive as None and are skipped). The reference's quirk of adding header
+    TEXTS into the header-row-index set (so a repeated header row is
+    skipped) is kept."""
     hdset = set(hdset)
     html = "<table>"
     if cap:
@@ -422,10 +547,17 @@ def render_html_table(cap: str, hdset: set[int],
             h = min(min(c["bottom"] - c["top"] for c in arr) / 2, 10)
             txt = " ".join(c["text"] for c in _sort_y(arr, h))
             txts.append(txt)
+            # span attributes exactly as __html_table (tsr:372-379); with
+            # no spans sp == "" and the cell renders "<td  >" as before
+            sp = ""
+            if arr[0].get("colspan"):
+                sp = "colspan={}".format(arr[0]["colspan"])
+            if arr[0].get("rowspan"):
+                sp += " rowspan={}".format(arr[0]["rowspan"])
             if i in hdset:
-                row += "<th  >" + txt + "</th>"
+                row += f"<th {sp} >" + txt + "</th>"
             else:
-                row += "<td  >" + txt + "</td>"
+                row += f"<td {sp} >" + txt + "</td>"
         if i in hdset:
             if all(t in hdset for t in txts):
                 continue
@@ -540,10 +672,18 @@ def construct_table(boxes: list[dict], is_english: bool = False,
                     html: bool = False):
     """``TableStructureRecognizer.construct_table`` on the model-free path:
     returns the HTML string (html=True, the naive/paper/book PDF contract,
-    rag/app/naive.py:148) or the natural-language row list."""
-    cap, tbl, hdset, _max_type = table_grid(boxes, is_english)
+    rag/app/naive.py:148) or the natural-language row list. Merged cells
+    are detected geometrically (``mark_spanning``) and folded by the
+    ``cal_spans`` port, so wide header cells render with
+    colspan=/rowspan= exactly like the reference (tsr:339-348)."""
+    cap, tbl, hdset, _max_type, rows, cols = _table_grid_impl(
+        boxes, is_english
+    )
     if not tbl:
         return "" if html else []
+    cells = [b for row in rows for b in row]
+    mark_spanning(cells, rows, cols)
+    tbl = cal_spans(cells, rows, cols, tbl, html=html)
     if html:
         return render_html_table(cap, hdset, tbl)
     return render_desc_table(cap, hdset, tbl, is_english)

@@ -134,3 +134,57 @@ def test_end_to_end_pdf_table_chunk_first():
     assert cks[0].chunk_text.startswith("<table><caption>")
     assert cks[0].spans and cks[0].spans[0].page == 0
     assert any("Intro paragraph" in c.chunk_text for c in cks[1:])
+
+
+# ------------------------------------------------- span inference (round 3)
+
+def test_colspan_wide_header_cell():
+    boxes = [
+        # one box physically spanning both columns (merged header cell)
+        {"text": "Results Summary", "x0": 50, "x1": 250, "top": 10,
+         "bottom": 22, "page_number": 1},
+        _box("metric", 50, 30, w=90), _box("value", 160, 30, w=90),
+        _box("speed", 50, 50, w=90), _box("123", 160, 50, w=90),
+        _box("size", 50, 70, w=90), _box("456", 160, 70, w=90),
+    ]
+    html = tsr_lite.construct_table(boxes, is_english=True, html=True)
+    assert "colspan=2" in html
+    assert html.count("Results Summary") == 1
+    # the spanned-away position emits no empty cell
+    first_row = [ln for ln in html.split("\n") if "Results Summary" in ln][0]
+    assert "<td></td>" not in first_row and "<th></th>" not in first_row
+
+
+def test_rowspan_tall_cell():
+    boxes = [
+        _box("h1", 50, 10, w=90), _box("h2", 160, 10, w=90),
+        # col-0 cell physically covering the next two rows
+        {"text": "merged", "x0": 50, "x1": 140, "top": 30, "bottom": 62,
+         "page_number": 1},
+        _box("a", 160, 30, w=90),
+        _box("b", 160, 50, w=90),
+    ]
+    html = tsr_lite.construct_table(boxes, is_english=True, html=True)
+    assert "rowspan=2" in html
+    assert html.count("merged") == 1
+
+
+def test_span_free_table_unchanged():
+    # regression guard: the pre-span HTML shape (two-space '<td  >') is
+    # byte-identical when no cell spans
+    boxes = _grid_boxes([HEADER, *DATA])
+    html = tsr_lite.construct_table(boxes, is_english=True, html=True)
+    assert "colspan" not in html and "rowspan" not in html
+    assert "<td  >" in html or "<th  >" in html
+
+
+def test_desc_render_with_spans_repeats_merged_text():
+    boxes = [
+        {"text": "Results Summary", "x0": 50, "x1": 250, "top": 10,
+         "bottom": 22, "page_number": 1},
+        _box("metric", 50, 30, w=90), _box("value", 160, 30, w=90),
+        _box("speed", 50, 50, w=90), _box("123", 160, 50, w=90),
+        _box("size", 50, 70, w=90), _box("456", 160, 70, w=90),
+    ]
+    rows = tsr_lite.construct_table(boxes, is_english=True, html=False)
+    assert rows  # desc path survives span folding
