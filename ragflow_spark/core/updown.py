@@ -206,6 +206,9 @@ def rule_score(fea: list) -> float:
         s -= 0.30          # down is numbers-only (page no / data crumb)
     if not fea[3]:
         s -= 0.20          # layout-type mismatch
+    if fea[4] != fea[5]:
+        s -= 0.50          # exactly one side is body text (title/table/
+                           # figure never absorbs or joins a paragraph)
     if fea[6] or fea[7]:
         s -= 0.20          # tables never concat into text
     s -= 0.15 * max(0.0, fea[1] - 1.5)   # vertical-distance penalty
@@ -220,24 +223,32 @@ def rule_score(fea: list) -> float:
 # ----------------------------------------------------------- pseudo regions
 
 def assign_pseudo_regions(boxes: list[dict], mean_height: list[float]) -> None:
-    """Stand-in for the layout detector's ``layoutno``: walk reading-order
-    boxes and start a new region on a page change or a vertical gap over
-    1.5x the page's line height (paragraph break). Mutates boxes, setting
-    ``layoutno``/``layout_type`` the way ``_layouts_rec`` would for plain
-    body text."""
+    """Stand-in for the layout detector's ``layoutno``/``layout_type``:
+    walk reading-order boxes and start a new region on a page change, a
+    vertical gap over 1.5x the page's line height (paragraph break), or a
+    bullet/heading line (``match_proj`` — the deterministic slice of the
+    detector's "title" class). Title lines get ``layout_type="title"`` in
+    their own region, so the W5 fast path never folds a heading into its
+    body — the same separation the detector's title regions provide."""
     region = 0
     prev = None
+    prev_title = False
     for b in boxes:
+        title = match_proj(b["text"])
         if prev is not None:
             mh = mean_height[min(b["page_number"], len(mean_height)) - 1]
             if (
                 b["page_number"] != prev["page_number"]
                 or b["top"] - prev["bottom"] > 1.5 * mh
+                or title
+                or prev_title
             ):
                 region += 1
-        b["layoutno"] = f"text-{region}"
-        b["layout_type"] = "text"
+        kind = "title" if title else "text"
+        b["layoutno"] = f"{kind}-{region}"
+        b["layout_type"] = kind
         prev = b
+        prev_title = title
 
 
 # --------------------------------------------------------- concat downward
@@ -291,6 +302,13 @@ def concat_downward(
                     break
                 if not concat_between_pages and \
                         down["page_number"] > up["page_number"]:
+                    break
+                if up.get("layout_type") == "text" and \
+                        down.get("layout_type") == "title":
+                    # a heading ends the section — body text must not chain
+                    # past it into the next section's paragraphs (the
+                    # reference's detector+booster achieve this separation;
+                    # the skip-and-continue scan would otherwise tunnel)
                     break
                 if up.get("R", "") != down.get("R", "") and \
                         up["text"][-1] != "，":

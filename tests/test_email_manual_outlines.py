@@ -155,3 +155,28 @@ def test_q2b_column_native(spark):
     got = {r.id: r.out for r in df.select("id", q2b(F.col("s")).alias("out")).collect()}
     assert got[1] == "HELLO world!"
     assert got[2] == "中文(全角)123"
+
+
+def test_manual_pdf_title_frequency_fallback():
+    """Outline-less PDF (outlines cover <10% of sections) must exercise the
+    A4 title-frequency path (rag/app/manual.py:207-209): bullet-leveled
+    headings become section pivots and body lines pack under them."""
+    body = " ".join(f"word{i}" for i in range(40))  # >32 tokens per section
+    pages = [[
+        "1. Installation guide",
+        f"unpack the device {body}",
+        "2. Configuration steps",
+        f"open the settings {body}",
+        "3. Maintenance schedule",
+        f"clean the filter {body}",
+    ]]
+    blob = pdf_mini.build_simple_pdf(pages)
+    assert pdf_mini.extract_outlines(blob) == []
+    chunks = run_template("manual", blob, "pdf", lang="English")
+    texts = [c.chunk_text for c in chunks]
+    # numbered headings are the most frequent title level -> they pivot the
+    # packing: one chunk per section, body under its own heading
+    assert len(texts) == 3
+    assert "Installation guide" in texts[0] and "unpack the device" in texts[0]
+    assert "Configuration steps" in texts[1] and "open the settings" in texts[1]
+    assert "Maintenance schedule" in texts[2] and "clean the filter" in texts[2]
