@@ -1225,8 +1225,53 @@ def oracle_sql() -> dict[str, str]:
             join nation on c_nationkey = n_nationkey
             group by n_name
         """,
+        # Winnowing oracle: the rolling k-gram hash unrolls into pure list
+        # algebra — per position, an 8-step Horner fold in HUGEINT with the
+        # same Mersenne modulus; leftmost-min per 4-window via list_indexof;
+        # "record when the min position moves" = keep positions that differ
+        # from their predecessor (min positions are non-decreasing as the
+        # window slides, so the recorded set is the distinct positions).
+        "doc_winnow_fp": """
+            with chars as (
+              select doc_id,
+                     list_transform(range(1, length(lower(text)) + 1),
+                        i -> unicode(substr(lower(text), i, 1))::HUGEINT) as cs
+              from documents
+            ),
+            hs as (
+              select doc_id,
+                     case when len(cs) >= 8 then
+                       list_transform(range(1, len(cs) - 6),
+                         i -> list_reduce(cs[i:i+7],
+                              (acc, c) -> (acc * 1000003 + c)
+                                          % 2305843009213693951))
+                     else []::HUGEINT[] end as hashes
+              from chars
+            ),
+            wins as (
+              select doc_id, hashes,
+                     case when len(hashes) >= 4 then
+                       list_transform(range(1, len(hashes) - 2),
+                         w -> w - 1 + list_indexof(hashes[w:w+3],
+                                                   list_min(hashes[w:w+3])))
+                     else []::BIGINT[] end as argpos
+              from hs
+            ),
+            fp as (
+              select doc_id,
+                     list_transform(
+                       list_filter(range(1, len(argpos) + 1),
+                                   i -> i = 1 or argpos[i] != argpos[i-1]),
+                       i -> hashes[argpos[i]]::BIGINT) as fingerprints
+              from wins
+            )
+            select doc_id,
+                   cast(len(fingerprints) as integer) as n_fingerprints,
+                   md5(array_to_string(fingerprints, ',')) as fp_digest
+            from fp
+        """,
         # extraction-tier queries intentionally omitted (rows-only check):
-        # extract_chunks_docs / extract_pipeline_pages / extract_manifest /
-        # doc_winnow_fp are sequential per-doc algorithms with no ANSI-SQL
-        # equivalent; they are gated byte-identically in pytest.
+        # extract_chunks_docs / extract_pipeline_pages / extract_manifest
+        # are corpus-synthesis pipelines with no ANSI-SQL equivalent; they
+        # are gated byte-identically in pytest.
     }
