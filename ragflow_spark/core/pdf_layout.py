@@ -404,7 +404,11 @@ def _layout_parse_window(
     else:
         boxes = [b for pb in per_page for b in pb]
     boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
-    if merge_mode == "updown":
+    if merge_mode == "none":
+        # line-level output: the qa Pdf pipeline runs neither vertical
+        # merge nor concat (qa.py:93-97 — both calls commented out there)
+        pass
+    elif merge_mode == "updown":
         from ragflow_spark.core import updown
 
         # paper.py:49: column width is measured BEFORE the concat

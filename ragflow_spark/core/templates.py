@@ -294,17 +294,21 @@ def _rm_qa_prefix(txt: str) -> str:
 
 def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
              cfg: dict | None = None) -> list[ChunkOut]:
-    """rag/app/qa.py:294-351 — one chunk per Q/A pair.
+    """rag/app/qa.py:294-408 — one chunk per Q/A pair.
 
     txt/csv: delimiter voted between tab and comma per line counts
     (qa.py:322-327); non-2-column lines extend the running answer; chunk
     text is ``Question: q\\tAnswer: a`` with label prefixes stripped first
     (``beAdoc``/``rmPrefix``, qa.py:251-285). xlsx: column 0 = question,
-    column 1 = answer, headerless (qa.py:29-67)."""
+    column 1 = answer, headerless (qa.py:29-67). pdf: question-bullet walk
+    over line-level boxes (qa.py:72-160). md: '#'-level question stack
+    (qa.py:364-396). docx: Heading-N question stack, table chunks first
+    (qa.py:398-406)."""
     eng = lang.lower() == "english"
     qprefix = "Question: " if eng else "问题："
     aprefix = "Answer: " if eng else "回答："
     pairs: list[tuple[str, str]] = []
+    table_chunks: list[str] = []
     if fmt in ("xlsx", "xls"):
         from ragflow_spark.core import office
 
@@ -330,6 +334,21 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
             question, answer = arr
         if question:
             pairs.append((question, answer))
+    elif fmt == "pdf":
+        from ragflow_spark.core import qa as qa_core
+        from ragflow_spark.core.pdf_layout import layout_parse
+
+        secs, tbls = layout_parse(blob, lang, return_tables=True,
+                                  merge_mode="none")
+        pairs = qa_core.qa_pairs_from_pdf(secs, tbls)
+    elif fmt in ("md", "markdown"):
+        from ragflow_spark.core import qa as qa_core
+
+        pairs = qa_core.qa_pairs_from_markdown(decode_bytes(blob))
+    elif fmt == "docx":
+        from ragflow_spark.core import qa as qa_core
+
+        pairs, table_chunks = qa_core.qa_pairs_from_docx(blob)
     else:
         raise NotImplementedError(f"qa template: unsupported format {fmt}")
     chunks = [
@@ -337,7 +356,8 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
         for q, a in pairs
         if q.strip()
     ]
-    return _finish(chunks)
+    # docx tables first (qa.py:402 res = tokenize_table before the pairs)
+    return _finish([*table_chunks, *chunks])
 
 
 def chunk_laws(blob: bytes, fmt: str, lang: str = "English",

@@ -130,19 +130,23 @@ def extract_chunks(
     pages: DataFrame,
     num_partitions: int | None = None,
     skip_errors_column: bool = False,
-    repartition: bool | str = "auto",
+    repartition: bool | str = True,
 ) -> DataFrame:
     """The end-to-end extraction plan. ``num_partitions`` defaults to the
     session's shuffle partitions.
 
     ``repartition`` controls the physical size-bucketing exchange:
-    - "auto" (default): shuffle only when the scan is coarser than the
-      target parallelism. With fine scan splits (8 MB,
-      spark.sql.files.maxPartitionBytes) the splits themselves bound
-      per-task bytes — a giant doc sits nearly alone in its split — so the
-      exchange is redundant and its non-scaling cost is skipped.
-    - True: always shuffle (PB-scale inputs read with coarse splits).
-    - False: never."""
+    - True (default): always shuffle. Scan splits bound BYTES, not parse
+      COST — parse cost per byte varies 10-100× across formats, so
+      byte-bounded splits inherit the corpus layout's cost skew. Measured
+      at 1M docs / local[32]: forced shuffle 8 702 docs/s with task
+      p99/median 1.69, vs 6 899 docs/s at 2.13 without — the exchange
+      pays for itself (+26%) on top of equalizing the tail; at 131k it
+      ties-or-wins. The shuffle is linear in input bytes with no
+      degenerate keys (url hash + giant lane), so this holds at any scale.
+    - "auto" (deprecated heuristic, kept for comparison runs): shuffle
+      only when the scan is coarser than the target parallelism.
+    - False: never (pre-partitioned inputs)."""
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
