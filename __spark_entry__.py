@@ -97,6 +97,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_repetition(spark, sf):
         return textstats.repetition_signals(_docs(spark, sf), "doc_id", "text")
 
+    def doc_curation(spark, sf):
+        """Composed curation pass: C4 quality + Gopher repetition +
+        stopword lang-ID + exact-dup demotion → keep bit + first failing
+        rule, one projection + one fingerprint shuffle."""
+        from ragflow_spark.operators.curate import curate
+
+        return curate(
+            _docs(spark, sf), "doc_id", "text",
+            allowed_langs=("en", "de", "es", "fr", "zh"),
+        )
+
+    def doc_curation_summary(spark, sf):
+        """What the pipeline threw away: docs + tokens per drop reason."""
+        from ragflow_spark.operators.curate import curate, curation_summary
+
+        return curation_summary(curate(
+            _docs(spark, sf), "doc_id", "text",
+            allowed_langs=("en", "de", "es", "fr", "zh"),
+        ))
+
     def doc_tokenize(spark, sf):
         """Bilingual-tokenizer fields (content_ltks shape) over a built-in
         demo dictionary — rows-only (the DP segmentation has no SQL
@@ -511,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": doc_quality,
         "doc_lang_id": doc_lang_id,
         "doc_repetition": doc_repetition,
+        "doc_curation": doc_curation,
+        "doc_curation_summary": doc_curation_summary,
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_sig": doc_minhash_sig,
@@ -754,6 +776,69 @@ def oracle_sql() -> dict[str, str]:
         f"when s.score_{k} = {best.replace('s.', 's.')} then '{k}'" for k in order
     )
 
+    # composed curation flags (mirrors operators.curate.curate): reused by
+    # doc_curation and doc_curation_summary
+    curation_flags_sql = f"""
+            with s as (
+              select doc_id,
+                     len({_toks_sql('text')}) as n_tokens,
+                     {lang_score_exprs['en']} as score_en,
+                     {lang_score_exprs['de']} as score_de,
+                     {lang_score_exprs['es']} as score_es,
+                     {lang_score_exprs['fr']} as score_fr,
+                     {zh_expr} as score_zh,
+                     round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                           / greatest(len({_toks_sql('text')}), 1), 6) as mean_word_len,
+                     round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1), 6) as punct_ratio,
+                     md5({_norm_sql('text')}) as fp
+              from documents),
+            l as (select *, case when {best} <= 0 then 'und' {pred_cases} end
+                             as pred_lang from s),
+            t as (select doc_id, {_toks_sql('lower(text)')} as toks
+                  from documents),
+            m as (select doc_id, len(toks) as n, len(list_distinct(toks)) as nd,
+                         case when len(toks) >= 2 then
+                           list_transform(range(0, len(toks) - 1),
+                             i -> array_to_string(toks[i+1:i+2], ' '))
+                         else [] end as bg
+                  from t),
+            r as (select doc_id,
+                         round(1.0 - nd::DOUBLE / greatest(n, 1), 6)
+                           as dup_word_frac,
+                         round(case when len(bg) > 0
+                               then 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                               else 0.0 end, 6) as dup_bigram_frac
+                  from m),
+            d as (select doc_id,
+                         min(doc_id) over (partition by fp) as keep_id
+                  from s),
+            flags as (
+              select l.doc_id, l.pred_lang,
+                     cast(l.n_tokens as int) as n_tokens,
+                     cast(case when l.n_tokens >= 5
+                               and l.mean_word_len between 2.0 and 12.0
+                               and l.punct_ratio <= 0.3
+                          then 1 else 0 end as int) as quality_keep,
+                     cast(case when r.dup_word_frac <= 0.3
+                               and r.dup_bigram_frac <= 0.2
+                          then 1 else 0 end as int) as repetition_keep,
+                     cast(case when d.doc_id != d.keep_id then 1 else 0 end
+                          as int) as is_dup
+              from l join r using (doc_id) join d on l.doc_id = d.doc_id),
+            curated as (
+              select *,
+                     case when n_tokens < 5 then 'too_short'
+                          when n_tokens > 50000 then 'too_long'
+                          when pred_lang not in ('en','de','es','fr','zh')
+                               then 'bad_lang'
+                          when quality_keep = 0 then 'low_quality'
+                          when repetition_keep = 0 then 'repetitive'
+                          when is_dup = 1 then 'duplicate'
+                     end as drop_reason
+              from flags)
+    """
+
     return {
         "doc_filter_stats": """
             select lang,
@@ -801,6 +886,20 @@ def oracle_sql() -> dict[str, str]:
                              and punct_ratio <= 0.3
                         then 1 else 0 end as quality_keep
             from q
+        """,
+        "doc_curation": curation_flags_sql + """
+            select doc_id, pred_lang, n_tokens, quality_keep,
+                   repetition_keep, is_dup,
+                   cast(case when drop_reason is null then 1 else 0 end as int)
+                     as keep,
+                   drop_reason
+            from curated
+        """,
+        "doc_curation_summary": curation_flags_sql + """
+            select coalesce(drop_reason, 'kept') as outcome,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_tokens) as bigint) as n_tokens
+            from curated group by 1
         """,
         "doc_lang_id": f"""
             with s as (

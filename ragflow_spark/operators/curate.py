@@ -1,0 +1,139 @@
+"""Document curation: the composed keep/drop decision a training-data
+pipeline runs before tokenization — C4-style quality gates (Raffel et al.
+2020 §2.2), Gopher repetition filters (Rae et al. 2021 §A1.1), stopword
+language ID, and exact-duplicate demotion — in ONE declarative pass plus
+one dedup shuffle, with an auditable ``drop_reason`` per document.
+
+Plan shape at 100 TB: every signal is a native Catalyst expression over
+the text column (no UDF, single projection, whole-stage codegen); the only
+exchange is the fingerprint window for duplicate demotion — the same
+single 16-byte-key shuffle exact dedup costs. Filters compose with the
+scan (predicate pushdown applies to any pre-filter on the input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ragflow_spark.functions.text import (
+    fingerprint_md5,
+    punct_ratio,
+    token_count,
+)
+from ragflow_spark.operators.textstats import lang_scores
+
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def curate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 50_000,
+    allowed_langs: tuple[str, ...] | None = None,
+    max_dup_word: float = 0.3,
+    max_dup_bigram: float = 0.2,
+) -> DataFrame:
+    """One row per document: language, token count, per-family keep flags,
+    the composed ``keep`` bit and the FIRST failing rule as ``drop_reason``
+    (precedence: too_short → too_long → bad_lang → low_quality →
+    repetitive → duplicate; duplicates keep their min-id representative,
+    matching ``exact_dedup_groups``)."""
+    c = F.col(text_col)
+    toks_arr = F.split(F.trim(F.lower(c)), r"\s+")
+    n = token_count(c)
+
+    # language: argmax of the stopword/CJK score vector (lang_id semantics)
+    s = lang_scores(c)
+    best = F.greatest(*[s[k] for k in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for k in LANG_ORDER:
+        pred = pred.when(s[k] == best, F.lit(k))
+
+    # quality (C4 family, quality_features semantics)
+    mean_wordlen = F.round(
+        F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    pr = F.round(punct_ratio(c), 6)
+    quality_keep = (
+        (n >= 5) & (mean_wordlen >= 2.0) & (mean_wordlen <= 12.0) & (pr <= 0.3)
+    )
+
+    # repetition (Gopher family, repetition_signals semantics)
+    n_arr = F.size(toks_arr)
+    dup_word = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(toks_arr)).cast("double")
+        / F.greatest(n_arr, F.lit(1)),
+        6,
+    )
+    zipped = F.zip_with(
+        toks_arr,
+        F.slice(toks_arr, 2, F.greatest(n_arr - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = F.slice(zipped, 1, F.greatest(n_arr - 1, F.lit(0)))
+    dup_bigram = F.round(
+        F.when(
+            n_arr >= 2,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (n_arr - 1).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    repetition_keep = (dup_word <= max_dup_word) & (dup_bigram <= max_dup_bigram)
+
+    staged = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        pred.alias("pred_lang"),
+        quality_keep.alias("_qk"),
+        repetition_keep.alias("_rk"),
+        fingerprint_md5(c).alias("_fp"),
+    )
+    # duplicate demotion: min id per fingerprint keeps, the rest drop —
+    # the one exchange in the plan (16-byte key, map-side combinable)
+    w = Window.partitionBy("_fp")
+    staged = staged.withColumn(
+        "_is_dup", F.col(id_col) != F.min(id_col).over(w)
+    )
+
+    bad_lang = (
+        ~F.col("pred_lang").isin(*allowed_langs)
+        if allowed_langs
+        else F.lit(False)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(bad_lang, "bad_lang")
+        .when(~F.col("_qk"), "low_quality")
+        .when(~F.col("_rk"), "repetitive")
+        .when(F.col("_is_dup"), "duplicate")
+    )
+    return staged.select(
+        F.col(id_col),
+        "pred_lang",
+        "n_tokens",
+        F.col("_qk").cast("int").alias("quality_keep"),
+        F.col("_rk").cast("int").alias("repetition_keep"),
+        F.col("_is_dup").cast("int").alias("is_dup"),
+        reason.isNull().cast("int").alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def curation_summary(flags: DataFrame) -> DataFrame:
+    """Aggregate audit: docs and tokens kept/dropped per reason — the
+    'what did the pipeline throw away' table every curation run reports."""
+    return (
+        flags.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
