@@ -108,6 +108,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             allowed_langs=("en", "de", "es", "fr", "zh"),
         )
 
+    def doc_stream_dedup(spark, sf):
+        """Streaming exact dedup drained with availableNow: output equals
+        the batch keeper set (min doc id per content fingerprint)."""
+        import tempfile
+
+        from ragflow_spark.streaming.events import dedup_stream
+
+        d = tempfile.mkdtemp(prefix="rs_sdedup_")
+        base = _docs(spark, sf)
+        # plant one re-fetch per doc (id + 100000, same text): the stream
+        # must keep exactly the original ids
+        docs = base.union(
+            base.withColumn("doc_id", F.col("doc_id") + 100000)
+        ).select(F.format_string("%09d", "doc_id").alias("doc_key"), "text")
+        src = os.path.join(d, "src")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            dedup_stream(stream, id_col="doc_key", text_col="text")
+            .writeStream.format("parquet")
+            .option("path", os.path.join(d, "out"))
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(os.path.join(d, "out")).select(
+            F.col("doc_key").cast("long").alias("keep_id"), "fp"
+        )
+
     def doc_curation_summary(spark, sf):
         """What the pipeline threw away: docs + tokens per drop reason."""
         from ragflow_spark.operators.curate import curate, curation_summary
@@ -533,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": doc_repetition,
         "doc_curation": doc_curation,
         "doc_curation_summary": doc_curation_summary,
+        "doc_stream_dedup": doc_stream_dedup,
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_sig": doc_minhash_sig,
@@ -900,6 +930,15 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_docs,
                    cast(sum(n_tokens) as bigint) as n_tokens
             from curated group by 1
+        """,
+        "doc_stream_dedup": f"""
+            with u as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 100000, text from documents)
+            select cast(min(doc_id) as bigint) as keep_id,
+                   md5({_norm_sql('text')}) as fp
+            from u group by 2
         """,
         "doc_lang_id": f"""
             with s as (

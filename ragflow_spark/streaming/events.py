@@ -148,3 +148,57 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_stream(pages: DataFrame, id_col: str = "url",
+                 text_col: str = "chunk_text",
+                 ttl_minutes: int | None = None) -> DataFrame:
+    """Streaming exact dedup via ``applyInPandasWithState``: the first
+    arrival of each content fingerprint passes through, later identical
+    arrivals are dropped — the streaming face of
+    ``operators.dedup.exact_dedup`` for a crawl landing zone where the
+    same page is re-fetched across micro-batches.
+
+    State = one boolean per distinct fingerprint seen. Within a batch the
+    keeper is the MIN id (matching the batch operator's min-id keeper);
+    across batches it is first-arrival-wins (streams have no global order
+    to take a min over — the batch-parity tests drain with availableNow
+    where the two coincide). Unbounded distinct content means unbounded
+    state: pass ``ttl_minutes`` to expire fingerprints not seen for that
+    long (re-fetches of long-dormant content then pass through again —
+    the standard bounded-state trade; at 10^12 docs you shard this by
+    fingerprint prefix and let each shard hold its slice)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} string, fp string"
+    state_schema = "seen boolean"
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_minutes
+               else GroupStateTimeout.NoTimeout)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({id_col: [], "fp": []})
+            return
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames)
+        if state.exists:
+            yield pd.DataFrame({id_col: [], "fp": []})
+            return
+        state.update((True,))
+        if ttl_minutes:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        keeper = rows[id_col].min()
+        yield pd.DataFrame({id_col: [keeper], "fp": [key[0]]})
+
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    return (
+        pages.withColumn("fp", fp)
+        .groupBy("fp")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    )

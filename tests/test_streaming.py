@@ -84,3 +84,35 @@ def test_stateful_sessions_equal_batch_minus_trailing(spark, tmpdir_path):
     }
     assert got == expected
     assert len(got) == 4  # 2 users × (3 sessions − 1 trailing)
+
+
+def test_dedup_stream_matches_batch_keepers(spark, tmpdir_path):
+    """Drained with availableNow, the streaming dedup emits exactly the
+    batch exact_dedup keepers (min-id per fingerprint)."""
+    from ragflow_spark.operators.dedup import exact_dedup_groups
+    from ragflow_spark.streaming.events import dedup_stream
+
+    rows = []
+    for i in range(60):
+        # every third doc is a re-fetch of doc i-1 (same normalized text)
+        text = f"content {i - (1 if i % 3 == 2 else 0)} body words"
+        rows.append((f"u{i:03d}", text))
+    df = spark.createDataFrame(rows, "url string, chunk_text string")
+    src = os.path.join(tmpdir_path, "dsrc")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = os.path.join(tmpdir_path, "dout")
+    ckpt = os.path.join(tmpdir_path, "dckpt")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    want = {r.keep_id for r in
+            exact_dedup_groups(df, "url", "chunk_text").collect()}
+    assert got == want
+    assert len(got) == 40  # 60 docs, 20 re-fetches
