@@ -130,6 +130,13 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
             [t for t in office.docx_tables_html(blob) if t],
             "",
         )
+    if fmt == "doc":
+        # legacy binary Word: the reference Tika path yields plain content
+        # lines (naive.py:277-284 — split('\n'), non-empty)
+        from ragflow_spark.core.doc_legacy import extract_doc_text
+
+        lines = extract_doc_text(blob).split("\n")
+        return [(ln, "") for ln in lines if ln], [], ""
     raise NotImplementedError(f"format not supported yet: {fmt}")
 
 

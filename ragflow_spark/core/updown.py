@@ -211,7 +211,12 @@ def rule_score(fea: list) -> float:
                            # figure never absorbs or joins a paragraph)
     if fea[6] or fea[7]:
         s -= 0.20          # tables never concat into text
-    s -= 0.15 * max(0.0, fea[1] - 1.5)   # vertical-distance penalty
+    if fea[2] == 0:
+        # vertical-distance penalty applies within a page only: across a
+        # page break the cumulative-Y distance is dominated by the margins
+        # (already bounded by the 16x-line-height geometric gate), so the
+        # flat page-gap penalty below is the whole distance signal there
+        s -= 0.15 * max(0.0, fea[1] - 1.5)
     s -= 0.05 * max(0, fea[2])           # page-gap penalty
     if fea[23] > 8:
         s -= 0.20          # horizontally detached

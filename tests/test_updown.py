@@ -239,3 +239,20 @@ def test_layout_parse_updown_differs_from_naive():
     joined_n = "".join(t for t, _ in naive).replace(" ", "")
     joined_u = "".join(t for t, _ in ud).replace(" ", "")
     assert joined_n == joined_u
+
+
+def test_concat_downward_bridges_pages():
+    # a sentence split across a page break (cum-rebased coordinates) must
+    # merge when concat_between_pages=True, and must not when False
+    up = box("the findings indicate that", 72, 540, 700, 712, page=1,
+             layoutno="text-0", layout_type="text")
+    down = box("results were conclusive.", 72, 540, 820, 832, page=2,
+               layoutno="text-1", layout_type="text")
+    merged = updown.concat_downward([up.copy(), down.copy()],
+                                    [12.0, 12.0], [6.0, 6.0])
+    assert len(merged) == 1
+    assert merged[0]["text"].endswith("conclusive.")
+    kept = updown.concat_downward([up.copy(), down.copy()],
+                                  [12.0, 12.0], [6.0, 6.0],
+                                  concat_between_pages=False)
+    assert len(kept) == 2
