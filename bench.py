@@ -83,6 +83,8 @@ def main() -> None:
         "doc_winnow_fp",
         "doc_simhash_pairs", "pdf_table_cells", "dup_clusters",
         "emb_pq_topk", "doc_repetition",
+        # round-3 additions append after the frozen r01/r02 sets
+        "doc_curation", "doc_curation_summary",
     ):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
 
@@ -95,7 +97,7 @@ def main() -> None:
         "doc_exact_dedup", "doc_minhash_pairs", "doc_simhash",
         "doc_ngram_jaccard", "doc_lang_id", "doc_quality", "doc_token_stats",
         "doc_winnow_fp", "doc_simhash_pairs", "dup_clusters",
-        "doc_repetition",
+        "doc_repetition", "doc_curation", "doc_curation_summary",
     }
     rates = {"extract_pages": docs_per_sec}
     for name, t in timings.items():

@@ -200,7 +200,9 @@ def build_simple_doc(paragraphs: list[str], compressed: bool = False) -> bytes:
     streams for real-world files)."""
     text = "\r".join(paragraphs)
     utf16 = text.encode("cp1252") if compressed else text.encode("utf-16-le")
-    n_chars = len(text)
+    # MS-DOC CPs count UTF-16 CODE UNITS (a non-BMP char is two), not
+    # Python characters — the reader's 2*n_chars byte read depends on it
+    n_chars = len(utf16) if compressed else len(utf16) // 2
 
     word = bytearray(1024)
     struct.pack_into("<H", word, 0, 0xA5EC)      # wIdent

@@ -248,3 +248,27 @@ def test_drop_common_segments_regex_special_delim(spark):
     out = {r.doc_id: (r.n_kept, r.n_dropped)
            for r in dedup.drop_common_segments(df, "doc_id", "text", "|").collect()}
     assert out == {1: (1, 1), 2: (1, 1)}
+
+
+def test_extract_scan_prunes_unused_columns(spark, tmpdir_path):
+    """The pages scan must not read the wide 'text' column (the UDF only
+    consumes url/warc_ts/html/lang/parser/fmt) — column pruning reaching
+    the parquet ReadSchema is the difference between scanning 100 TB and
+    scanning the 60% of it the pipeline actually uses."""
+    import os
+
+    from ragflow_spark.operators.extract import extract_chunks
+    from ragflow_spark.sources import pages as pages_src
+
+    path = os.path.join(tmpdir_path, "pages_prune")
+    pages_src.write_pages(spark, 32, path, parallelism=2)
+    plan = extract_chunks(spark.read.parquet(path), num_partitions=4)
+    explained = plan._jdf.queryExecution().explainString(
+        plan._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    scan = [ln for ln in explained.split("\n") if "ReadSchema" in ln]
+    assert scan, explained
+    assert "text" not in scan[0].split("ReadSchema:")[1]
+    assert "html" in scan[0]
