@@ -137,6 +137,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_key").cast("long").alias("keep_id"), "fp"
         )
 
+    def doc_split_assign(spark, sf):
+        """Deterministic weighted train/val/test assignment from md5
+        buckets — stable across runs, cluster sizes, input order."""
+        from ragflow_spark.operators.sampling import hash_split
+
+        return hash_split(
+            _docs(spark, sf), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).select("doc_id", "split")
+
+    def doc_stratified_sample(spark, sf):
+        """Per-language deterministic 20% sample, rank-by-hash with a
+        1-row floor per group."""
+        from ragflow_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf), "doc_id", "lang", 0.2
+        ).select("doc_id", "lang")
+
+    def doc_decontam(spark, sf):
+        """13-gram collision decontamination audit: the 'eval set' is the
+        first 25 documents, so exactly those must report contaminated."""
+        from ragflow_spark.operators.decontam import contamination_report
+
+        d = _docs(spark, sf)
+        return contamination_report(
+            d, d.filter(F.col("doc_id") < 25), "doc_id", "text", n=13
+        )
+
     def doc_curation_summary(spark, sf):
         """What the pipeline threw away: docs + tokens per drop reason."""
         from ragflow_spark.operators.curate import curate, curation_summary
@@ -563,6 +592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": doc_curation,
         "doc_curation_summary": doc_curation_summary,
         "doc_stream_dedup": doc_stream_dedup,
+        "doc_split_assign": doc_split_assign,
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_decontam": doc_decontam,
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_sig": doc_minhash_sig,
@@ -939,6 +971,62 @@ def oracle_sql() -> dict[str, str]:
             select cast(min(doc_id) as bigint) as keep_id,
                    md5({_norm_sql('text')}) as fp
             from u group by 2
+        """,
+        "doc_split_assign": f"""
+            with b as (
+              select doc_id,
+                     ({_hex8_to_int_sql("substr(md5(doc_id || ':42'), 1, 8)")})
+                       % 1000000 as bucket
+              from documents)
+            select doc_id,
+                   case when bucket < 800000 then 'train'
+                        when bucket < 900000 then 'val'
+                        else 'test' end as split
+            from b
+        """,
+        "doc_stratified_sample": f"""
+            with b as (
+              select doc_id, lang,
+                     ({_hex8_to_int_sql("substr(md5(doc_id || ':42'), 1, 8)")})
+                       % 1000000 as bucket
+              from documents),
+            r as (select doc_id, lang,
+                         row_number() over (partition by lang
+                                            order by bucket, doc_id) as rk,
+                         count(*) over (partition by lang) as n
+                  from b)
+            select doc_id, lang from r
+            where rk <= greatest(cast(ceil(n * 0.2) as bigint), 1)
+        """,
+        "doc_decontam": """
+            with toks as (
+              select doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') as t
+              from documents),
+            grams as (
+              select doc_id,
+                     list_distinct(case when len(t) >= 13 then
+                       list_transform(range(1, len(t) - 11),
+                         i -> md5(array_to_string(t[i:i+12], ' ')))
+                     else []::VARCHAR[] end) as g
+              from toks),
+            ev as (select distinct unnest(g) as h from grams
+                   where doc_id < 25),
+            ex as (
+              select doc_id, len(g) as n_ngrams,
+                     unnest(case when len(g) = 0
+                            then [cast(NULL as VARCHAR)] else g end) as h
+              from grams),
+            stats as (
+              select e.doc_id, max(e.n_ngrams) as n_ngrams,
+                     sum(case when ev.h is not null then 1 else 0 end)
+                       as n_collisions
+              from ex e left join ev on e.h = ev.h
+              group by e.doc_id)
+            select doc_id, cast(n_ngrams as int) as n_ngrams,
+                   cast(n_collisions as bigint) as n_collisions,
+                   cast(case when n_collisions > 0 then 1 else 0 end as int)
+                     as contaminated
+            from stats
         """,
         "doc_lang_id": f"""
             with s as (

@@ -1,0 +1,61 @@
+"""Deterministic sampling/splitting + decontamination operators."""
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators.decontam import contamination_report
+from ragflow_spark.operators.sampling import hash_split, stratified_sample
+
+
+def test_hash_split_deterministic_and_weighted(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+    # repartition must not change any assignment (stable across layouts)
+    b = hash_split(df.repartition(7), "doc_id",
+                   {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.select("doc_id", "split").exceptAll(
+        b.select("doc_id", "split")).count() == 0
+    # a different seed reassigns some rows
+    c = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                   seed=7)
+    assert a.select("doc_id", "split").exceptAll(
+        c.select("doc_id", "split")).count() > 0
+
+
+def test_stratified_sample_quota_and_floor(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = stratified_sample(df, "doc_id", "grp", 0.1)
+    got = {r.grp: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r.grp] = got.get(r.grp, 0) + 1
+    assert got["big"] == 10          # exact ceil(100 * 0.1)
+    assert got["tiny"] == 1          # min_rows floor: never emptied
+    # deterministic: same call → same ids
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in
+            stratified_sample(df, "doc_id", "grp", 0.1).collect()}
+    assert ids1 == ids2
+
+
+def test_contamination_report_flags_eval_quotes(spark):
+    eval_q = ("what is the capital of france and why does the river "
+              "seine flow through the city of paris today")
+    rows = [
+        (1, f"intro text then {eval_q} then more body words follow here"),
+        (2, "completely unrelated content about spark shuffles and "
+            "partitioning strategies for large scale jobs"),
+        (3, "short doc"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(eval_q,)], "text string")
+    rep = {r.doc_id: r for r in
+           contamination_report(train, ev, "doc_id", "text", n=13).collect()}
+    assert rep[1].contaminated == 1 and rep[1].n_collisions > 0
+    assert rep[2].contaminated == 0
+    assert rep[3].contaminated == 0 and rep[3].n_ngrams == 0
+    assert len(rep) == 3  # zero-collision docs stay in the audit
