@@ -280,8 +280,17 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
 
         slides = office.parse_pptx(blob)
     elif fmt == "pdf":
+        # per-line garbage filter (presentation.py:52-57 __garbage):
+        # numeric/punct-only lines and stubs under 3 chars drop
+        def _garbage(t: str) -> bool:
+            t = t.lower().strip()
+            return bool(re.match(r"[0-9\.,%/-]+$", t)) or len(t) < 3
+
         pages = pdf_mini.extract_text_lines(blob)
-        slides = ["\n".join(lines) for lines in pages]
+        slides = [
+            "\n".join(ln for ln in lines if not _garbage(ln))
+            for lines in pages
+        ]
     else:
         raise NotImplementedError(
             f"presentation template: unsupported format {fmt}"

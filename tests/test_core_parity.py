@@ -389,3 +389,19 @@ def test_qbullets_category():
     assert idx >= 0
     idx, _ = qbullets_category(["no numbering at all"])
     assert idx == -1
+
+
+def test_presentation_pdf_garbage_lines_dropped():
+    """presentation.py:52-57 __garbage: numeric-only lines and <3-char
+    stubs never reach the slide text."""
+    from ragflow_spark.core import pdf_mini
+    from ragflow_spark.core.templates import run_template
+
+    blob = pdf_mini.build_simple_pdf([
+        ["Slide title one", "12.5%", "ok", "real bullet content here"],
+        ["Second slide body line", "3/4", "x"],
+    ])
+    chunks = run_template("presentation", blob, "pdf", lang="English")
+    assert len(chunks) == 2
+    assert chunks[0].chunk_text == "Slide title one\nreal bullet content here"
+    assert chunks[1].chunk_text == "Second slide body line"
