@@ -21,7 +21,6 @@ them); everything in this module is published geometry/bookkeeping:
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 from copy import deepcopy
 
@@ -203,12 +202,16 @@ def heuristic_layouts(
     from ragflow_spark.core.updown import match_proj
 
     def bbox(ty, bxs):
-        return {
+        out = {
             "type": ty,
             "x0": min(b["x0"] for b in bxs), "x1": max(b["x1"] for b in bxs),
             "top": min(b["top"] for b in bxs),
             "bottom": max(b["bottom"] for b in bxs),
         }
+        if "page_number" in bxs[0]:
+            # ride along so synthesized figure boxes stay sortable/taggable
+            out["page_number"] = bxs[0]["page_number"]
+        return out
 
     proposals: list[dict] = []
     regions, rest = tsr_lite.detect_table_regions(list(page_boxes))
@@ -220,7 +223,7 @@ def heuristic_layouts(
             proposals.append(bbox("header", [b]))
         elif b["bottom"] > page_height * 0.9:
             proposals.append(bbox("footer", [b]))
-        elif match_proj(b["text"]):
+        elif match_proj(b["text"].strip()):
             proposals.append(bbox("title", [b]))
         else:
             flow.append(b)
@@ -235,12 +238,8 @@ def heuristic_layouts(
     return proposals
 
 
-_GARBAGE_TEXT = [re.compile(p) for p in (
-    r"^•+$", r"(版权归©|免责条款|地址[:：])", r"\.{3,}",
-    r"^[0-9]{1,2} / ?[0-9]{1,2}$", r"^[0-9]{1,2} of [0-9]{1,2}$",
-    r"^http://[^ ]{12,}", r"(资料|数据)来源[:：]",
-    r"[0-9a-z._-]+@[a-z0-9-]+\.[a-z]{2,3}", r"\(cid *: *[0-9]+ *\)",
-)]
+# the F3 garbage-text bank is shared with the heuristic layout path —
+# one source of truth (pdf_layout._GARBAGE_PATTERNS)
 
 
 def assign_layouts(
@@ -255,7 +254,15 @@ def assign_layouts(
     garbage layouts drop unless the header/footer position exemption
     holds; text-less figure/equation regions synthesize empty boxes; text
     repeated across pages inside garbage layouts is swept at the end.
-    Layout dicts: {type, x0, x1, top, bottom[, score]}."""
+    Layout dicts: {type, x0, x1, top, bottom[, score]}.
+
+    Parity note: synthesized figure boxes take ``figure-{enumerate index}``
+    while real boxes take ``figure-{per-type assignment index}`` — the
+    reference numbers them from the same two different lists
+    (layout_recognizer.py:124,133), so a page can hold two regions sharing
+    a layoutno; kept verbatim."""
+    from ragflow_spark.core.pdf_layout import is_garbage_line
+
     out_boxes: list[dict] = []
     garbages: dict[str, list[str]] = {}
     for pn, (bxs, lts) in enumerate(zip(pages_boxes, pages_layouts)):
@@ -275,7 +282,7 @@ def assign_layouts(
                 if bxs[i].get("layout_type"):
                     i += 1
                     continue
-                if any(p.search(bxs[i]["text"]) for p in _GARBAGE_TEXT):
+                if is_garbage_line(bxs[i]["text"]):
                     bxs.pop(i)
                     continue
                 ii = find_overlapped_with_threshold(bxs[i], lts_, thr=0.4)

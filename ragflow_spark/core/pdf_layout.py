@@ -332,9 +332,17 @@ def parse_pdf_general(blob: bytes, lang: str = "English") -> str:
             lines = []
             for c in chain:
                 off = cum[c["page_number"] - 1]
+                top, bott = c["top"] - off, c["bottom"] - off
+                # W5 merges can cross pages: extend the tag's page list
+                # like _layout_parse_window (pdf_parser.py:848-856)
+                pn, extra = c["page_number"], []
+                while bott > page_h and pn < len(pages):
+                    bott -= page_h
+                    pn += 1
+                    extra.append(pn + w)
                 lines.append(c["text"] + line_tag(
                     c["page_number"] + w,
-                    c["x0"], c["x1"], c["top"] - off, c["bottom"] - off,
+                    c["x0"], c["x1"], top, bott, extra_pages=extra,
                 ))
             out_blocks.append("\n".join(lines))
     return "\n\n".join(out_blocks)

@@ -265,7 +265,7 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
         boxes.append({
             "text": text, "tag": tag, "x0": x0, "top": top,
             "bottom": bottom, "pn": pn,
-            "layout_type": "title" if match_proj(text) else "",
+            "layout_type": "title" if match_proj(text.strip()) else "",
         })
     # tables in reading order, parsed once (qa.py:108-113 sort + get_tbls_info)
     tbls = sorted(
@@ -301,8 +301,12 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
                     tbl_index += 1
                 continue
             sum_tag, sum_section = line_tag, section
-            while ((tbl_pn == last_pn and tbl_top >= last_bottom)
-                   or (tbl_pn > last_pn)) \
+            # tbl_index < len(tables): the exhausted-list sentinel (pn=1,
+            # top=0) must never fold — with malformed line tags (pn=0) the
+            # reference's position conditions alone would loop forever
+            while tbl_index < len(tbls) \
+                    and ((tbl_pn == last_pn and tbl_top >= last_bottom)
+                         or (tbl_pn > last_pn)) \
                     and ((tbl_pn == line_pn and tbl_top <= line_top)
                          or (tbl_pn < line_pn)):
                 sum_tag = f"{tbl_tag}{sum_tag}"
@@ -313,8 +317,9 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
             last_tag = f"{last_tag}{sum_tag}"
         else:
             if last_q:
-                while ((tbl_pn == last_pn and tbl_top >= last_bottom)
-                       or (tbl_pn > last_pn)) \
+                while tbl_index < len(tbls) \
+                        and ((tbl_pn == last_pn and tbl_top >= last_bottom)
+                             or (tbl_pn > last_pn)) \
                         and ((tbl_pn == line_pn and tbl_top <= line_top)
                              or (tbl_pn < line_pn)):
                     last_tag = f"{last_tag}{tbl_tag}"

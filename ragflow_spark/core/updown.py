@@ -67,7 +67,10 @@ _PROJ_PATTERNS = [
     r"[\(（][0-9]+[）\)]",
     r"[0-9]+(、|\.[　 ]|）|\.[^0-9./a-zA-Z_%><-]{4,})",
     r"[0-9]+\.[0-9.]+(、|\.[ 　])",
-    r"[⚫•➢①② ]",
+    # reference-exact bullet class incl. the private-use glyphs and the
+    # ASCII space (pdf_parser.py:104) — a leading-space line matches; the
+    # pseudo-region classifier strips before calling for that reason
+    r"[⚫•➢①② ]",
 ]
 
 
@@ -97,7 +100,7 @@ def proj_match_level(line: str):
         (r"[0-9]+）", 10),
         (r"[\(（][0-9]+[）\)]", 11),
         (r"[零一二三四五六七八九十百]+是", 12),
-        (r"[⚫•➢✓]", 12),
+        (r"[⚫•➢✓]", 12),
     ]:
         if re.match(p, line):
             return j
@@ -239,7 +242,11 @@ def assign_pseudo_regions(boxes: list[dict], mean_height: list[float]) -> None:
     prev = None
     prev_title = False
     for b in boxes:
-        title = match_proj(b["text"])
+        # classify on the stripped text: the reference bullet class
+        # contains an ASCII space, so an unstripped leading-space line
+        # would hallucinate a title (and this classifier amplifies
+        # match_proj far beyond its reference role as one booster feature)
+        title = match_proj(b["text"].strip())
         if prev is not None:
             mh = mean_height[min(b["page_number"], len(mean_height)) - 1]
             if (
@@ -315,14 +322,18 @@ def concat_downward(
                     # reference's detector+booster achieve this separation;
                     # the skip-and-continue scan would otherwise tunnel)
                     break
+                # empty-text skip FIRST: the reference checks the R gate
+                # (which indexes up["text"][-1]) before it and crashes on
+                # an empty-text box carrying a differing R
+                if not down["text"].strip() or not up["text"].strip():
+                    i += 1
+                    continue
                 if up.get("R", "") != down.get("R", "") and \
                         up["text"][-1] != "，":
                     i += 1
                     continue
                 if re.match(r"[0-9]{2,3}/[0-9]{3}$", up["text"]) \
-                        or re.match(r"[0-9]{2,3}/[0-9]{3}$", down["text"]) \
-                        or not down["text"].strip() \
-                        or not up["text"].strip():
+                        or re.match(r"[0-9]{2,3}/[0-9]{3}$", down["text"]):
                     i += 1
                     continue
                 if up["x1"] < down["x0"] - 10 * mw \
@@ -414,11 +425,17 @@ def filter_forpages(boxes: list[dict], n_pages: int) -> list[dict]:
                 break
             prefix = boxes[i]["text"].strip()[:3] if not eng else " ".join(
                 boxes[i]["text"].strip().split(" ")[:2])
-        boxes.pop(i)
+        # the reference pops unconditionally here (pdf_parser.py:575) and
+        # would crash when the while-loop above drained the list — guard it
         if i >= len(boxes) or not prefix:
             break
+        boxes.pop(i)
+        if i >= len(boxes):
+            break
         for j in range(i, min(i + 128, len(boxes))):
-            if not re.match(prefix, boxes[j]["text"]):
+            # re.escape: the prefix is raw document text; the reference
+            # passes it as a regex and crashes on unbalanced metachars
+            if not re.match(re.escape(prefix), boxes[j]["text"]):
                 continue
             for _k in range(i, j):
                 boxes.pop(i)
@@ -428,6 +445,9 @@ def filter_forpages(boxes: list[dict], n_pages: int) -> list[dict]:
 
     page_dirty = [0] * n_pages
     for b in boxes:
+        # reference-verbatim (pdf_parser.py:588): all three alternatives
+        # are the same U+00B7 pair in the original source too — two dead
+        # branches kept for parity, not a transcription loss
         if re.search(r"(··|··|··)", b["text"]):
             page_dirty[b["page_number"] - 1] += 1
     dirty = {i + 1 for i, t in enumerate(page_dirty) if t > 3}

@@ -188,6 +188,10 @@ def dedup_stream(pages: DataFrame, id_col: str = "url",
             return
         rows = pd.concat(frames)
         if state.exists:
+            if ttl_minutes:
+                # refresh on every sighting: 'expire fingerprints not SEEN
+                # for ttl', not 'ttl after first arrival'
+                state.setTimeoutDuration(ttl_minutes * 60 * 1000)
             yield pd.DataFrame({id_col: [], "fp": []})
             return
         state.update((True,))

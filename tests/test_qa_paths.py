@@ -151,3 +151,15 @@ def test_has_qbullet_colon_and_indent_gates():
         {"text": "2. earlier q?", "x0": 72.0, "top": 100.0}, 2, True, [72.0],
     )
     assert bull is None
+
+
+def test_qa_pdf_malformed_tag_terminates():
+    """Sections with empty/malformed position tags must not hang the
+    table-fold walk (sentinel guard)."""
+    sections = [
+        ("intro text", "@@1\t10\t200\t10\t20##"),
+        ("1. What is Spark?", ""),                     # malformed tag
+        ("It is an engine.", "@@1\t10\t200\t80\t90##"),
+    ]
+    pairs = qa.qa_pairs_from_pdf(sections, tables=[])
+    assert isinstance(pairs, list)  # completion IS the assertion

@@ -256,3 +256,46 @@ def test_concat_downward_bridges_pages():
                                   [12.0, 12.0], [6.0, 6.0],
                                   concat_between_pages=False)
     assert len(kept) == 2
+
+
+# ----------------------------------------- round-3 review regressions
+
+def test_filter_forpages_contents_then_blanks_no_crash():
+    # 'Contents' followed only by whitespace boxes must not IndexError
+    bxs = [
+        box("Contents", 50, 550, 10, 22),
+        box("   ", 50, 550, 30, 42),
+        box(" ", 50, 550, 44, 56),
+    ]
+    assert updown.filter_forpages(bxs, 1) == []
+
+
+def test_filter_forpages_regex_metachar_prefix():
+    bxs = [
+        box("Table of contents", 50, 550, 10, 22),
+        box("Chapter (draft one ..... 1", 50, 550, 30, 42),
+        box("Chapter (two ......... 9", 50, 550, 44, 56),
+        box("Chapter (draft one", 50, 550, 58, 70),
+        box("Body text resumes.", 50, 550, 72, 84),
+    ]
+    out = updown.filter_forpages(bxs, 1)  # must not raise re.error
+    texts = [b["text"] for b in out]
+    assert "Body text resumes." in texts
+
+
+def test_concat_downward_empty_text_with_R_no_crash():
+    up = box("", 50, 550, 100, 112, R=1, layout_type="text",
+             layoutno="text-0")
+    down = box("real text", 50, 550, 114, 126, R=2, layout_type="text",
+               layoutno="text-0")
+    out = updown.concat_downward([up, down], [12.0], [6.0])
+    assert any(b["text"] == "real text" for b in out)
+
+
+def test_match_proj_space_is_reference_quirk_but_regions_strip():
+    # the reference bullet class includes an ASCII space — match_proj
+    # keeps that quirk, but region classification strips first
+    assert updown.match_proj(" leading space line")
+    b = box(" leading space line", 50, 550, 100, 112)
+    updown.assign_pseudo_regions([b], [12.0])
+    assert b["layout_type"] == "text"
