@@ -83,6 +83,14 @@ def _extract_batches(batches) -> Iterator:
             try:
                 blob = bytes(row.html) if row.html is not None else b""
                 chunks = run_template(row.parser, blob, row.fmt, row.lang)
+                if not chunks:
+                    # visibility row: every staged doc must appear in the
+                    # chunk table or the manifest's doc_count undercounts
+                    # and count-verified resume reprocesses the partition
+                    # forever (manifest.resume_filter)
+                    emit(row, -1, "", "", [], "",
+                         "EmptyDocument: 0 chunks")
+                    continue
                 for ck in chunks:
                     # tag_text is NULL when identical to chunk_text (the
                     # tag-free formats) — halves output bytes; consumers

@@ -97,18 +97,42 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def resume_filter(pages_with_pid: DataFrame, manifest: DataFrame | None) -> DataFrame:
+def resume_filter(
+    pages_with_pid: DataFrame,
+    manifest: DataFrame | None,
+    url_col: str = "url",
+    verify_counts: bool = True,
+) -> DataFrame:
     """Drop pages whose partition is already manifested as done. A broadcast
     left-anti join — the manifest has one row per partition, always tiny
     relative to the pages table, so no shuffle of the big side's rows beyond
-    the hash-exchange Spark already plans."""
+    the hash-exchange Spark already plans.
+
+    ``verify_counts`` (default on) closes the input-drift foot-gun: a doc
+    APPENDED to the input after a partition was manifested hashes into that
+    done partition and a naive anti-join would silently skip it forever.
+    With verification, a done partition only counts as done while the
+    input's distinct-doc count still equals the manifest's recorded
+    doc_count — drifted partitions reprocess wholesale, which is exact
+    because chunk ids are deterministic and the write is a dynamic
+    partition overwrite. Cost: one count-distinct aggregation over
+    (partition_id, url) — map-side combinable, no text bytes shuffled."""
     if manifest is None:
         return pages_with_pid
     done = (
         manifest.filter(F.col("status") == "done")
-        .select("partition_id")
-        .distinct()
+        .groupBy("partition_id")
+        .agg(F.max_by("doc_count", "attempt").alias("_mdocs"))
     )
+    if verify_counts:
+        counts = pages_with_pid.groupBy("partition_id").agg(
+            F.countDistinct(url_col).alias("_ndocs")
+        )
+        done = (
+            done.join(counts, "partition_id")
+            .filter(F.col("_mdocs") == F.col("_ndocs"))
+        )
     return pages_with_pid.join(
-        F.broadcast(done), on="partition_id", how="left_anti"
+        F.broadcast(done.select("partition_id")),
+        on="partition_id", how="left_anti",
     )

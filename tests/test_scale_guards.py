@@ -272,3 +272,31 @@ def test_extract_scan_prunes_unused_columns(spark, tmpdir_path):
     assert scan, explained
     assert "text" not in scan[0].split("ReadSchema:")[1]
     assert "html" in scan[0]
+
+
+def test_resume_reprocesses_drifted_partitions(spark, tmpdir_path):
+    """Input drift: docs appended after a partition was manifested must be
+    picked up by the next attempt (count-verified resume), not silently
+    skipped by the partition-granular anti-join."""
+    import os
+
+    from ragflow_spark.operators.extract import run_extraction_job
+    from ragflow_spark.sources import pages as pages_src
+
+    out = os.path.join(tmpdir_path, "chunks_drift")
+    man = os.path.join(tmpdir_path, "manifest_drift")
+    first = pages_src.generate_pages_df(spark, 24, parallelism=2)
+    run_extraction_job(first, out, man, num_partitions=8)
+    n1 = spark.read.parquet(out).select("url").distinct().count()
+    assert n1 == 24
+    # append 8 more docs (they hash into already-done partitions)
+    grown = pages_src.generate_pages_df(spark, 32, parallelism=2)
+    run_extraction_job(grown, out, man, num_partitions=8, attempt=2)
+    n2 = spark.read.parquet(out).select("url").distinct().count()
+    assert n2 == 32, "appended docs were silently skipped by resume"
+    # third run with unchanged input is a no-op (counts now match)
+    run_extraction_job(grown, out, man, num_partitions=8, attempt=3)
+    from ragflow_spark.plans.manifest import read_manifest
+
+    m = read_manifest(spark, man)
+    assert m.filter("attempt = 3").count() == 0
