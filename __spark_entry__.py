@@ -562,6 +562,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             media, backend="fake"
         ).select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
 
+    def media_detector_plan(spark, sf):
+        """Distributed V-tier preprocessing: fake-decoded image dims →
+        the real detector_input chain per row → tensor geometry + scale
+        factors (LinearResize.generate_scale mirrored in the oracle)."""
+        from ragflow_spark.operators.multimodal import (
+            decode_media_meta,
+            prep_detector_inputs,
+        )
+
+        media = _docs(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("blob"),
+            F.lit("image").alias("kind"),
+        )
+        meta = decode_media_meta(media, backend="fake")
+        return prep_detector_inputs(meta.filter(F.col("error").isNull()))
+
     def media_frame_plan(spark, sf):
         """Frame-sampling plan over the (fake-decoded) media metadata: one
         row per frame to decode, every 30th frame — a pure explode off the
@@ -628,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fp": doc_winnow_fp,
         "media_meta": media_meta,
         "media_frame_plan": media_frame_plan,
+        "media_detector_plan": media_detector_plan,
     }
 
 
@@ -1212,6 +1230,36 @@ def oracle_sql() -> dict[str, str]:
                      as hamming
             from cand
             where bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        """,
+        "media_detector_plan": f"""
+            -- generate_scale (vision_prep.py / operators.py:253-275):
+            -- min-side fit capped by the max side, banker's rounding
+            -- (round_even) exactly as numpy/python round
+            with dims as (
+              select doc_id as media_id,
+                     cast(64 + {_md5_byte_sql('text', 1)} * 4 as int) as h,
+                     cast(64 + {_md5_byte_sql('text', 0)} * 4 as int) as w
+              from documents),
+            sc as (
+              select media_id, h, w,
+                     case when round_even(
+                              (800.0 / least(h, w)) * greatest(h, w), 0)
+                              > 800
+                          then 800.0 / greatest(h, w)
+                          else 800.0 / least(h, w) end as s
+              from dims),
+            rs as (
+              select media_id, h, w, s,
+                     cast(round_even(h * s, 0) as int) as out_h,
+                     cast(round_even(w * s, 0) as int) as out_w
+              from sc)
+            select media_id, h as in_h, w as in_w,
+                   cast(greatest(ceil(out_h / 32.0) * 32, 32) as int)
+                     as tensor_h,
+                   cast(greatest(ceil(out_w / 32.0) * 32, 32) as int)
+                     as tensor_w,
+                   round(s, 6) as scale_y, round(s, 6) as scale_x
+            from rs
         """,
         "media_meta": f"""
             select doc_id as media_id,

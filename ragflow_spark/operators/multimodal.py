@@ -98,3 +98,61 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+DETECTOR_PLAN_SCHEMA = (
+    "media_id long, in_h int, in_w int, tensor_h int, tensor_w int, "
+    "scale_y double, scale_x double"
+)
+
+
+def prep_detector_inputs(
+    df: DataFrame, id_col: str = "media_id",
+    width_col: str = "width", height_col: str = "height",
+    target_size: int = 800,
+) -> DataFrame:
+    """Distributed V-tier preprocessing plan: for each decoded image's
+    (h, w), run the real preprocessing chain (core.vision_prep
+    ``detector_input`` on a synthetic array of those dims) and emit the
+    tensor geometry + scale factors an ONNX layout/TSR session would
+    consume. The chain itself executes per row — this is the actual
+    preprocessing work a detector stage does, minus only the model call;
+    the scale rule (LinearResize.generate_scale) is mirrored bit-exactly
+    in the DuckDB oracle."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_spark.core.vision_prep import (
+            detector_input,
+            generate_scale,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "in_h", "in_w", "tensor_h", "tensor_w",
+                "scale_y", "scale_x",
+            )}
+            for r in pdf.itertuples():
+                h, w = int(getattr(r, height_col)), int(getattr(r, width_col))
+                if h <= 0 or w <= 0:
+                    continue
+                im = np.zeros((h, w, 3), dtype=np.uint8)
+                tensor, _info = detector_input(im, target_size=target_size)
+                # emit the float64 scales (the reference's im_info carries
+                # float32, but a float32 round-trip shifts the 6th decimal
+                # vs the oracle's double arithmetic)
+                sy, sx = generate_scale((h, w), target_size)
+                out["media_id"].append(getattr(r, id_col))
+                out["in_h"].append(h)
+                out["in_w"].append(w)
+                out["tensor_h"].append(tensor.shape[1])
+                out["tensor_w"].append(tensor.shape[2])
+                out["scale_y"].append(round(sy, 6))
+                out["scale_x"].append(round(sx, 6))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, width_col, height_col).mapInPandas(
+        run, schema=DETECTOR_PLAN_SCHEMA
+    )
