@@ -230,6 +230,7 @@ def layout_parse(
     return_tables: bool = False,
     merge_mode: str = "naive",
     toc_filter: bool = False,
+    same_bullet: bool = False,
 ):
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
     PDFs: boxes → reading-order sort → W3 → W4/W5 → [(text, position_tag)].
@@ -270,6 +271,7 @@ def layout_parse(
             all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
             w + from_page, extract_tables=return_tables,
             merge_mode=merge_mode, toc_filter=toc_filter,
+            same_bullet=same_bullet,
         )
         out.extend(secs)
         tables.extend(tbls)
@@ -353,6 +355,7 @@ def _layout_parse_window(
     extract_tables: bool = False,
     merge_mode: str = "naive",
     toc_filter: bool = False,
+    same_bullet: bool = False,
 ) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
     mh = mean_heights(pages)
     mw = []
@@ -436,6 +439,15 @@ def _layout_parse_window(
         boxes = two_column_reorder(boxes)
     else:
         boxes = naive_vertical_merge(boxes, mh, mw, lang.lower() == "english")
+        if toc_filter:
+            # book order (book.py:46-50): W4 → _filter_forpages → W6
+            from ragflow_spark.core import updown
+
+            boxes = updown.filter_forpages(boxes, len(pages))
+        if same_bullet:
+            from ragflow_spark.core import updown
+
+            boxes = updown.merge_with_same_bullet(boxes)
     sections = []
     for b in boxes:
         if not b["text"].strip():

@@ -102,10 +102,17 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
             from ragflow_spark.core.pdf_layout import layout_parse
 
             # W5 up-down concat is the naive/one PDF merge tier
-            # (naive.py:150, one.py:47); book/laws pass "naive" for their
-            # _naive_vertical_merge contract (book.py:46, laws.py:126)
-            secs, tbls = layout_parse(blob, lang, return_tables=True,
-                                      merge_mode=pdf_merge_mode)
+            # (naive.py:150, one.py:47); laws passes "naive" for its bare
+            # _naive_vertical_merge (laws.py:126); book passes "book" =
+            # W4 → box-level TOC filter → W6 same-bullet merge
+            # (book.py:46-50)
+            secs, tbls = layout_parse(
+                blob, lang, return_tables=True,
+                merge_mode=("naive" if pdf_merge_mode == "book"
+                            else pdf_merge_mode),
+                toc_filter=pdf_merge_mode == "book",
+                same_bullet=pdf_merge_mode == "book",
+            )
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
             return secs, [html + tag for html, tag in tbls], ""
@@ -189,7 +196,7 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
     else:
         sections, table_chunks, title = sections_for(
             blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True),
-            lang=lang, pdf_merge_mode="naive",  # book.py:46 W4, not W5
+            lang=lang, pdf_merge_mode="book",  # book.py:46-50: W4+F5+W6
         )
     if fmt in ("txt", "text", "html", "htm"):
         texts_only = [t for t, _ in sections]

@@ -393,6 +393,36 @@ def concat_downward(
     return sorted(out, key=lambda b: (b["top"], b["x0"]))
 
 
+def merge_with_same_bullet(boxes: list[dict]) -> list[dict]:
+    """W6 (pdf_parser.py:601-623): consecutive boxes opening with the SAME
+    non-letter, non-CJK character (a bullet glyph) join with a newline —
+    the box-level bullet-list stitch the book template runs after its
+    vertical merge. Blank boxes are dropped as the reference walks."""
+    boxes = list(boxes)
+    i = 0
+    while i + 1 < len(boxes):
+        b, b_ = boxes[i], boxes[i + 1]
+        if not b["text"].strip():
+            boxes.pop(i)
+            continue
+        if not b_["text"].strip():
+            boxes.pop(i + 1)
+            continue
+        c0, c1 = b["text"].strip()[0], b_["text"].strip()[0]
+        if c0 != c1 \
+                or c0.lower() in set("qwertyuopasdfghjklzxcvbnm") \
+                or "一" <= c0 <= "鿿" \
+                or b["top"] > b_["bottom"]:
+            i += 1
+            continue
+        b_["text"] = b["text"] + "\n" + b_["text"]
+        b_["x0"] = min(b["x0"], b_["x0"])
+        b_["x1"] = max(b["x1"], b_["x1"])
+        b_["top"] = b["top"]
+        boxes.pop(i)
+    return boxes
+
+
 # ------------------------------------------------------------ TOC removal
 
 def filter_forpages(boxes: list[dict], n_pages: int) -> list[dict]:

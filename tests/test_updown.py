@@ -299,3 +299,22 @@ def test_match_proj_space_is_reference_quirk_but_regions_strip():
     b = box(" leading space line", 50, 550, 100, 112)
     updown.assign_pseudo_regions([b], [12.0])
     assert b["layout_type"] == "text"
+
+
+def test_merge_with_same_bullet():
+    bxs = [
+        box("• first bullet item", 50, 550, 100, 112),
+        box("• second bullet item", 50, 550, 114, 126),
+        box("• third one", 50, 550, 128, 140),
+        box("normal paragraph after", 50, 550, 150, 162),
+        box("another normal line", 50, 550, 164, 176),
+    ]
+    out = updown.merge_with_same_bullet(bxs)
+    texts = [b["text"] for b in out]
+    assert texts[0] == "• first bullet item\n• second bullet item\n• third one"
+    # letter-initial and CJK-initial lines never bullet-merge
+    assert texts[1] == "normal paragraph after"
+    assert texts[2] == "another normal line"
+    cjk = [box("中文第一行", 50, 550, 100, 112),
+           box("中文第二行", 50, 550, 114, 126)]
+    assert len(updown.merge_with_same_bullet(cjk)) == 2
