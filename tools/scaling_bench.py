@@ -149,13 +149,18 @@ per-query timings at sf0.1.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # preserve manually-added sections below the generated block
+    # preserve manually-added sections below the generated block — the
+    # earliest marker present wins (the comparability notes live above the
+    # smoke sections and were silently dropped when only "## Scale smoke"
+    # was preserved)
     extra = ""
     if os.path.exists(out_md):
         prev = open(out_md).read()
-        marker = "## Scale smoke"
-        if marker in prev:
-            extra = "\n" + prev[prev.index(marker):]
+        idxs = [prev.index(m) for m in
+                ("## Bench comparability", "## Scale smoke")
+                if m in prev]
+        if idxs:
+            extra = "\n" + prev[min(idxs):]
     with open(out_md, "w") as f:
         f.write(md + extra)
     print("wrote BENCH/BASELINE.md")
