@@ -405,3 +405,40 @@ def test_presentation_pdf_garbage_lines_dropped():
     assert len(chunks) == 2
     assert chunks[0].chunk_text == "Slide title one\nreal bullet content here"
     assert chunks[1].chunk_text == "Second slide body line"
+
+
+def test_templates_survive_adversarial_bytes():
+    """Every template/format pair must terminate promptly on hostile input
+    (truncated containers, bombs, junk bytes) — exceptions are fine (the
+    pipeline's per-doc isolation converts them to error rows), hangs and
+    interpreter-level crashes are not."""
+    import itertools
+    import random
+    import time
+
+    from ragflow_spark.core.templates import run_template
+
+    rng = random.Random(42)
+    payloads = [
+        b"",
+        b"\x00" * 2048,
+        bytes(rng.randrange(256) for _ in range(4096)),
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog",
+        b"PK\x03\x04" + bytes(rng.randrange(256) for _ in range(256)),
+        (b"[" * 500) + (b"]" * 500),
+        b"\xff\xfe\xfa\xc0\xc1" * 200,
+        b"<div>" * 5000,
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 600,
+    ]
+    parsers = ["naive", "book", "paper", "one", "presentation", "qa",
+               "laws", "manual", "email"]
+    fmts = ["html", "txt", "md", "json", "pdf", "docx", "doc", "eml"]
+    t0 = time.time()
+    for (p, f), blob in itertools.product(
+        itertools.product(parsers, fmts), payloads
+    ):
+        try:
+            run_template(p, blob, f, "English")
+        except Exception:
+            pass  # error rows downstream; only hangs/crashes fail here
+    assert time.time() - t0 < 120
