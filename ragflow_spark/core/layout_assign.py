@@ -307,9 +307,17 @@ def assign_layouts(
         bxs = [dict(b) for b in bxs]
         lts = [dict(lt) for lt in lts]
         if lts:
+            # sort_Y_firstly with mean-height/2 threshold
+            # (layout_recognizer.py:80-81): plain (top, x0) sort, then
+            # bubble-restore x order for regions on the same visual line
             mean_h = sum(lt["bottom"] - lt["top"] for lt in lts) / len(lts)
             lts.sort(key=lambda r: (r["top"], r["x0"]))
-            _ = mean_h  # reference sorts Y-first with mean/2 threshold
+            thr = mean_h / 2
+            for i in range(len(lts) - 1):
+                for j in range(i, -1, -1):
+                    if abs(lts[j + 1]["top"] - lts[j]["top"]) < thr \
+                            and lts[j + 1]["x0"] < lts[j]["x0"]:
+                        lts[j], lts[j + 1] = lts[j + 1], lts[j]
             lts = layouts_cleanup(bxs, lts)
 
         def find_layout(ty):
