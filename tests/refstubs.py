@@ -1,0 +1,157 @@
+"""Import /root/reference modules with their asset/binary deps stubbed,
+for direct A/B parity tests (the reference's own code executing against
+ours). Token counting and tokenization route through OUR deterministic
+stand-ins on both sides — those are the documented deviations — so any
+remaining difference is an implementation divergence."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+_READY = False
+
+
+class _AnyAttrModule(types.ModuleType):
+    """Module stub that yields a benign constant for any attribute —
+    enough for modules only touched inside methods we never call (cv2
+    constants in default args, etc.)."""
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return 0
+
+
+def install_reference_stubs() -> None:
+    global _READY
+    if _READY:
+        return
+    from ragflow_spark.core.tokens import num_tokens_from_string as our_nts
+    from ragflow_spark.core.updown import default_tokenize
+
+    class _Enc:
+        def encode(self, s):
+            return list(range(our_nts(s)))
+
+        def decode(self, toks):
+            return ""
+
+    def _mod(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    def _raise(exc):
+        def f(s):
+            raise exc(s)
+        return f
+
+    _mod("tiktoken", get_encoding=lambda name: _Enc())
+    pil_img = _AnyAttrModule("PIL.Image")
+    pil_img.Image = type("Image", (), {})
+    sys.modules["PIL.Image"] = pil_img
+    _mod("PIL", Image=pil_img)
+    _mod("roman_numbers", number=_raise(ValueError))
+    w2n_sub = _mod("word2number.w2n", word_to_num=_raise(ValueError))
+    _mod("word2number", w2n=w2n_sub)
+    _mod("cn2an", cn2an=_raise(ValueError))
+    fu = _mod("api.utils.file_utils",
+              get_project_base_directory=lambda: "/tmp",
+              traversal_files=lambda p: [])
+    au = _mod("api.utils", file_utils=fu)
+    _mod("api.settings", LIGHTEN=1)
+    _mod("api", utils=au, settings=sys.modules["api.settings"])
+    _mod("rag.nlp.rag_tokenizer",
+         tokenize=lambda s: " ".join(default_tokenize(s)),
+         fine_grained_tokenize=lambda s: s,
+         is_chinese=lambda c: "一" <= c <= "鿿",
+         tag=lambda t: "")
+    sys.modules.setdefault("cv2", _AnyAttrModule("cv2"))
+    _mod("onnxruntime")
+    _mod("pdfplumber", open=_raise(RuntimeError))
+    _mod("pypdf", PdfReader=object)
+
+    class _DMatrix:
+        def __init__(self, rows):
+            self.rows = rows
+
+    _mod("xgboost", DMatrix=_DMatrix, Booster=object)
+    _mod("huggingface_hub", snapshot_download=lambda **kw: "/tmp")
+    shp = _mod("shapely")
+    shp_geom = _mod("shapely.geometry", Polygon=object)
+    shp.geometry = shp_geom
+    sys.modules.setdefault("pyclipper", _AnyAttrModule("pyclipper"))
+    _mod("docx", Document=object)
+    _mod("openpyxl", load_workbook=object, Workbook=object)
+    _mod("pptx", Presentation=object)
+    _mod("markdown", markdown=lambda s, **kw: s)
+    sys.modules.setdefault("chardet", _AnyAttrModule("chardet"))
+    sys.modules.setdefault("html_text", _AnyAttrModule("html_text"))
+    sys.modules.setdefault("readability", _AnyAttrModule("readability"))
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    _READY = True
+
+
+def load_ref_nlp():
+    install_reference_stubs()
+    import rag.nlp as ref_nlp
+
+    return ref_nlp
+
+
+def load_ref_pdf_parser():
+    """The RAGFlowPdfParser CLASS without running its model-loading
+    __init__ — callers set the per-doc attrs (boxes, mean_height, ...)
+    and drive individual stages."""
+    install_reference_stubs()
+    from deepdoc.parser.pdf_parser import RAGFlowPdfParser
+
+    return RAGFlowPdfParser
+
+
+def load_ref_tsr():
+    install_reference_stubs()
+    from deepdoc.vision.table_structure_recognizer import (
+        TableStructureRecognizer,
+    )
+
+    return TableStructureRecognizer
+
+
+def load_ref_recognizer():
+    install_reference_stubs()
+    from deepdoc.vision.recognizer import Recognizer
+
+    return Recognizer
+
+
+def bare_pdf_parser(mean_height, mean_width, page_sizes=None,
+                    page_cum_height=None, predict=None):
+    """object.__new__ instance with the attrs the W/F stages read; the
+    up-down booster slot takes any predict(fea)->score callable."""
+    cls = load_ref_pdf_parser()
+    obj = object.__new__(cls)
+    obj.mean_height = list(mean_height)
+    obj.mean_width = list(mean_width)
+    obj.page_cum_height = list(page_cum_height or [0.0])
+    obj.lefted_chars = []
+    obj.boxes = []
+
+    class _Img:
+        def __init__(self, wh):
+            self.size = wh
+
+    obj.page_images = [_Img(wh) for wh in (page_sizes or [])]
+
+    class _Mdl:
+        def predict(self, dmatrix):
+            return [predict(fea) for fea in dmatrix.rows]
+
+    if predict is not None:
+        obj.updown_cnt_mdl = _Mdl()
+    return obj

@@ -1,0 +1,223 @@
+"""Direct A/B parity for the PDF W/F tier and TSR-lite against the
+reference's own code (deepdoc.parser.pdf_parser / table_structure_
+recognizer, imported via tests.refstubs with asset deps stubbed).
+
+Shared stand-ins on BOTH sides (the documented deviations): tokenization
+(our default_tokenize through the rag_tokenizer stub) and the up-down
+scorer (our rule_score injected as the booster). Everything else must
+agree because the implementations agree."""
+
+import copy
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+import refstubs  # noqa: E402
+
+from ragflow_spark.core import pdf_layout, tsr_lite, updown  # noqa: E402
+
+TEXTS = [
+    "The quick brown fox,", "jumped over the dog.", "1. item starts",
+    "因此，模型效果，", "显著提升。", "ends with period.", "(bracketed)",
+    "UPPER Case Start", "123.45%", "trailing (open paren",
+    "closes) here", "short", "key: value pairs here",
+]
+
+
+def box(text, x0, x1, top, bottom, page=1, lt="text", ln="text-0", **kw):
+    return {"text": text, "x0": x0, "x1": x1, "top": top, "bottom": bottom,
+            "page_number": page, "layout_type": lt, "layoutno": ln, **kw}
+
+
+def _mk_lines(seed, n=14, max_pages=4):
+    r = random.Random(seed)
+    out, top, page = [], 100.0, 1
+    for _ in range(n):
+        out.append(box(r.choice(TEXTS), 50 + r.choice([0, 0, 30]), 400,
+                       top, top + 12, page=page))
+        top += r.choice([14.0, 14.0, 30.0, 80.0])
+        if r.random() < 0.15 and page < max_pages:
+            page += 1
+            top = 800.0 * (page - 1) + 60
+    return out
+
+
+MH, MW = [12.0] * 4, [6.0] * 4
+
+
+def _bare(predict=updown.rule_score):
+    return refstubs.bare_pdf_parser(MH, MW, page_sizes=[(612, 792)] * 4,
+                                    page_cum_height=[0, 792, 1584, 2376],
+                                    predict=predict)
+
+
+# ------------------------------------------------------------- features
+
+@pytest.mark.parametrize("seed", range(6))
+def test_updown_features_ab(seed):
+    obj = _bare()
+    r = random.Random(seed)
+    for _ in range(60):
+        up = box(r.choice(TEXTS), 10, 10 + r.randint(50, 400), 100,
+                 100 + r.randint(8, 16), in_row=r.randint(0, 5))
+        down = box(r.choice(TEXTS), 10, 10 + r.randint(50, 400), 118,
+                   118 + r.randint(8, 16), in_row=r.randint(0, 5))
+        a = obj._updown_concat_features(dict(up), dict(down))
+        b = updown.updown_concat_features(dict(up), dict(down))
+        assert list(a) == list(b), (up["text"], down["text"])
+
+
+# ------------------------------------------------------------------- W4
+
+@pytest.mark.parametrize("seed", range(20))
+def test_naive_vertical_merge_ab(seed):
+    lines = _mk_lines(seed)
+    obj = _bare()
+    obj.boxes = copy.deepcopy(lines)
+    obj.is_english = True
+    obj._naive_vertical_merge()
+    ref_out = [b["text"] for b in obj.boxes]
+    ours = [b["text"] for b in pdf_layout.naive_vertical_merge(
+        copy.deepcopy(lines), MH, MW, True)]
+    assert ref_out == ours
+
+
+# ------------------------------------------------------------------- W5
+
+@pytest.mark.parametrize("seed", range(20))
+def test_concat_downward_ab(seed):
+    # both sides score with rule_score; region labels pre-assigned the
+    # same way, so the walks must take identical paths. NOTE our port's
+    # one documented deviation (cross-region pairs fall through to the
+    # scorer instead of the fast-path veto) only diverges when layoutnos
+    # differ within lookahead<5 — assign a single region to compare the
+    # shared behavior exactly.
+    lines = _mk_lines(seed, n=10, max_pages=2)
+    obj = _bare()
+    obj.boxes = copy.deepcopy(lines)
+    obj._concat_downward()
+    ref_out = [b["text"] for b in obj.boxes]
+    ours = [b["text"] for b in updown.concat_downward(
+        copy.deepcopy(lines), MH, MW)]
+    assert ref_out == ours
+
+
+# ------------------------------------------------------------------- W6
+
+@pytest.mark.parametrize("seed", range(10))
+def test_merge_with_same_bullet_ab(seed):
+    r = random.Random(seed)
+    lines = []
+    top = 100.0
+    for i in range(12):
+        t = r.choice(["• bullet item " + str(i), "- dash item " + str(i),
+                      "plain line " + str(i), "第一条 规则", " "])
+        lines.append(box(t, 50, 400, top, top + 12))
+        top += 14
+    obj = _bare()
+    obj.boxes = copy.deepcopy(lines)
+    obj._merge_with_same_bullet()
+    ref_out = [b["text"] for b in obj.boxes]
+    ours = [b["text"] for b in updown.merge_with_same_bullet(
+        copy.deepcopy(lines))]
+    assert ref_out == ours
+
+
+# ------------------------------------------------------------------- F5
+
+def test_filter_forpages_ab():
+    bxs = [
+        box("Introduction text first.", 50, 550, 10, 22),
+        box("Contents", 50, 550, 30, 42),
+        box("第一章 总则 .......... 1", 50, 550, 44, 56),
+        box("第二章 细则 .......... 9", 50, 550, 58, 70),
+        box("第一章 总则", 50, 550, 86, 98),
+        box("Body resumes here normally.", 50, 550, 100, 112),
+    ]
+    obj = _bare()
+    obj.boxes = copy.deepcopy(bxs)
+    obj._filter_forpages()
+    ref_out = [b["text"] for b in obj.boxes]
+    ours = [b["text"] for b in updown.filter_forpages(copy.deepcopy(bxs), 4)]
+    assert ref_out == ours
+
+
+# ------------------------------------------------------------------- F6
+
+@pytest.mark.parametrize("seed", range(10))
+def test_filterout_scraps_ab(seed):
+    r = random.Random(seed)
+    bxs = []
+    top = 100.0
+    for i in range(10):
+        wide = r.random() < 0.6
+        x1 = 500 if wide else 120
+        bxs.append(box(r.choice(TEXTS), 50, x1, top, top + 12,
+                       lt="", ln="0"))
+        top += r.choice([14.0, 30.0])
+    for b in bxs:
+        b.pop("layout_type")
+    obj = _bare()
+    ref_txt = obj._RAGFlowPdfParser__filterout_scraps(
+        copy.deepcopy(bxs), 1)
+    chains = updown.filterout_scraps(copy.deepcopy(bxs), 612.0, MH)
+    # rebuild the reference's joined-text shape with its _line_tag
+    ours = "\n\n".join(
+        "\n".join(c["text"] + obj._line_tag(c, 1) for c in chain)
+        for chain in chains
+    )
+    # one documented deviation: a not-usefull chain head with a bullet
+    # makes the reference keep an EMPTY block (np.mean([]) NaN path,
+    # pdf_parser.py:922-926); we skip empty chains — compare modulo them
+    ref_blocks = [b for b in ref_txt.split("\n\n") if b]
+    assert ref_blocks == [b for b in ours.split("\n\n") if b]
+
+
+# ----------------------------------------------------------- sort / TSR
+
+@pytest.mark.parametrize("seed", range(10))
+def test_sort_x_by_page_ab(seed):
+    cls = refstubs.load_ref_pdf_parser()
+    r = random.Random(seed)
+    bxs = [box(str(i), r.choice([50, 60, 300]), 400,
+               r.uniform(0, 700), 0, page=r.randint(1, 2))
+           for i in range(15)]
+    for b in bxs:
+        b["bottom"] = b["top"] + 12
+    a = [b["text"] for b in cls.sort_X_by_page(copy.deepcopy(bxs), 30)]
+    o = [b["text"] for b in pdf_layout.sort_x_by_page(
+        copy.deepcopy(bxs), 30)]
+    assert a == o
+
+
+def _table_boxes(rows, caption=None):
+    bxs = []
+    if caption:
+        bxs.append(box(caption, 50, 250, 10, 22, lt="table"))
+    y = 30
+    for row in rows:
+        x = 50
+        for cell in row:
+            if cell is not None:
+                bxs.append(box(cell, x, x + 90, y, y + 12, lt="table"))
+            x += 110
+        y += 20
+    return bxs
+
+
+@pytest.mark.parametrize("html", [True, False])
+@pytest.mark.parametrize("case", [
+    [["metric", "value"], ["speed", "123"], ["size", "456"]],
+    [["h1", "h2", "h3"], ["1", "2", "3"], ["4", "5", "6"], ["7", "8", "9"]],
+    [["name", "score"], ["alpha", "90"], [None, "91"], ["beta", "92"]],
+    [["单位", "数量"], ["甲", "10"], ["乙", "20"]],
+])
+def test_tsr_construct_table_ab(case, html):
+    TSR = refstubs.load_ref_tsr()
+    bxs = _table_boxes(case, caption="表 1 统计")
+    a = TSR.construct_table(copy.deepcopy(bxs), is_english=False, html=html)
+    b = tsr_lite.construct_table(copy.deepcopy(bxs), is_english=False,
+                                 html=html)
+    assert a == b
