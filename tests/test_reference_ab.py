@@ -190,3 +190,80 @@ def test_make_colon_as_title_ab(ref, seed):
     make_colon_as_title(ours)
     ref.make_colon_as_title(theirs)
     assert ours == theirs
+
+
+# ------------------------------------------------- deepdoc parsers A/B
+
+@pytest.fixture(scope="module")
+def ref_parsers(ref):
+    sys.path.insert(0, "tests")
+    import refstubs
+
+    refstubs.install_reference_stubs()
+    sys.modules.setdefault("tika", types.ModuleType("tika"))
+    sys.modules["tika"].parser = types.SimpleNamespace(
+        from_buffer=lambda b: {"content": ""})
+    from deepdoc.parser.json_parser import RAGFlowJsonParser
+    from deepdoc.parser.markdown_parser import RAGFlowMarkdownParser
+    from deepdoc.parser.txt_parser import RAGFlowTxtParser
+
+    return RAGFlowTxtParser, RAGFlowMarkdownParser, RAGFlowJsonParser
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_txt_parser_ab(ref_parsers, seed):
+    from ragflow_spark.core import txt as our_txt
+
+    TxtP, _, _ = ref_parsers
+    rng = random.Random(seed)
+    frags = ["line one. second!", "short", "句子。下一句！", "a; b; c",
+             "word " * rng.randint(1, 30), "`|`-delimited custom"]
+    sample = "\n".join(rng.choice(frags) for _ in range(rng.randint(3, 25)))
+    for budget, delim in ((32, "\n!?;。；！？"), (128, "\n。；！？")):
+        a = TxtP.parser_txt(sample, budget, delim)
+        b = our_txt.parse_txt(sample, budget, delim)
+        assert [t for t, _ in a] == [t for t, _ in b], (seed, budget)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_markdown_tables_ab(ref_parsers, seed):
+    from ragflow_spark.core import markdown as our_md
+
+    _, MdP, _ = ref_parsers
+    rng = random.Random(seed)
+    pieces = [
+        "plain paragraph text",
+        "| a | b |\n| - | - |\n| 1 | 2 |",
+        "x | y\n-|-\n3 | 4",
+        "# heading",
+        "",
+        "| lone | row |",
+    ]
+    doc = "\n".join(rng.choice(pieces) for _ in range(rng.randint(2, 12)))
+    rem_r, tb_r = MdP(128).extract_tables_and_remainder(doc)
+    rem_o, tb_o = our_md.extract_tables_and_remainder(doc)
+    assert rem_r == rem_o
+    assert tb_r == tb_o
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_json_splitter_ab(ref_parsers, seed):
+    from ragflow_spark.core.jsonsplit import JsonSplitter
+
+    _, _, JsonP = ref_parsers
+    rng = random.Random(seed)
+
+    def val(depth):
+        if depth > 2 or rng.random() < 0.3:
+            return rng.choice([rng.randint(0, 9999), "s" * rng.randint(1, 80),
+                               True, None])
+        if rng.random() < 0.5:
+            return {f"k{i}": val(depth + 1) for i in range(rng.randint(1, 6))}
+        return [val(depth + 1) for _ in range(rng.randint(1, 8))]
+
+    import json as _json
+
+    payload = _json.dumps({f"top{i}": val(0) for i in range(4)}).encode()
+    for budget in (64, 256):
+        assert JsonP(budget)(payload) == \
+            JsonSplitter(budget).split_text_bytes(payload), (seed, budget)
