@@ -221,3 +221,94 @@ def test_tsr_construct_table_ab(case, html):
     b = tsr_lite.construct_table(copy.deepcopy(bxs), is_english=False,
                                  html=html)
     assert a == b
+
+
+# ------------------------------------------------------------------- W3
+
+@pytest.mark.parametrize("seed", range(10))
+def test_text_merge_ab(seed):
+    r = random.Random(seed)
+    bxs, x = [], 50.0
+    for i in range(12):
+        w = r.uniform(30, 120)
+        bxs.append(box(r.choice(TEXTS), x, x + w, 100.0 + r.choice([0, 0, 2, 40]),
+                       112.0 + r.choice([0, 0, 2, 40]),
+                       ln=r.choice(["text-0", "text-0", "text-1"])))
+        x += w + r.uniform(1, 20)
+    obj = _bare()
+    obj.boxes = copy.deepcopy(bxs)
+    obj._text_merge()
+    ref_out = [b["text"] for b in obj.boxes]
+    # max_gap=None = the reference behavior (the gap guard is our
+    # documented detector-less column stand-in, default-off here)
+    ours = [b["text"] for b in pdf_layout.text_merge(
+        copy.deepcopy(bxs), MH, max_gap=None)]
+    assert ref_out == ours
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_sort_y_firstly_ab(seed):
+    R = refstubs.load_ref_recognizer()
+    r = random.Random(seed)
+    bxs = [box(str(i), r.uniform(0, 500), 600, r.uniform(0, 700), 0)
+           for i in range(20)]
+    for b in bxs:
+        b["bottom"] = b["top"] + 12
+    a = [b["text"] for b in R.sort_Y_firstly(copy.deepcopy(bxs), 6.0)]
+    o = [b["text"] for b in pdf_layout.sort_y_first(copy.deepcopy(bxs), 6.0)]
+    assert a == o
+
+
+# ----------------------------------------------------- CTC decode A/B
+
+@pytest.mark.parametrize("seed", range(6))
+def test_ctc_decode_ab(seed):
+    import numpy as np
+
+    from ragflow_spark.core.ocr_decode import CTCLabelDecode
+
+    refstubs.install_reference_stubs()
+    from deepdoc.vision.postprocess import CTCLabelDecode as RefCTC
+
+    rng = np.random.default_rng(seed)
+    # both sides on the built-in 0-9a-z charset (character_dict_path=None)
+    ref_dec = RefCTC(character_dict_path=None)
+    our_dec = CTCLabelDecode()
+    preds = rng.random((3, 24, 37)).astype("float32")
+    a = ref_dec(preds)
+    b = our_dec(preds)
+    assert [t for t, _ in a] == [t for t, _ in b]
+    for (_, ca), (_, cb) in zip(a, b):
+        assert abs(ca - cb) < 1e-6
+
+
+# ------------------------------------------------- vision prep A/B
+
+def test_vision_preprocess_ab():
+    import numpy as np
+
+    from ragflow_spark.core import vision_prep as V
+
+    refstubs.install_reference_stubs()
+    from deepdoc.vision.operators import (
+        LinearResize,
+        NormalizeImage,
+        StandardizeImage,
+    )
+
+    rng = np.random.default_rng(11)
+    im = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    ref_std, _ = StandardizeImage([0.485, 0.456, 0.406],
+                                  [0.229, 0.224, 0.225])(im.copy(), {})
+    assert np.allclose(ref_std, V.standardize_image(
+        im, [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]), atol=1e-6)
+
+    ref_norm = NormalizeImage(order="hwc")({"image": im.copy()})["image"]
+    assert np.allclose(ref_norm, V.normalize_image(im, order="hwc"),
+                       atol=1e-6)
+
+    for shape, target in (((100, 200), [800, 800]), ((300, 120), [640, 960]),
+                          ((50, 50), [800, 1333])):
+        lr = LinearResize(list(target))
+        sy, sx = lr.generate_scale(np.zeros(shape + (3,), dtype=np.uint8))
+        assert (sy, sx) == V.generate_scale(shape, list(target)), shape
