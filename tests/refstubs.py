@@ -63,7 +63,11 @@ def install_reference_stubs() -> None:
               traversal_files=lambda p: [])
     au = _mod("api.utils", file_utils=fu)
     _mod("api.settings", LIGHTEN=1)
-    _mod("api", utils=au, settings=sys.modules["api.settings"])
+    svc = _mod("api.db.services.knowledgebase_service",
+               KnowledgebaseService=object)
+    dbs = _mod("api.db.services", knowledgebase_service=svc)
+    dbm = _mod("api.db", services=dbs, ParserType=object)
+    _mod("api", utils=au, settings=sys.modules["api.settings"], db=dbm)
     _mod("rag.nlp.rag_tokenizer",
          tokenize=lambda s: " ".join(default_tokenize(s)),
          fine_grained_tokenize=lambda s: s,
@@ -84,7 +88,12 @@ def install_reference_stubs() -> None:
     shp_geom = _mod("shapely.geometry", Polygon=object)
     shp.geometry = shp_geom
     sys.modules.setdefault("pyclipper", _AnyAttrModule("pyclipper"))
-    _mod("docx", Document=object)
+    docx_img_exc = _mod("docx.image.exceptions",
+                        UnrecognizedImageError=type("E1", (Exception,), {}),
+                        UnexpectedEndOfFileError=type("E2", (Exception,), {}),
+                        InvalidImageStreamError=type("E3", (Exception,), {}))
+    docx_img = _mod("docx.image", exceptions=docx_img_exc)
+    _mod("docx", Document=object, image=docx_img)
     _mod("openpyxl", load_workbook=object, Workbook=object)
     _mod("pptx", Presentation=object)
     _mod("markdown", markdown=lambda s, **kw: s)

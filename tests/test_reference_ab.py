@@ -267,3 +267,73 @@ def test_json_splitter_ab(ref_parsers, seed):
     for budget in (64, 256):
         assert JsonP(budget)(payload) == \
             JsonSplitter(budget).split_text_bytes(payload), (seed, budget)
+
+
+# -------------------------------------------- end-to-end template A/B
+
+@pytest.fixture(scope="module")
+def ref_apps(ref_parsers):
+    import rag.app.laws as ref_laws
+    import rag.app.naive as ref_naive
+    import rag.app.one as ref_one
+    import rag.app.qa as ref_qa
+
+    return {"naive": ref_naive, "one": ref_one, "laws": ref_laws,
+            "qa": ref_qa}
+
+
+def _noop(*a, **k):
+    pass
+
+
+TXT_SAMPLE = (
+    "First sentence of the doc. Second one follows! A question? "
+    "然后是中文句子。还有一句！\n"
+) * 12
+
+
+def test_naive_chunk_txt_ab(ref_apps):
+    from ragflow_spark.core.templates import run_template
+
+    cfg = {"chunk_token_num": 64, "delimiter": "\n!?。；！？"}
+    docs = ref_apps["naive"].chunk(
+        "sample.txt", binary=TXT_SAMPLE.encode(), lang="English",
+        callback=_noop, parser_config=dict(cfg))
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    ours = [c.chunk_text for c in run_template(
+        "naive", TXT_SAMPLE.encode(), "txt", "English", cfg=cfg)]
+    assert ref_chunks == ours
+
+
+def test_naive_chunk_json_ab(ref_apps):
+    import json as _json
+
+    from ragflow_spark.core.templates import run_template
+
+    payload = _json.dumps({
+        "title": "doc", "items": [{"k": i, "text": "x" * 40}
+                                  for i in range(30)],
+    }).encode()
+    cfg = {"chunk_token_num": 64}
+    docs = ref_apps["naive"].chunk(
+        "sample.json", binary=payload, lang="English",
+        callback=_noop, parser_config=dict(cfg))
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    ours = [c.chunk_text for c in run_template(
+        "naive", payload, "json", "English", cfg=cfg)]
+    assert ref_chunks == ours
+
+
+def test_qa_chunk_csv_ab(ref_apps):
+    from ragflow_spark.core.templates import run_template
+
+    csv = ("What is A?\tA is the first letter.\n"
+           "What is B?\tB follows A.\n"
+           "not a pair line\n"
+           "What is C?\tC is third.\n")
+    docs = ref_apps["qa"].chunk("pairs.csv", binary=csv.encode(),
+                                lang="English", callback=_noop)
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    ours = [c.chunk_text for c in run_template(
+        "qa", csv.encode(), "csv", "English")]
+    assert ref_chunks == ours
