@@ -269,9 +269,20 @@ def chunk_one(blob: bytes, fmt: str, lang: str = "English",
               cfg: dict | None = None) -> list[ChunkOut]:
     """rag/app/one.py:59-126 — the whole document becomes a single chunk;
     table renders flow INTO the joined text (one.py:51-55 appends table rows
-    into sections; position-sort approximated by appending after the text)."""
+    into sections; position-sort approximated by appending after the text).
+    txt/md/doc take RAW non-empty lines (one.py:85-105) — no token-budget
+    pre-merge — which the end-to-end A/B pins."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
-    sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
+    if fmt in ("txt", "text", "md", "markdown"):
+        raw = decode_bytes(blob)
+        sections, tables, title = [(s, "") for s in raw.split("\n") if s], [], ""
+    elif fmt == "doc":
+        from ragflow_spark.core.doc_legacy import extract_doc_text
+
+        sections = [(s, "") for s in extract_doc_text(blob).split("\n") if s]
+        tables, title = [], ""
+    else:
+        sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
     joined = "\n".join(
         [t for t, _ in sections if t] + [t for t in tables if t]
     )

@@ -38,7 +38,19 @@ def install_reference_stubs() -> None:
             return ""
 
     def _mod(name, **attrs):
-        m = sys.modules.get(name) or types.ModuleType(name)
+        # never shadow a REAL installed module (openpyxl/pandas etc. must
+        # stay genuine); update attrs on prior stubs, fabricate the rest
+        existing = sys.modules.get(name)
+        if existing is not None and getattr(existing, "__spec__", None) \
+                is not None and not isinstance(existing, _AnyAttrModule):
+            return existing  # real module
+        if existing is None:
+            try:
+                __import__(name)
+                return sys.modules[name]
+            except Exception:
+                pass
+        m = existing or types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)
         sys.modules[name] = m

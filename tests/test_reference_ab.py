@@ -16,49 +16,10 @@ import pytest
 
 @pytest.fixture(scope="module")
 def ref():
-    from ragflow_spark.core.tokens import num_tokens_from_string as our_nts
+    sys.path.insert(0, "tests")
+    import refstubs
 
-    class _Enc:
-        def encode(self, s):
-            return list(range(our_nts(s)))
-
-        def decode(self, toks):
-            return ""
-
-    def _mod(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
-
-    def _raise(exc):
-        def f(s):
-            raise exc(s)
-        return f
-
-    _mod("tiktoken", get_encoding=lambda name: _Enc())
-    pil_img = _mod("PIL.Image", Image=type("Image", (), {}))
-    _mod("PIL", Image=pil_img)
-    _mod("roman_numbers", number=_raise(ValueError))
-    w2n_sub = _mod("word2number.w2n", word_to_num=_raise(ValueError))
-    _mod("word2number", w2n=w2n_sub)
-    _mod("cn2an", cn2an=_raise(ValueError))
-    fu = _mod("api.utils.file_utils",
-              get_project_base_directory=lambda: "/tmp")
-    au = _mod("api.utils", file_utils=fu)
-    _mod("api", utils=au)
-    _mod("rag.nlp.rag_tokenizer",
-         tokenize=lambda s: s,
-         fine_grained_tokenize=lambda s: s,
-         is_chinese=lambda c: "一" <= c <= "鿿",
-         tag=lambda t: "")
-
-    if "/root/reference" not in sys.path:
-        sys.path.append("/root/reference")
-    import rag.nlp as ref_nlp
-
-    return ref_nlp
+    return refstubs.load_ref_nlp()
 
 
 def _section_corpus(seed: int, n: int = 40) -> list[str]:
@@ -336,4 +297,33 @@ def test_qa_chunk_csv_ab(ref_apps):
     ref_chunks = [d["content_with_weight"] for d in docs]
     ours = [c.chunk_text for c in run_template(
         "qa", csv.encode(), "csv", "English")]
+    assert ref_chunks == ours
+
+
+def test_laws_chunk_txt_ab(ref_apps):
+    from ragflow_spark.core.templates import run_template
+
+    sample = "\n".join(
+        [f"第{c}条 本条是关于第{c}项规则的规定。具体内容如下。"
+         for c in "一二三四五"]
+        + ["补充说明文字，属于上一条。"]
+    ).encode()
+    docs = ref_apps["laws"].chunk("law.txt", binary=sample, lang="Chinese",
+                                  callback=_noop)
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    ours = [c.chunk_text for c in run_template("laws", sample, "txt",
+                                               "Chinese")]
+    assert ref_chunks == ours
+
+
+def test_one_chunk_txt_ab(ref_apps):
+    from ragflow_spark.core.templates import run_template
+
+    sample = ("Intro line one. Another sentence!\n"
+              "Second paragraph here.\n" * 5).encode()
+    docs = ref_apps["one"].chunk("one.txt", binary=sample, lang="English",
+                                 callback=_noop)
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    ours = [c.chunk_text for c in run_template("one", sample, "txt",
+                                               "English")]
     assert ref_chunks == ours
