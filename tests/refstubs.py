@@ -108,10 +108,38 @@ def install_reference_stubs() -> None:
     _mod("docx", Document=object, image=docx_img)
     _mod("openpyxl", load_workbook=object, Workbook=object)
     _mod("pptx", Presentation=object)
-    _mod("markdown", markdown=lambda s, **kw: s)
+    # the real `markdown` pkg is absent; route the reference's table
+    # rendering through OUR renderer (mimics the markdown-pkg table HTML
+    # shape) — a shared stand-in like the tokenizer, so template A/Bs
+    # compare everything EXCEPT the renderer itself
+    from ragflow_spark.core.markdown import render_table_html
+
+    _mod("markdown", markdown=lambda s, **kw: render_table_html(s))
+    tika = _mod("tika")
+    tika.parser = types.SimpleNamespace(
+        from_buffer=lambda b: {"content": ""})
+    _mod("tika.parser", from_buffer=tika.parser.from_buffer)
     sys.modules.setdefault("chardet", _AnyAttrModule("chardet"))
-    sys.modules.setdefault("html_text", _AnyAttrModule("html_text"))
-    sys.modules.setdefault("readability", _AnyAttrModule("readability"))
+
+    # readability-lxml + html_text are absent: route the reference's
+    # RAGFlowHtmlParser through OUR Arc90 extractor (core/html_extract),
+    # the documented S2 stand-in — shared on both sides, so html-path
+    # template A/Bs compare everything DOWNSTREAM of main-content
+    # extraction (section split, merges, tokenize_chunks) for real
+    from ragflow_spark.core import html_extract as _he
+
+    class _RefDoc:
+        def __init__(self, txt, **kw):
+            self._title, self._content = _he.extract(txt)
+
+        def title(self):
+            return self._title
+
+        def summary(self, html_partial=False):
+            return self._content
+
+    _mod("readability", Document=_RefDoc)
+    _mod("html_text", extract_text=lambda s: s)
 
     if "/root/reference" not in sys.path:
         sys.path.append("/root/reference")

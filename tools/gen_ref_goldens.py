@@ -1,0 +1,134 @@
+"""Generate reference-executed goldens for the pipeline corpus.
+
+Runs the reference's own template dispatch (rag/svr/task_executor.py:66-83
+FACTORY -> rag/app/*.chunk) over every reference-executable doc of the
+mixed-profile pages corpus (ragflow_spark.sources.pages.make_doc) and
+persists per-url chunk text lists as the golden fixture that
+tests/test_ref_goldens.py gates the Spark `extract_chunks` pipeline
+against.
+
+Executable subset = formats whose reference parser path needs no absent
+third-party lib: txt (TxtParser / book / paper / qa / laws string paths),
+json (RAGFlowJsonParser), md (RAGFlowMarkdownParser), eml (stdlib email).
+html needs readability+html_text, docx/xlsx/pptx need python-docx/openpyxl/
+python-pptx, pdf needs pdfplumber/pypdf - all absent from this container,
+so those formats stay gated by the parity-core goldens (tests/
+test_pipeline.py) and the per-stage A/B suite.
+
+Shared stand-ins on BOTH sides (the documented deviations): token counting
+(tiktoken absent), rag_tokenizer (huqie dict absent), markdown table
+rendering (markdown pkg absent; tests/refstubs routes the reference
+through our render_table_html).
+
+Usage: python tools/gen_ref_goldens.py [n_docs] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+EXEC_FMTS = ("txt", "json", "md", "eml", "html")
+
+# (parser, fmt) pairs our engine supports as extensions but the reference
+# refuses outright (rag/app/paper.py:142 "pdf supported") — no golden
+NOT_IN_REFERENCE = {("paper", "txt"), ("paper", "html")}
+
+
+def _noop(*a, **k):
+    pass
+
+
+def ref_factory():
+    import refstubs
+
+    refstubs.install_reference_stubs()
+    import rag.app.book as book
+    import rag.app.email as email_app
+    import rag.app.laws as laws
+    import rag.app.naive as naive
+    import rag.app.paper as paper
+    import rag.app.qa as qa
+
+    # FACTORY dispatch per rag/svr/task_executor.py:66-83
+    return {
+        "naive": naive.chunk,
+        "book": book.chunk,
+        "paper": paper.chunk,
+        "qa": qa.chunk,
+        "laws": laws.chunk,
+        "email": email_app.chunk,
+    }
+
+
+def generate(n_docs: int) -> dict:
+    from ragflow_spark.sources.pages import make_doc
+
+    factory = ref_factory()
+    golden: dict[str, dict] = {}
+    skipped: dict[str, int] = {}
+    for doc_id in range(n_docs):
+        d = make_doc(doc_id)
+        fmt, parser = d["fmt"], d["parser"]
+        if (fmt not in EXEC_FMTS or parser not in factory
+                or (parser, fmt) in NOT_IN_REFERENCE):
+            skipped[fmt] = skipped.get(fmt, 0) + 1
+            continue
+        # the reference's is_english() samples via random.choices
+        # (rag/nlp/__init__.py random_choices) - pin the global RNG so the
+        # golden is a pure function of doc_id
+        random.seed(doc_id)
+        fn = factory[parser]
+        name = f"doc{doc_id}.{fmt}"
+        try:
+            docs = fn(name, binary=d["html"], lang=d["lang"], callback=_noop)
+            chunks = [c["content_with_weight"] for c in docs]
+            err = None
+        except Exception as exc:  # reference-side refusal (e.g. laws empty)
+            chunks, err = [], f"{type(exc).__name__}: {exc}"
+        golden[d["url"]] = {
+            "doc_id": doc_id,
+            "fmt": fmt,
+            "parser": parser,
+            "lang": d["lang"],
+            "chunks": chunks,
+            "ref_error": err,
+        }
+    return {
+        "n_docs_corpus": n_docs,
+        "executable_fmts": list(EXEC_FMTS),
+        "skipped_fmt_counts": skipped,
+        "docs": golden,
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "tests", "goldens", f"ref_chunks_mixed{n}.json.gz")
+    data = generate(n)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    payload = json.dumps(data, ensure_ascii=False, indent=0,
+                         sort_keys=True).encode("utf-8")
+    if out.endswith(".gz"):
+        import gzip
+
+        with open(out, "wb") as f:
+            f.write(gzip.compress(payload, mtime=0))
+    else:
+        with open(out, "wb") as f:
+            f.write(payload)
+    n_ok = sum(1 for v in data["docs"].values() if v["ref_error"] is None)
+    n_err = len(data["docs"]) - n_ok
+    print(f"goldens: {len(data['docs'])} docs ({n_ok} ok, {n_err} ref-error) "
+          f"of {n} corpus docs -> {out}")
+
+
+if __name__ == "__main__":
+    main()
