@@ -386,7 +386,33 @@ def _layout_parse_window(
         per_page.append(pb)
 
     tables_out: list[tuple[str, str]] = []
-    if extract_tables:
+    if merge_mode == "laws":
+        # laws.Pdf (laws.py:118-133) runs _layouts_rec → W4 ONLY: no W3
+        # text merge, no table extraction. Table cells stay inline in the
+        # flow; their region labels (and caption labels) only bound the W4
+        # merge the way the detector's layoutnos would.
+        from ragflow_spark.core import tsr_lite
+
+        per_page_regs = []
+        for pb in per_page:
+            regs, _rest = tsr_lite.detect_table_regions(list(pb))
+            for k, reg in enumerate(regs):
+                for b in reg:
+                    b["layoutno"] = f"table-{k}"
+            per_page_regs.append(regs)
+        if any(per_page_regs):
+            for pb in per_page:
+                cc = 0
+                for b in pb:
+                    if b["layoutno"].startswith("table-"):
+                        continue
+                    if tsr_lite.is_caption_text(b["text"]):
+                        b["layoutno"] = f"table caption-{cc}"
+                        cc += 1
+        boxes = [b for pb in per_page for b in pb]
+        boxes = naive_vertical_merge(boxes, mh, mw,
+                                     lang.lower() == "english")
+    elif extract_tables:
         from ragflow_spark.core import tsr_lite
 
         regions: list[list[dict]] = []
@@ -414,8 +440,9 @@ def _layout_parse_window(
             tables_out.append((html_txt, tag))
     else:
         boxes = [b for pb in per_page for b in pb]
-    boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
-    if merge_mode == "none":
+    if merge_mode != "laws":
+        boxes = text_merge(boxes, mh, max_gap=8 * statistics.median(mw))
+    if merge_mode in ("none", "laws"):
         # line-level output: the qa Pdf pipeline runs neither vertical
         # merge nor concat (qa.py:93-97 — both calls commented out there)
         pass

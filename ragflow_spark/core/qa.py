@@ -262,9 +262,14 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
     boxes = []
     for text, tag in sections:
         pn, x0, _x1, top, bottom = _tag_fields(tag)
+        # has_qbullet's spacing veto (top diff < 20, rag/nlp:93) runs on
+        # DOC-ABSOLUTE tops in the reference (page_cum_height added by
+        # _layouts_rec) — a bullet opening a new page must see the page
+        # jump; the table-folding walk below uses the tag's page-local top
+        off = max(0.0, pn - 1) * 792.0
         boxes.append({
-            "text": text, "tag": tag, "x0": x0, "top": top,
-            "bottom": bottom, "pn": pn,
+            "text": text, "tag": tag, "x0": x0, "top": top + off,
+            "tag_top": top, "bottom": bottom + off, "pn": pn,
             "layout_type": "title" if match_proj(text.strip()) else "",
         })
     # tables in reading order, parsed once (qa.py:108-113 sort + get_tbls_info)
@@ -292,7 +297,9 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
         bull, index = has_qbullet(reg, box, last_box, last_index, last_bull,
                                   bull_x0_list)
         last_box, last_index, last_bull = box, index, bull
-        line_pn, line_top = box["pn"], box["top"]
+        # the reference re-parses line_top from the TAG (page-local,
+        # qa.py:120-121) while last_bottom stays doc-absolute
+        line_pn, line_top = box["pn"], box["tag_top"]
         tbl_pn, tbl_top, tbl_tag, tbl_text = tbl_info(tbl_index)
         if not bull:
             if not last_q:

@@ -304,10 +304,20 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
             t = t.lower().strip()
             return bool(re.match(r"[0-9\.,%/-]+$", t)) or len(t) < 3
 
-        pages = pdf_mini.extract_text_lines(blob)
+        # presentation.Pdf reads the raw __images__ boxes per page BEFORE
+        # any layout pass (presentation.py:59-71): box-granular y-first
+        # order, its own __garbage filter, "\n"-joined per page — never
+        # the W3/W4 merge tiers
+        from ragflow_spark.core.pdf_layout import mean_heights, sort_y_first
+
+        pages = pdf_mini.extract_boxes(blob)
+        mh = mean_heights(pages)
         slides = [
-            "\n".join(ln for ln in lines if not _garbage(ln))
-            for lines in pages
+            "\n".join(
+                b["text"] for b in sort_y_first(page, mh[pn] / 3)
+                if not _garbage(b["text"])
+            )
+            for pn, page in enumerate(pages)
         ]
     else:
         raise NotImplementedError(
@@ -409,9 +419,17 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
         # paragraphs exclusively, laws.py:36-53)
         sections, _tables, _title = sections_for(
             blob, fmt, cfg, lang=lang,
-            pdf_merge_mode="naive",  # laws.py:126 runs W4, not W5
+            # laws.Pdf runs _layouts_rec → W4 only: no W3 text merge, no
+            # table extraction (laws.py:118-133)
+            pdf_merge_mode="laws",
         )
-        sections = [(t, o) for t, o in sections if t]
+        if fmt == "pdf":
+            # laws.py:162-163 folds the position tag INTO the section text
+            # before the vote/merge chain (txt + poss) — end-anchored rules
+            # (make_colon_as_title, $-patterns) must see the tagged string
+            sections = [(t + o, "") for t, o in sections if t]
+        else:
+            sections = [(t, o) for t, o in sections if t]
     remove_contents_table(sections, eng)
     make_colon_as_title(sections)
     bull = bullets_category([t for t, _ in sections])

@@ -64,6 +64,8 @@ def install_reference_stubs() -> None:
     _mod("tiktoken", get_encoding=lambda name: _Enc())
     pil_img = _AnyAttrModule("PIL.Image")
     pil_img.Image = type("Image", (), {})
+    pil_img.new = lambda mode, size, color=None: _FakeImg(*size)
+    pil_img.alpha_composite = lambda a, b: a
     sys.modules["PIL.Image"] = pil_img
     _mod("PIL", Image=pil_img)
     _mod("roman_numbers", number=_raise(ValueError))
@@ -89,6 +91,7 @@ def install_reference_stubs() -> None:
     _mod("onnxruntime")
     _mod("pdfplumber", open=_raise(RuntimeError))
     _mod("pypdf", PdfReader=object)
+    _mod("PyPDF2", PdfReader=object)
 
     class _DMatrix:
         def __init__(self, rows):
@@ -177,6 +180,147 @@ def load_ref_recognizer():
     from deepdoc.vision.recognizer import Recognizer
 
     return Recognizer
+
+
+class _FakeImg:
+    """PIL-free page image: just enough surface (.size/.crop) for
+    _extract_table_figure's cropout and the templates' size reads."""
+
+    def __init__(self, w, h):
+        self.size = (w, h)
+
+    def crop(self, box):
+        return _FakeImg(max(1.0, box[2] - box[0]), max(1.0, box[3] - box[1]))
+
+    def paste(self, img, box):
+        pass
+
+    def save(self, *a, **k):
+        pass
+
+    def convert(self, mode):
+        return self
+
+    def putalpha(self, v):
+        pass
+
+
+def template_pdf_instance(pdf_cls, blob, lang="English"):
+    """object.__new__(pdf_cls) driving the reference template's REAL
+    ``Pdf.__call__`` orchestration on a text-layer PDF, with exactly the
+    vision tier stubbed to the same heuristic proposals our pipeline uses
+    (the shared stand-in): __images__ -> our pdf_mini char scan + garbage/
+    chrome prefilter, layouter -> our tsr_lite.detect_table_regions region
+    proposals tagged through the reference walk's contract, TSR model ->
+    no-op (geometry fallback on both sides), up-down booster -> our
+    rule_score, pseudo-region labels injected before _concat_downward on
+    both sides. Everything else (_text_merge, _extract_table_figure,
+    merges, filters, _line_tag, construct_table) is the reference's own
+    code executing."""
+    import statistics
+
+    import numpy as np
+
+    from ragflow_spark.core import pdf_layout, pdf_mini, tsr_lite, updown
+
+    obj = object.__new__(pdf_cls)
+
+    def images_stub(fnm, zoomin=3, page_from=0, page_to=299, callback=None):
+        # raw char-scan boxes only — garbage/chrome dropping happens in the
+        # layouter shim below, where the reference's own garbage drops live
+        # (LayoutRecognizer.__call__); presentation's Pdf reads self.boxes
+        # BEFORE _layouts_rec and must see the unfiltered flow
+        pages = pdf_mini.extract_boxes(blob)[page_from:page_to]
+        mh = pdf_layout.mean_heights(pages)
+        mw = []
+        for page in pages:
+            ws = [(b["x1"] - b["x0"]) / max(1, len(b["text"]))
+                  for b in page if b["text"]]
+            mw.append(statistics.median(ws) if ws else 6.0)
+        obj.mean_height, obj.mean_width = mh, mw
+        obj.page_cum_height = np.cumsum([0.0] + [792.0] * len(pages))
+        obj.page_images = [_FakeImg(612 * zoomin, 792 * zoomin)
+                           for _ in pages]
+        obj.page_from = page_from
+        obj.total_page = len(pages)
+        obj.lefted_chars = []
+        obj.outlines = []
+        obj.is_english = lang.lower() == "english"
+        obj.page_layout = []
+        per_page = []
+        for pn, page in enumerate(pages):
+            pb = pdf_layout.sort_y_first(page, mh[pn] / 3)
+            for b in pb:
+                b["page_number"] = pn + 1
+            per_page.append(pb)
+        obj.boxes = per_page
+
+    def layouter(images, ocr_res, zm, drop=True):
+        # F3/F4 prefilter — the stand-in for the reference's __is_garbage
+        # pops + repeated-text garbage sweep (layout_recognizer.py:55-60,
+        # 143-151), applied at the same pipeline position
+        ocr_res = [
+            [b for b in page if not pdf_layout.is_garbage_line(b["text"])]
+            for page in ocr_res
+        ]
+        ocr_res = pdf_layout.drop_repeated_chrome(ocr_res)
+        boxes, page_layout, per_page_regs = [], [], []
+        for pn, page in enumerate(ocr_res):
+            regs, _rest = tsr_lite.detect_table_regions(list(page))
+            louts = []
+            for k, reg in enumerate(regs):
+                for b in reg:
+                    b["layoutno"] = f"table-{k}"
+                    b["layout_type"] = "table"
+                louts.append({
+                    "type": "table", "score": 1.0,
+                    "x0": min(b["x0"] for b in reg),
+                    "x1": max(b["x1"] for b in reg),
+                    "top": min(b["top"] for b in reg),
+                    "bottom": max(b["bottom"] for b in reg),
+                    "page_number": pn,
+                })
+            page_layout.append(louts)
+            per_page_regs.append(regs)
+        any_regs = any(per_page_regs)
+        for pn, page in enumerate(ocr_res):
+            cc = 0
+            for b in page:
+                if b.get("layout_type") == "table":
+                    continue
+                if any_regs and tsr_lite.is_caption_text(b["text"]):
+                    # caption proposals are part of the detector stand-in
+                    # (our tsr_lite pairs them window-globally; the
+                    # reference's is_caption needs the detector's "table
+                    # caption" layout_type for non-CJK captions)
+                    b["layoutno"] = f"table caption-{cc}"
+                    b["layout_type"] = "table caption"
+                    cc += 1
+                else:
+                    b["layoutno"] = "text-0"
+                    b["layout_type"] = "text"
+            boxes.extend(page)
+        return boxes, page_layout
+
+    setattr(obj, "__images__", images_stub)
+    obj.layouter = layouter
+    obj._table_transformer_job = lambda zm: None
+    obj.tbl_det = load_ref_tsr()
+
+    real_concat = load_ref_pdf_parser()._concat_downward
+
+    def concat_with_regions(concat_between_pages=True):
+        updown.assign_pseudo_regions(obj.boxes, obj.mean_height)
+        real_concat(obj, concat_between_pages)
+
+    obj._concat_downward = concat_with_regions
+
+    class _Mdl:
+        def predict(self, dmatrix):
+            return [updown.rule_score(fea) for fea in dmatrix.rows]
+
+    obj.updown_cnt_mdl = _Mdl()
+    return obj
 
 
 def bare_pdf_parser(mean_height, mean_width, page_sizes=None,
