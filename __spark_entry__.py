@@ -39,6 +39,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# materialization root for the extraction-tier structural oracles (the
+# Spark query writes here, the DuckDB oracle reads the same parquet)
+_ORACLE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache")
+
+
 # ----------------------------------------------------------------- entry
 
 
@@ -537,6 +543,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "partition_id", "doc_count", "chunk_count", "bytes", "content_hash"
         )
 
+    def _materialize_chunks(spark, subdir):
+        """Write the 256-doc pipeline chunk table to a deterministic local
+        path so Spark and DuckDB can compute invariants over the SAME
+        parquet (the structural oracle for the no-SQL-twin extraction
+        tier). Error rows are kept — they are part of the contract."""
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".cache", subdir
+        )
+        pages = generate_pages_df(spark, 256)
+        extract_chunks(pages, num_partitions=16).write.mode(
+            "overwrite").parquet(out)
+        return out, spark.read.parquet(out)
+
+    def extract_chunks_invariants(spark, sf):
+        """Per-url structural invariants of the extraction output, computed
+        by Spark AND (via oracle_sql) DuckDB over the same materialized
+        parquet: row/chunk counts, distinct chunk ids, span first-page
+        monotonicity violations. The driver's hash compare cross-checks
+        the engines; pytest asserts the invariant VALUES (no violations,
+        ids unique) in tests/test_pipeline.py::test_extract_invariants."""
+        from pyspark.sql import Window
+
+        _, t = _materialize_chunks(spark, "oracle_chunks")
+        # table chunks are emitted BEFORE the merged text chunks (the
+        # tokenize_table-first contract, rag/app/naive.py:214-231) and
+        # carry positions from anywhere in the doc — page monotonicity is
+        # an invariant of the TEXT tier only
+        first_pg = F.when(
+            (F.size("spans") > 0)
+            & ~F.col("chunk_text").startswith("<table"),
+            F.element_at("spans", 1).getField("page"),
+        )
+        w = (Window.partitionBy("url").orderBy("chunk_idx")
+             .rowsBetween(Window.unboundedPreceding, -1))
+        per_chunk = (
+            t.select("url", "chunk_idx", "content_hash", "error",
+                     first_pg.alias("first_page"))
+            .withColumn("prev_page",
+                        F.last("first_page", ignorenulls=True).over(w))
+        )
+        return per_chunk.groupBy("url").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_chunks"),
+            F.countDistinct("content_hash").cast("long").alias("n_chunk_ids"),
+            F.sum(F.when(F.col("first_page") < F.col("prev_page"), 1)
+                  .otherwise(0)).cast("long").alias("span_page_violations"),
+        )
+
+    def extract_manifest_invariants(spark, sf):
+        """The manifest (A7) vs an independent DuckDB recount over the same
+        chunk parquet: per-partition doc_count / chunk_count / bytes must
+        agree across engines."""
+        from ragflow_spark.plans.manifest import build_manifest
+
+        _, t = _materialize_chunks(spark, "oracle_manifest")
+        return build_manifest(t, num_partitions=16).select(
+            "partition_id",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("chunk_count").cast("long").alias("chunk_count"),
+            F.col("bytes").cast("long").alias("bytes"),
+        )
+
     def doc_winnow_fp(spark, sf):
         out = textstats.winnow_fingerprints(_docs(spark, sf), "doc_id", "text")
         return out.select(
@@ -642,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunks_docs": extract_chunks_docs,
         "extract_pipeline_pages": extract_pipeline_pages,
         "extract_manifest": extract_manifest,
+        "extract_chunks_invariants": extract_chunks_invariants,
+        "extract_manifest_invariants": extract_manifest_invariants,
         "doc_winnow_fp": doc_winnow_fp,
         "media_meta": media_meta,
         "media_frame_plan": media_frame_plan,
@@ -1544,8 +1615,49 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(fingerprints, ',')) as fp_digest
             from fp
         """,
-        # extraction-tier queries intentionally omitted (rows-only check):
         # extract_chunks_docs / extract_pipeline_pages / extract_manifest
-        # are corpus-synthesis pipelines with no ANSI-SQL equivalent; they
-        # are gated byte-identically in pytest.
+        # stay rows-only (corpus-synthesis pipelines with no ANSI-SQL
+        # equivalent; gated byte-identically in pytest + the
+        # reference-executed goldens). Their STRUCTURE is oracle-gated via
+        # the two invariant queries below: the Spark query materializes
+        # the chunk table to .cache and DuckDB independently recomputes
+        # the invariants from the same parquet.
+        "extract_chunks_invariants": f"""
+            with t as (
+              select * from '{_ORACLE_CACHE}/oracle_chunks/*.parquet'
+            ),
+            pc as (
+              select url, chunk_idx, content_hash, error,
+                     case when len(spans) > 0
+                               and not starts_with(chunk_text, '<table')
+                          then spans[1].page
+                          else null end as first_page
+              from t
+            ),
+            lagd as (
+              select *, last_value(first_page ignore nulls) over (
+                  partition by url order by chunk_idx
+                  rows between unbounded preceding and 1 preceding
+              ) as prev_page
+              from pc
+            )
+            select url,
+                   cast(count(*) as bigint) as n_rows,
+                   cast(sum(case when error is null then 1 else 0 end)
+                        as bigint) as n_chunks,
+                   cast(count(distinct content_hash) as bigint)
+                        as n_chunk_ids,
+                   cast(sum(case when first_page < prev_page then 1
+                            else 0 end) as bigint) as span_page_violations
+            from lagd
+            group by url
+        """,
+        "extract_manifest_invariants": f"""
+            select partition_id,
+                   cast(count(distinct url) as bigint) as doc_count,
+                   cast(count(*) as bigint) as chunk_count,
+                   cast(sum(length(chunk_text)) as bigint) as bytes
+            from '{_ORACLE_CACHE}/oracle_manifest/*.parquet'
+            group by partition_id
+        """,
     }

@@ -171,3 +171,23 @@ def test_error_isolation(spark):
     rows = {r.url: r for r in out.collect()}
     assert rows["https://x/bad.json"].error is not None
     assert rows["https://x/good.txt"].error is None
+
+
+def test_extract_invariants_hold(spark):
+    """The structural-oracle queries don't just cross-check engines — the
+    invariant VALUES must hold: every staged doc appears, chunk ids are
+    globally unique, span first-pages are monotone per url, manifest
+    counts reconcile."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    inv = qs["extract_chunks_invariants"](spark, "unused").toPandas()
+    assert len(inv) == 256  # every staged doc has >=1 row (even errors)
+    assert int(inv["span_page_violations"].sum()) == 0
+    ok = inv[inv["n_chunks"] > 0]
+    # within a doc every chunk id is distinct (+1 allowed for an error row
+    # whose content_hash is empty)
+    assert ((ok["n_chunk_ids"] - ok["n_chunks"]).abs() <= 1).all()
+    man = qs["extract_manifest_invariants"](spark, "unused").toPandas()
+    assert int(man["doc_count"].sum()) == 256
+    assert int(man["chunk_count"].sum()) == int(inv["n_rows"].sum())
