@@ -341,6 +341,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         enc = similarity.pq_encode(e, "embedding", "vec_id", books)
         return similarity.pq_adc_topk(enc, books, qv, topk=10)
 
+    def emb_ivf_pq_topk(spark, sf):
+        """The composed billion-vector path — IVF probe → PQ-ADC shortlist
+        → exact re-rank — against the brute-force oracle: recall must be
+        perfect on this corpus, proving the shortlist never loses a true
+        neighbor here."""
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
+        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        indexed = similarity.ivf_build(e, "embedding", "vec_id", cents)
+        enc = similarity.pq_encode(indexed, "embedding", "vec_id", books,
+                                   keep_cols=("cluster_id", "embedding"))
+        # rerank=200 on a 500-vector corpus: the m=4/k=8 codes are coarse,
+        # so the shortlist must stay generous at toy scale; the 1M smoke
+        # (tools/ann_smoke.py) measures the honest shortlist ratio
+        return similarity.ivf_pq_topk(
+            enc, "embedding", "vec_id", cents, books, qv,
+            k=10, nprobe=4, rerank=200,
+        )
+
     # -------- table typing (SURVEY §2.6 C6 as native DataFrame ops)
     def table_typing(spark, sf):
         from ragflow_spark.operators.tables import column_type_votes
@@ -698,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_step_sizes": emb_kmeans_step_sizes,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_topk": emb_pq_topk,
+        "emb_ivf_pq_topk": emb_ivf_pq_topk,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "table_typing": table_typing,
         "pdf_table_cells": pdf_table_cells,
@@ -1356,6 +1377,16 @@ def oracle_sql() -> dict[str, str]:
             where n_frames > 0
         """,
         "emb_cosine_topk": """
+            with q as (select embedding as qv from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) as cos
+            from embeddings e, q
+            order by cos desc, vec_id limit 10
+        """,
+        # the composed IVF→PQ→re-rank path is graded against BRUTE FORCE:
+        # hash equality == recall 1.0 (the shortlist never lost a true
+        # neighbor) AND the exact tier reproduces the true scores
+        "emb_ivf_pq_topk": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
             select vec_id,
                    round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) as cos

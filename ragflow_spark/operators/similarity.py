@@ -243,8 +243,8 @@ def _sq_l2_lit(slice_col, centroid: list):
     )
 
 
-def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list
-              ) -> DataFrame:
+def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list,
+              keep_cols: tuple = ()) -> DataFrame:
     """Encode every vector as m small codes: per subspace, argmin squared-L2
     over the codebook (tie → lower code). Pure Catalyst expressions (bit-
     exact vs the DuckDB oracle) but higher-order functions run interpreted —
@@ -265,7 +265,8 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list
             for c in range(k)
         ]))
         codes.append(best["c"])
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                     F.array(*codes).alias("codes"))
 
 
 def pq_train_codebooks(df: DataFrame, vec_col: str, id_col: str,
@@ -309,13 +310,18 @@ def pq_train_codebooks(df: DataFrame, vec_col: str, id_col: str,
     return books
 
 
-def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str, books: list
-                    ) -> DataFrame:
+def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str, books: list,
+                    keep_cols: tuple = ()) -> DataFrame:
     """The scale path for PQ encoding: vectorized numpy argmin over Arrow
     batches (the native literal-expression version is exact vs the DuckDB
     oracle but runs interpreted — higher-order functions don't codegen —
     and measured ~50× slower per row at 64k vectors). Same codes up to
-    float-summation-order ties."""
+    float-summation-order ties. ``keep_cols`` rides extra columns through
+    (e.g. cluster_id + the vector itself for the composed IVF→PQ index)."""
+    keep = [c for c in keep_cols if c != id_col]
+    keep_schema = "".join(
+        f", {name} {dtype}" for name, dtype in df.select(*keep).dtypes
+    ) if keep else ""
 
     def run(batches):
         import numpy as np
@@ -340,23 +346,22 @@ def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str, books: list
                     - 2.0 * (s @ cb.T)
                 )
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].astype("int64"),
-                "codes": [c.tolist() for c in codes],
-            })
+            out = {id_col: pdf[id_col].astype("int64")}
+            for c in keep:
+                out[c] = pdf[c]
+            out["codes"] = [c.tolist() for c in codes]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} long, codes array<int>"
+    in_cols = [id_col] + keep + ([vec_col] if vec_col not in keep else [])
+    return df.select(*in_cols).mapInPandas(
+        run, schema=f"{id_col} long{keep_schema}, codes array<int>"
     )
 
 
-def pq_adc_topk(encoded: DataFrame, books: list, query_vec: list,
-                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: the query's distance to
-    every codebook centroid is precomputed on the driver (m·k doubles) and
-    baked into the plan as literals, so scoring a row is m array lookups +
-    adds — no vector math per row. Plans as TakeOrderedAndProject: only k
-    rows per partition reach the merge."""
+def _adc_expr(books: list, query_vec: list):
+    """Literal-LUT asymmetric-distance expression over a ``codes`` column:
+    query→centroid distances precomputed on the driver (m·k doubles),
+    scoring = m array lookups + adds, no per-row vector math."""
     m = len(books)
     sub = len(books[0][0])
     adc = None
@@ -369,6 +374,65 @@ def pq_adc_topk(encoded: DataFrame, books: list, query_vec: list,
         lut = F.array(*[F.lit(d) for d in dists])
         term = F.element_at(lut, F.element_at("codes", j + 1) + 1)
         adc = term if adc is None else adc + term
+    return adc
+
+
+def ivf_pq_topk(
+    indexed_enc: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    books: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """The composed billion-vector query path: IVF probe prunes to
+    ``nprobe`` clusters (broadcast semi-join on cluster_id — partition
+    pruning if the index is written partitioned by cluster), PQ ADC ranks
+    the candidates with a literal-LUT projection, and exact cosine
+    re-scores only the ``rerank``-row shortlist. ``indexed_enc`` is the
+    materialized index: (id, vec, cluster_id, codes) from
+    ivf_build + pq_encode — built once, queried many times.
+
+    Plan shape: scan → broadcast probe join → TakeOrderedAndProject
+    (rerank) → exact cosine over ≤rerank rows → TakeOrderedAndProject (k).
+    No shuffle wider than the rerank shortlist."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probe = (
+        centroids.select(
+            "cluster_id", cosine(F.col("centroid"), q).alias("_cc")
+        )
+        .orderBy(F.col("_cc").desc(), F.col("cluster_id"))
+        .limit(nprobe)
+        .select("cluster_id")
+    )
+    shortlist = (
+        indexed_enc.join(F.broadcast(probe), on="cluster_id")
+        .select(F.col(id_col), F.col(vec_col),
+                _adc_expr(books, query_vec).alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    return (
+        shortlist.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_adc_topk(encoded: DataFrame, books: list, query_vec: list,
+                topk: int = 10, id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query's distance to
+    every codebook centroid is precomputed on the driver (m·k doubles) and
+    baked into the plan as literals, so scoring a row is m array lookups +
+    adds — no vector math per row. Plans as TakeOrderedAndProject: only k
+    rows per partition reach the merge."""
+    adc = _adc_expr(books, query_vec)
     return (
         encoded.select(F.col(id_col), F.round(adc, 6).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col(id_col))
