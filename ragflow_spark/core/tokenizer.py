@@ -224,10 +224,15 @@ class RagTokenizer:
         ]
 
     def tokenize(self, line: str) -> str:
-        """rag_tokenizer.py:260-329: Q2B + lower; pure-Latin lines go to the
-        English path; mixed/CJK lines run FW/BW max-match with DFS
-        re-segmentation of the disagreement regions."""
+        """rag_tokenizer.py:260-329: Q2B + lower + tradi2simp; pure-Latin
+        lines go to the English path; mixed/CJK lines run FW/BW max-match
+        with DFS re-segmentation of the disagreement regions."""
+        from ragflow_spark.core.hanzi import to_simplified
+
         line = str_q2b(line).lower()
+        # rag_tokenizer.py:262 — hanziconv's full table is pluggable via
+        # hanzi.load_table; the pinned fixture covers common chars
+        line = to_simplified(line)
         zh_num = len([1 for c in line if is_chinese(c)])
         if zh_num == 0:
             return " ".join(porter_stem(t) for t in _word_tokenize(line))

@@ -155,3 +155,32 @@ def test_tokenize_column_spark(spark):
         assert out[i][0] == ltks
         assert out[i][1] == expect_tk.fine_grained_tokenize(ltks)
     assert "数据库管理系统" in out[1][0]
+
+
+# ------------------------------------------------------- tradi2simp (X4)
+
+def test_tradi2simp_common_pairs():
+    from ragflow_spark.core.hanzi import TRADI2SIMP_FIXTURE, to_simplified
+
+    assert len(TRADI2SIMP_FIXTURE) >= 250
+    assert to_simplified("電腦網絡學習") == "电脑网络学习"
+    assert to_simplified("國家圖書館開門") == "国家图书馆开门"
+    # untabled + non-CJK chars pass through
+    assert to_simplified("abc 123 已简化") == "abc 123 已简化"
+
+
+def test_tradi2simp_load_table_tsv(tmp_path):
+    from ragflow_spark.core.hanzi import load_table, to_simplified
+
+    p = tmp_path / "map.tsv"
+    p.write_text("龜\t龟\n", encoding="utf-8")
+    t = load_table(str(p))
+    assert to_simplified("龜", t) == "龟"
+
+
+def test_tokenize_applies_tradi2simp():
+    from ragflow_spark.core.tokenizer import RagTokenizer
+
+    tk = RagTokenizer(["电脑 5 n", "学习 5 n"])
+    # traditional input segments identically to its simplified form
+    assert tk.tokenize("電腦學習") == tk.tokenize("电脑学习")
