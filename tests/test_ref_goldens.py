@@ -38,11 +38,12 @@ def test_golden_covers_corpus(golden):
     # the executable subset must stay a substantial share of the corpus —
     # if make_doc's cycles change, regenerate via tools/gen_ref_goldens.py
     assert golden["n_docs_corpus"] == 256
-    assert len(golden["docs"]) >= 150
+    assert len(golden["docs"]) >= 175
     fmts = {v["fmt"] for v in golden["docs"].values()}
-    assert fmts == {"txt", "json", "md", "eml", "html"}
+    assert fmts == {"txt", "json", "md", "eml", "html", "pdf"}
     parsers = {v["parser"] for v in golden["docs"].values()}
-    assert {"naive", "book", "laws", "qa", "email"} <= parsers
+    assert {"naive", "book", "paper", "manual", "laws", "qa",
+            "email"} <= parsers
 
 
 def test_pipeline_matches_reference_goldens(spark, golden):

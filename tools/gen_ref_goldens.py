@@ -7,13 +7,14 @@ persists per-url chunk text lists as the golden fixture that
 tests/test_ref_goldens.py gates the Spark `extract_chunks` pipeline
 against.
 
-Executable subset = formats whose reference parser path needs no absent
-third-party lib: txt (TxtParser / book / paper / qa / laws string paths),
-json (RAGFlowJsonParser), md (RAGFlowMarkdownParser), eml (stdlib email).
-html needs readability+html_text, docx/xlsx/pptx need python-docx/openpyxl/
-python-pptx, pdf needs pdfplumber/pypdf - all absent from this container,
-so those formats stay gated by the parity-core goldens (tests/
-test_pipeline.py) and the per-stage A/B suite.
+Executable subset: txt (TxtParser / book / paper / qa / laws string
+paths), json (RAGFlowJsonParser), md (RAGFlowMarkdownParser), eml
+(stdlib email), html (via the Arc90 readability stand-in), and pdf
+(the reference's real per-template Pdf.__call__ orchestration through
+refstubs.template_pdf_instance's shared vision stand-in; docs beyond the
+task page window skip). docx/xlsx/pptx need python-docx/openpyxl/
+python-pptx - absent from this container - and stay gated by the
+parity-core goldens (tests/test_pipeline.py).
 
 Shared stand-ins on BOTH sides (the documented deviations): token counting
 (tiktoken absent), rag_tokenizer (huqie dict absent), markdown table
@@ -28,17 +29,25 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-EXEC_FMTS = ("txt", "json", "md", "eml", "html")
+EXEC_FMTS = ("txt", "json", "md", "eml", "html", "pdf")
 
 # (parser, fmt) pairs our engine supports as extensions but the reference
 # refuses outright (rag/app/paper.py:142 "pdf supported") — no golden
 NOT_IN_REFERENCE = {("paper", "txt"), ("paper", "html")}
+
+# pdf docs run the reference's real Pdf.__call__ via the shared vision
+# stand-in (refstubs.template_pdf_instance); docs beyond the page-window
+# size diverge by design (our pipeline processes TASK_PAGE_SIZE windows,
+# the reference one range) and are skipped
+PDF_PARSERS = ("naive", "book", "paper", "manual")
+PDF_MAX_PAGES = 12
 
 
 def _noop(*a, **k):
@@ -46,39 +55,55 @@ def _noop(*a, **k):
 
 
 def ref_factory():
+    import logging
+
     import refstubs
 
     refstubs.install_reference_stubs()
     import rag.app.book as book
     import rag.app.email as email_app
     import rag.app.laws as laws
+    import rag.app.manual as manual
     import rag.app.naive as naive
     import rag.app.paper as paper
     import rag.app.qa as qa
 
+    laws.logging = logging  # upstream laws.py misses the import (v0.13.0)
     # FACTORY dispatch per rag/svr/task_executor.py:66-83
     return {
         "naive": naive.chunk,
         "book": book.chunk,
         "paper": paper.chunk,
+        "manual": manual.chunk,
         "qa": qa.chunk,
         "laws": laws.chunk,
         "email": email_app.chunk,
+    }, {
+        "naive": naive, "book": book, "paper": paper, "manual": manual,
+        "qa": qa, "laws": laws,
     }
 
 
 def generate(n_docs: int) -> dict:
+    import refstubs
+
+    from ragflow_spark.core import pdf_mini
     from ragflow_spark.sources.pages import make_doc
 
-    factory = ref_factory()
+    factory, modules = ref_factory()
     golden: dict[str, dict] = {}
     skipped: dict[str, int] = {}
     for doc_id in range(n_docs):
         d = make_doc(doc_id)
         fmt, parser = d["fmt"], d["parser"]
         if (fmt not in EXEC_FMTS or parser not in factory
-                or (parser, fmt) in NOT_IN_REFERENCE):
+                or (parser, fmt) in NOT_IN_REFERENCE
+                or (fmt == "pdf" and parser not in PDF_PARSERS)):
             skipped[fmt] = skipped.get(fmt, 0) + 1
+            continue
+        if fmt == "pdf" and \
+                len(pdf_mini.extract_boxes(d["html"])) > PDF_MAX_PAGES:
+            skipped["pdf>window"] = skipped.get("pdf>window", 0) + 1
             continue
         # the reference's is_english() samples via random.choices
         # (rag/nlp/__init__.py random_choices) - pin the global RNG so the
@@ -86,12 +111,25 @@ def generate(n_docs: int) -> dict:
         random.seed(doc_id)
         fn = factory[parser]
         name = f"doc{doc_id}.{fmt}"
+        mod = modules.get(parser)
+        orig_pdf = getattr(mod, "Pdf", None)
         try:
+            if fmt == "pdf":
+                inst = refstubs.template_pdf_instance(
+                    mod.Pdf, d["html"], d["lang"])
+                mod.Pdf = lambda: inst
             docs = fn(name, binary=d["html"], lang=d["lang"], callback=_noop)
-            chunks = [c["content_with_weight"] for c in docs]
+            # strip position tags (@@pn\tx0..##) so pdf goldens compare
+            # against tag-free chunk_text; span/tag parity is pinned by
+            # tests/test_pipeline.py + the e2e pdf A/B separately
+            chunks = [re.sub(r"@@[\t0-9.-]+?##", "",
+                             c["content_with_weight"]) for c in docs]
             err = None
         except Exception as exc:  # reference-side refusal (e.g. laws empty)
             chunks, err = [], f"{type(exc).__name__}: {exc}"
+        finally:
+            if fmt == "pdf" and orig_pdf is not None:
+                mod.Pdf = orig_pdf
         golden[d["url"]] = {
             "doc_id": doc_id,
             "fmt": fmt,
