@@ -404,6 +404,59 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
     return _finish([*table_chunks, *chunks])
 
 
+def _laws_docx_sections(blob: bytes) -> list[str]:
+    """laws.py:56-99 ``Docx.__call__``: paragraph → (question_level, text)
+    via Heading-N style or the voted bullet bank (rag/nlp
+    docx_question_level, :514-524), then the outline walk — each node
+    joined with its children at the first non-empty deeper level."""
+    from ragflow_spark.core import office
+    from ragflow_spark.core.patterns import BULLET_PATTERN, bullets_category
+
+    paras, _tables = office.parse_docx(blob)
+    bull = bullets_category([t for t, _ in paras])
+
+    def q_level(text: str, style: str) -> tuple[int, str]:
+        txt = re.sub(r"　", " ", text).strip()
+        if style.startswith("Heading"):
+            return int(style.split(" ")[-1]), txt
+        if bull < 0:
+            return 0, txt
+        for j, pat in enumerate(BULLET_PATTERN[bull]):
+            if re.match(pat, txt):
+                return j + 1, txt
+        return len(BULLET_PATTERN[bull]), txt
+
+    lines = []
+    for text, style in paras:
+        ql, pt = q_level(text, style)
+        if not pt.strip("\n"):
+            continue
+        lines.append((ql, pt))
+
+    visit = [False] * len(lines)
+    sections: list[str] = []
+    for s in range(len(lines)):
+        e = s + 1
+        while e < len(lines):
+            if lines[e][0] <= lines[s][0]:
+                break
+            e += 1
+        if e - s == 1 and visit[s]:
+            continue
+        sec: list[str] = []
+        next_level = lines[s][0] + 1
+        while not sec and next_level < 22:
+            for i in range(s + 1, e):
+                if lines[i][0] != next_level:
+                    continue
+                sec.append(lines[i][1])
+                visit[i] = True
+            next_level += 1
+        sec.insert(0, lines[s][1])
+        sections.append("\n".join(sec))
+    return [s for s in sections if s]
+
+
 def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
                cfg: dict | None = None) -> list[ChunkOut]:
     """rag/app/laws.py:134-200: sections → remove_contents_table →
@@ -411,6 +464,13 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
     depth 5, chunks joined with newlines."""
     cfg = {**DEFAULT_CFG, **(cfg or {})}
     eng = lang.lower() == "english"
+    if fmt == "docx":
+        # the laws docx path RETURNS EARLY with its own hierarchy walk
+        # (laws.py:56-99 Docx.__call__ → laws.py:151-156): question levels
+        # from Heading styles / the voted bullet bank, each outline node
+        # joined with its first non-empty child level — no contents-table
+        # removal, no hierarchical_merge
+        return _finish(_laws_docx_sections(blob))
     if fmt in ("txt", "text"):
         sections = [(ln, "") for ln in decode_bytes(blob).split("\n") if ln]
     else:

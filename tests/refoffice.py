@@ -1,0 +1,224 @@
+"""Functional stand-ins for python-docx / openpyxl / python-pptx, used
+ONLY to execute the reference's office parser paths in the A/B suites
+(the real packages are absent from this container).
+
+Each facade parses the OOXML with stdlib zipfile + ElementTree and
+exposes exactly the attribute surface the reference touches:
+
+- docx.Document: .paragraphs (.text, .runs[].text / ._element.xml,
+  .style.name, ._element.xpath), .tables (.rows[].cells[].text),
+  .part.related_parts
+- openpyxl.load_workbook: .sheetnames, wb[name].rows -> cells with .value
+- pptx.Presentation: .slides[].shapes with .shape_type /
+  .has_text_frame / .text_frame.text / .top / .left
+
+These are stand-ins for PUBLIC library behaviour, shared across both
+sides of the A/B the same way the tokenizer stand-in is: what the A/B
+then genuinely exercises is everything the reference does DOWNSTREAM of
+the library (pagination, style routing, table serialization, template
+logic)."""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from io import BytesIO
+from xml.etree import ElementTree as ET
+
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+
+
+# ------------------------------------------------------------------ docx
+
+
+class _Style:
+    def __init__(self, name):
+        self.name = name
+
+
+class _Element:
+    def __init__(self, el):
+        self._el = el
+
+    @property
+    def xml(self):
+        return ET.tostring(self._el, encoding="unicode")
+
+    def xpath(self, pattern):
+        # only the picture probes reach this (naive.py get_picture); the
+        # fixtures carry no images
+        return []
+
+
+class _Run:
+    def __init__(self, el):
+        self._element = _Element(el)
+        self.text = "".join(t.text or "" for t in el.iter(f"{_W}t"))
+
+
+class _Paragraph:
+    def __init__(self, el, style_names):
+        self._element = _Element(el)
+        self.runs = [_Run(r) for r in el.findall(f"{_W}r")]
+        parts = []
+        for node in el.iter():
+            if node.tag == f"{_W}t":
+                parts.append(node.text or "")
+            elif node.tag == f"{_W}tab":
+                parts.append("\t")
+            elif node.tag in (f"{_W}br", f"{_W}cr"):
+                parts.append("\n")
+        self.text = "".join(parts)
+        ps = el.find(f"{_W}pPr/{_W}pStyle")
+        sid = ps.attrib.get(f"{_W}val") if ps is not None else None
+        self.style = _Style(style_names.get(sid, sid) if sid else "Normal")
+
+
+class _Cell:
+    def __init__(self, el):
+        self.text = "\n".join(
+            "".join(t.text or "" for t in p.iter(f"{_W}t"))
+            for p in el.findall(f"{_W}p")
+        )
+
+
+class _Row:
+    def __init__(self, el):
+        self.cells = [_Cell(tc) for tc in el.findall(f"{_W}tc")]
+
+
+class _DocxTable:
+    def __init__(self, el):
+        self.rows = [_Row(tr) for tr in el.findall(f"{_W}tr")]
+
+
+class _Part:
+    related_parts: dict = {}
+
+
+class DocxDocument:
+    def __init__(self, src):
+        blob = src.read() if hasattr(src, "read") else open(src, "rb").read()
+        zf = zipfile.ZipFile(BytesIO(blob))
+        style_names: dict[str, str] = {}
+        if "word/styles.xml" in zf.namelist():
+            sroot = ET.fromstring(zf.read("word/styles.xml"))
+            for st in sroot.iter(f"{_W}style"):
+                sid = st.attrib.get(f"{_W}styleId")
+                nm = st.find(f"{_W}name")
+                if sid and nm is not None:
+                    style_names[sid] = nm.attrib.get(f"{_W}val", sid)
+        root = ET.fromstring(zf.read("word/document.xml"))
+        body = root.find(f"{_W}body")
+        self.paragraphs = [
+            _Paragraph(el, style_names) for el in body.findall(f"{_W}p")
+        ]
+        self.tables = [_DocxTable(el) for el in body.findall(f"{_W}tbl")]
+        self.part = _Part()
+
+
+# --------------------------------------------------------------- openpyxl
+
+
+class _XCell:
+    def __init__(self, value):
+        self.value = value
+
+
+class _Worksheet:
+    def __init__(self, rows):
+        self.rows = [tuple(_XCell(v) for v in row) for row in rows]
+
+
+class Workbook:
+    def __init__(self, sheets):
+        self.sheetnames = [name for name, _ in sheets]
+        self._ws = {name: _Worksheet(rows) for name, rows in sheets}
+
+    def __getitem__(self, name):
+        return self._ws[name]
+
+
+def load_workbook(src, **kwargs):
+    from ragflow_spark.core.office import _xlsx_sheets
+
+    blob = src.read() if hasattr(src, "read") else open(src, "rb").read()
+    return Workbook(_xlsx_sheets(blob))
+
+
+# ------------------------------------------------------------------ pptx
+
+
+class _TextFrame:
+    def __init__(self, text):
+        self.text = text
+
+
+class _Shape:
+    shape_type = 17  # MSO_SHAPE_TYPE.TEXT_BOX
+
+    def __init__(self, top, left, text):
+        self.top, self.left = top, left
+        self.has_text_frame = True
+        self.text_frame = _TextFrame(text)
+
+
+class _Slide:
+    def __init__(self, shapes):
+        self.shapes = shapes
+
+
+class Presentation:
+    def __init__(self, src):
+        blob = src.read() if hasattr(src, "read") else open(src, "rb").read()
+        zf = zipfile.ZipFile(BytesIO(blob))
+        slide_files = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda p: int(re.search(r"(\d+)", p).group(1)),
+        )
+        self.slides = []
+        for path in slide_files:
+            root = ET.fromstring(zf.read(path))
+            shapes = []
+            for sp in root.iter(f"{_P}sp"):
+                off = sp.find(f".//{_A}off")
+                top = int(off.attrib.get("y", 0)) if off is not None else 0
+                left = int(off.attrib.get("x", 0)) if off is not None else 0
+                paras = []
+                for p in sp.iter(f"{_A}p"):
+                    runs = [t.text or "" for t in p.iter(f"{_A}t")]
+                    if runs:
+                        paras.append("".join(runs))
+                shapes.append(_Shape(top, left, "\n".join(paras)))
+            self.slides.append(_Slide(shapes))
+
+
+# ------------------------------------------------ aspose.slides thumbnail
+
+
+class _Thumb:
+    def save(self, buf, fmt=None):
+        buf.write(b"\xff\xd8fakejpeg")
+
+
+class _AsposeSlide:
+    def get_thumbnail(self, sx, sy):
+        return _Thumb()
+
+
+class AsposePresentation:
+    """aspose.slides.Presentation context manager (presentation.py:34-40):
+    only len(slides) and per-slide thumbnails are consumed."""
+
+    def __init__(self, src):
+        n = len(Presentation(src).slides)
+        self.slides = [_AsposeSlide() for _ in range(n)]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

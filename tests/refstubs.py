@@ -66,6 +66,7 @@ def install_reference_stubs() -> None:
     pil_img.Image = type("Image", (), {})
     pil_img.new = lambda mode, size, color=None: _FakeImg(*size)
     pil_img.alpha_composite = lambda a, b: a
+    pil_img.open = lambda buf: _FakeImg(1, 1)
     sys.modules["PIL.Image"] = pil_img
     _mod("PIL", Image=pil_img)
     _mod("roman_numbers", number=_raise(ValueError))
@@ -103,14 +104,24 @@ def install_reference_stubs() -> None:
     shp_geom = _mod("shapely.geometry", Polygon=object)
     shp.geometry = shp_geom
     sys.modules.setdefault("pyclipper", _AnyAttrModule("pyclipper"))
+    # functional office facades (tests/refoffice.py) — the reference's
+    # docx/xlsx/pptx parser paths execute for real over stdlib-parsed OOXML
+    import refoffice
+
     docx_img_exc = _mod("docx.image.exceptions",
                         UnrecognizedImageError=type("E1", (Exception,), {}),
                         UnexpectedEndOfFileError=type("E2", (Exception,), {}),
                         InvalidImageStreamError=type("E3", (Exception,), {}))
     docx_img = _mod("docx.image", exceptions=docx_img_exc)
-    _mod("docx", Document=object, image=docx_img)
-    _mod("openpyxl", load_workbook=object, Workbook=object)
-    _mod("pptx", Presentation=object)
+    _mod("docx", Document=refoffice.DocxDocument, image=docx_img)
+    _mod("openpyxl", load_workbook=refoffice.load_workbook,
+         Workbook=refoffice.Workbook)
+    _mod("pptx", Presentation=refoffice.Presentation)
+    asl = _mod("aspose.slides", Presentation=refoffice.AsposePresentation)
+    drw_fmt = types.SimpleNamespace(jpeg=0)
+    apd = _mod("aspose.pydrawing",
+               imaging=types.SimpleNamespace(ImageFormat=drw_fmt))
+    _mod("aspose", slides=asl, pydrawing=apd)
     # the real `markdown` pkg is absent; route the reference's table
     # rendering through OUR renderer (mimics the markdown-pkg table HTML
     # shape) — a shared stand-in like the tokenizer, so template A/Bs

@@ -38,12 +38,13 @@ def test_golden_covers_corpus(golden):
     # the executable subset must stay a substantial share of the corpus —
     # if make_doc's cycles change, regenerate via tools/gen_ref_goldens.py
     assert golden["n_docs_corpus"] == 256
-    assert len(golden["docs"]) >= 175
+    assert len(golden["docs"]) >= 240
     fmts = {v["fmt"] for v in golden["docs"].values()}
-    assert fmts == {"txt", "json", "md", "eml", "html", "pdf"}
+    assert fmts == {"txt", "json", "md", "eml", "html", "pdf",
+                    "docx", "xlsx", "pptx"}
     parsers = {v["parser"] for v in golden["docs"].values()}
     assert {"naive", "book", "paper", "manual", "laws", "qa",
-            "email"} <= parsers
+            "email", "presentation"} <= parsers
 
 
 def test_pipeline_matches_reference_goldens(spark, golden):

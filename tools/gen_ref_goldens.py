@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-EXEC_FMTS = ("txt", "json", "md", "eml", "html", "pdf")
+EXEC_FMTS = ("txt", "json", "md", "eml", "html", "pdf", "docx", "xlsx", "pptx")
 
 # (parser, fmt) pairs our engine supports as extensions but the reference
 # refuses outright (rag/app/paper.py:142 "pdf supported") — no golden
@@ -70,6 +70,8 @@ def ref_factory():
 
     laws.logging = logging  # upstream laws.py misses the import (v0.13.0)
     # FACTORY dispatch per rag/svr/task_executor.py:66-83
+    import rag.app.presentation as presentation
+
     return {
         "naive": naive.chunk,
         "book": book.chunk,
@@ -78,6 +80,7 @@ def ref_factory():
         "qa": qa.chunk,
         "laws": laws.chunk,
         "email": email_app.chunk,
+        "presentation": presentation.chunk,
     }, {
         "naive": naive, "book": book, "paper": paper, "manual": manual,
         "qa": qa, "laws": laws,
