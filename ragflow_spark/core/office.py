@@ -276,6 +276,114 @@ def parse_docx_caption_pairs(secs: list[tuple[str, str]]
     return out
 
 
+def docx_table_grids(blob: bytes) -> list[list[list[str]]]:
+    """Raw cell grids of every body-level table (rows × cells of text),
+    the input shape RAGFlowDocxParser.__extract_table_content consumes."""
+    zf = zipfile.ZipFile(BytesIO(blob))
+    root = ET.fromstring(zf.read("word/document.xml"))
+    body = root.find(f"{_W}body")
+    grids: list[list[list[str]]] = []
+    if body is None:
+        return grids
+    for el in body.findall(f"{_W}tbl"):
+        rows = []
+        for tr in el.findall(f"{_W}tr"):
+            rows.append([
+                "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+                for tc in tr.findall(f"{_W}tc")
+            ])
+        grids.append(rows)
+    return grids
+
+
+def compose_table_content(rows: list[list[str]]) -> list[str]:
+    """RAGFlowDocxParser.__compose_table_content (docx_parser.py:30-111):
+    cell-type vote over the body, numeric-majority header re-detection,
+    stacked-header composition `header: cell` joined with ';' — one line
+    per row for wide tables (>3 cols), else one joined block. Tokenizer
+    calls route through ``default_tokenize`` (the documented huqie
+    stand-in, shared with the A/B's rag_tokenizer stub)."""
+    from collections import Counter
+
+    from ragflow_spark.core.updown import default_tokenize
+
+    patt = [
+        (r"^(20|19)[0-9]{2}[年/-][0-9]{1,2}[月/-][0-9]{1,2}日*$", "Dt"),
+        (r"^(20|19)[0-9]{2}年$", "Dt"),
+        (r"^(20|19)[0-9]{2}[年/-][0-9]{1,2}月*$", "Dt"),
+        (r"^[0-9]{1,2}[月/-][0-9]{1,2}日*$", "Dt"),
+        (r"^第*[一二三四1-4]季度$", "Dt"),
+        (r"^(20|19)[0-9]{2}年*[一二三四1-4]季度$", "Dt"),
+        (r"^(20|19)[0-9]{2}[ABCDE]$", "DT"),
+        (r"^[0-9.,+%/ -]+$", "Nu"),
+        (r"^[0-9A-Z/\._~-]+$", "Ca"),
+        (r"^[A-Z]*[a-z' -]+$", "En"),
+        (r"^[0-9.,+-]+[0-9A-Za-z/$￥%<>（）()' -]+$", "NE"),
+        (r"^.{1}$", "Sg"),
+    ]
+
+    def block_type(b: str) -> str:
+        for p, n in patt:
+            if re.search(p, b):
+                return n
+        tks = [t for t in default_tokenize(b) if len(t) > 1]
+        if len(tks) > 3:
+            return "Tx" if len(tks) < 12 else "Lx"
+        return "Ot"
+
+    if len(rows) < 2:
+        return []
+    width = max(len(r) for r in rows)
+    grid = [[(r[j] if j < len(r) else "") for j in range(width)]
+            for r in rows]
+    votes = Counter(
+        block_type(str(grid[i][j]))
+        for i in range(1, len(grid)) for j in range(width)
+    )
+    max_type = max(votes.items(), key=lambda x: x[1])[0]
+
+    colnm = width
+    hdrows = [0]
+    if max_type == "Nu":
+        for r in range(1, len(grid)):
+            tys = Counter(block_type(str(grid[r][j])) for j in range(width))
+            if max(tys.items(), key=lambda x: x[1])[0] != max_type:
+                hdrows.append(r)
+
+    lines = []
+    for i in range(1, len(grid)):
+        if i in hdrows:
+            continue
+        hr = [r - i for r in hdrows if r - i < 0]
+        t = len(hr) - 1
+        while t > 0:
+            if hr[t] - hr[t - 1] > 1:
+                hr = hr[t:]
+                break
+            t -= 1
+        headers = []
+        for j in range(width):
+            seen: list[str] = []
+            for h in hr:
+                x = str(grid[i + h][j]).strip()
+                if x in seen:
+                    continue
+                seen.append(x)
+            head = ",".join(seen)
+            if head:
+                head += ": "
+            headers.append(head)
+        cells = [
+            headers[j] + str(grid[i][j])
+            for j in range(width) if str(grid[i][j])
+        ]
+        lines.append(";".join(cells))
+
+    if colnm > 3:
+        return lines
+    return ["\n".join(lines)]
+
+
 def build_simple_docx(paragraphs: list[tuple[str, str]],
                       tables: list[list[list[str]]] | None = None) -> bytes:
     """Deterministic minimal DOCX writer: (text, style) paragraphs + tables."""

@@ -180,19 +180,22 @@ def chunk_book(blob: bytes, fmt: str, lang: str = "English",
         raw = decode_bytes(blob)
         sections = [(ln, "") for ln in raw.split("\n") if ln]
     elif fmt == "docx":
-        # book's docx path uses the deepdoc DocxParser row-line form, batches
-        # of 10 joined with the language delimiter (book.py:71-80 +
+        # book's docx path uses the deepdoc DocxParser form: tables go
+        # through __compose_table_content (stacked-header `h: cell` lines,
+        # docx_parser.py:30-111), one tbls entry per TABLE, each batched
+        # by 10 rows with the language delimiter (book.py:71-80 +
         # tokenize_table's rows branch, rag/nlp/__init__.py:280-287)
         from ragflow_spark.core import office
 
-        secs, row_tables = office.parse_docx(blob)
+        secs, _row_tables = office.parse_docx(blob)
         secs = office.parse_docx_caption_pairs(secs)
         sections = [(t, "") for t, _style in secs if t]
         de = "; " if lang.lower() == "english" else "； "
-        table_chunks = [
-            de.join(row_tables[i:i + 10])
-            for i in range(0, len(row_tables), 10)
-        ]
+        table_chunks = []
+        for grid in office.docx_table_grids(blob):
+            lns = office.compose_table_content(grid)
+            for i in range(0, len(lns), 10):
+                table_chunks.append(de.join(lns[i:i + 10]))
     else:
         sections, table_chunks, title = sections_for(
             blob, fmt, cfg, pdf_layout=cfg.get("layout_recognize", True),

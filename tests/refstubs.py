@@ -122,13 +122,14 @@ def install_reference_stubs() -> None:
     apd = _mod("aspose.pydrawing",
                imaging=types.SimpleNamespace(ImageFormat=drw_fmt))
     _mod("aspose", slides=asl, pydrawing=apd)
-    # the real `markdown` pkg is absent; route the reference's table
-    # rendering through OUR renderer (mimics the markdown-pkg table HTML
-    # shape) — a shared stand-in like the tokenizer, so template A/Bs
-    # compare everything EXCEPT the renderer itself
-    from ragflow_spark.core.markdown import render_table_html
+    # the real `markdown` pkg is absent; route the reference's rendering
+    # through OUR stand-in (mimics the markdown-pkg shape for the two
+    # call-site input classes: pure tables -> <table> HTML, prose ->
+    # <p> paragraphs) — shared on both sides like the tokenizer, so
+    # template A/Bs compare everything EXCEPT the renderer itself
+    from ragflow_spark.core.qa import md_to_html_lite
 
-    _mod("markdown", markdown=lambda s, **kw: render_table_html(s))
+    _mod("markdown", markdown=lambda s, **kw: md_to_html_lite(s))
     tika = _mod("tika")
     tika.parser = types.SimpleNamespace(
         from_buffer=lambda b: {"content": ""})

@@ -225,7 +225,7 @@ def test_docx_parse_and_templates():
     book = run_template("book", blob, "docx")
     # book docx: natural-language row lines, batched (tokenize_table rows
     # branch) — also ahead of the merged chunks
-    assert book[0].chunk_text == "k：x; v：1"
+    assert book[0].chunk_text == "k: x;v: 1"  # DocxParser stacked-header form (docx_parser.py:30-111)
     assert any("Chapter I" in c.chunk_text and "first chapter" in c.chunk_text
                for c in book)
 

@@ -1,0 +1,103 @@
+"""A/B for template×format combos the shared corpus never pairs, now
+executable through the OOXML facades (tests/refoffice.py): book-docx
+(DocxParser stacked-header table composition), qa-md (markdown answers),
+qa-docx (Heading question stack). The corpus-level golden
+(tests/test_ref_goldens.py) covers the in-corpus combos.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+import refstubs  # noqa: E402
+
+from ragflow_spark.core.office import build_simple_docx  # noqa: E402
+from ragflow_spark.core.templates import run_template  # noqa: E402
+
+
+def _noop(*a, **k):
+    pass
+
+
+def _strip(t):
+    return re.sub(r"@@[\t0-9.-]+?##", "", t)
+
+
+@pytest.fixture(scope="module")
+def ref_apps():
+    refstubs.install_reference_stubs()
+    import rag.app.book as book
+    import rag.app.qa as qa
+
+    return {"book": book, "qa": qa}
+
+
+def _book_docx_blob(seed):
+    r = random.Random(seed)
+    paras = []
+    for ch in range(1, r.randint(2, 5)):
+        paras.append((f"Chapter {['I', 'II', 'III', 'IV'][ch - 1]}",
+                      "Heading 1"))
+        for a in range(r.randint(2, 5)):
+            paras.append((f"Body sentence {ch}-{a} about the topic with "
+                          "enough words to matter.", ""))
+    tables = []
+    if seed % 2 == 0:
+        tables.append([["metric", "value"]] + [
+            [f"m{i}", str(r.randint(0, 99))] for i in range(r.randint(2, 6))
+        ])
+    if seed % 3 == 0:
+        tables.append([["name", "qty", "unit", "note"]] + [
+            [f"n{i}", str(r.randint(0, 9)), "kg", f"note {i}"]
+            for i in range(3)
+        ])
+    return build_simple_docx(paras, tables)
+
+
+# seed 6 excluded: its corpus has a single Chapter heading and the
+# reference's bullets_category votes over random.choices WITH REPLACEMENT
+# (book.py:119), which misses the lone heading under that seed — the
+# SURVEY §7.3.2 full-list-vote deviation, documented, not a bug
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 7])
+def test_book_docx_ab(ref_apps, seed):
+    blob = _book_docx_blob(seed)
+    random.seed(seed)
+    docs = ref_apps["book"].chunk("b.docx", binary=blob, lang="English",
+                                  callback=_noop)
+    ref = [_strip(c["content_with_weight"]) for c in docs]
+    ours = [c.chunk_text for c in run_template("book", blob, "docx",
+                                               "English")]
+    assert ref == ours, seed
+
+
+def test_qa_md_ab(ref_apps):
+    md = ("# What is alpha?\nAlpha is the first letter.\n\n"
+          "## What is beta?\nBeta follows alpha.\nMore answer text.\n"
+          "```\n# not a question inside code\n```\n"
+          "# What is gamma?\nGamma is third.\n").encode()
+    random.seed(0)
+    docs = ref_apps["qa"].chunk("q.md", binary=md, lang="English",
+                                callback=_noop)
+    ref = [_strip(c["content_with_weight"]) for c in docs]
+    ours = [c.chunk_text for c in run_template("qa", md, "md", "English")]
+    assert ref == ours
+
+
+def test_qa_docx_ab(ref_apps):
+    paras = [("What is A?", "Heading 1"), ("A is the first letter.", ""),
+             ("What is B?", "Heading 1"), ("B follows A.", ""),
+             ("Extra answer line.", ""),
+             ("What about sub-B?", "Heading 2"), ("Sub answer.", "")]
+    blob = build_simple_docx(paras, [])
+    random.seed(0)
+    docs = ref_apps["qa"].chunk("q.docx", binary=blob, lang="English",
+                                callback=_noop)
+    ref = [_strip(c["content_with_weight"]) for c in docs]
+    ours = [c.chunk_text for c in run_template("qa", blob, "docx",
+                                               "English")]
+    assert ref == ours
