@@ -248,10 +248,22 @@ def _eml_doc(rng: random.Random, sents: list[str]) -> bytes:
     msg["Subject"] = " ".join(sents[0].split()[:6]).rstrip(".!?")
     msg.set_content("\n".join(sents[1:]) or "empty body")
     if rng.random() < 0.3:
-        msg.add_attachment(
-            "\n".join(sents[:4]).encode(),
-            maintype="text", subtype="plain", filename="notes.txt",
-        )
+        if rng.random() < 0.5:
+            # octet-stream .txt attachment: exercises the reference's
+            # attachment RECURSION into naive_chunk (email.py:91-103)
+            msg.add_attachment(
+                "\n".join(sents[:4]).encode(),
+                maintype="application", subtype="octet-stream",
+                filename="notes.txt",
+            )
+        else:
+            # charset-less text/plain attachment: real RAGFlow CRASHES on
+            # these (email.py:63 .decode(None)); our engine's documented
+            # leniency (utf-8/ignore) must still extract
+            msg.add_attachment(
+                "\n".join(sents[:4]).encode(),
+                maintype="text", subtype="plain", filename="notes.txt",
+            )
         # the stdlib generates a RANDOM multipart boundary; the corpus must
         # be a pure function of doc_id
         msg.set_boundary(f"=-fixture-boundary-{rng.randint(0, 10**9)}")
