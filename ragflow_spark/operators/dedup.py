@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ragflow_spark.functions.text import (
+    MINHASH_MOD,
     fingerprint_md5,
     lsh_bands,
     minhash_signature,
@@ -91,6 +92,84 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash
 
+def minhash_base_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(_id, _sh, _sig, _bands) in ONE Arrow pass — bit-identical to the
+    native ``minhash_signature``/``lsh_bands`` expressions (hashlib.md5 ==
+    F.md5 on utf-8 bytes; identical Carter-Wegman mod-2^32 arithmetic; the
+    DuckDB oracle stays exact) but vectorized in numpy.
+
+    Why it exists: the native expression tree (md5 + transform + aggregate
+    over k minima) exceeds whole-stage-codegen limits and Spark falls back
+    to INTERPRETED per-row eval (`StringSplit.nullSafeEval` in executor
+    stacks) — measured ~10× slower per doc at the 1M-doc smoke than the
+    131k run extrapolates. The Arrow path is the scale default for
+    ``minhash_pairs``; the expression path remains the oracle-checked
+    reference implementation (doc_minhash_sig/bands queries)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rows = num_hashes // bands
+    id_type = dict(df.dtypes)[id_col]
+    mod = np.uint64(MINHASH_MOD)
+    idx = np.arange(num_hashes, dtype=np.uint64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, shs, sigs, bnds = [], [], [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").strip().split()
+                if len(toks) >= shingle_n:
+                    # dict preserves first-occurrence order like
+                    # F.array_distinct
+                    sh = list(dict.fromkeys(
+                        " ".join(toks[i:i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    ))
+                else:
+                    sh = [" ".join(toks)]
+                a = np.empty(len(sh), dtype=np.uint64)
+                b = np.empty(len(sh), dtype=np.uint64)
+                for k, s in enumerate(sh):
+                    d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    a[k] = int(d[:8], 16)
+                    b[k] = int(d[8:16], 16)
+                h = (a[:, None] + idx[None, :] * b[:, None]) % mod
+                sig = h.min(axis=0).astype(np.int64)
+                band_keys = [
+                    hashlib.md5(
+                        (str(bi) + "|" + ",".join(
+                            str(int(v))
+                            for v in sig[bi * rows:(bi + 1) * rows]
+                        )).encode("utf-8")
+                    ).hexdigest()
+                    for bi in range(bands)
+                ]
+                ids.append(_id)
+                shs.append(sh)
+                sigs.append(sig.tolist())
+                bnds.append(band_keys)
+            yield pd.DataFrame({
+                "_id": ids, "_sh": shs, "_sig": sigs, "_bands": bnds,
+            })
+
+    return df.select(
+        F.col(id_col), F.col(text_col)
+    ).mapInPandas(
+        run,
+        schema=(f"_id {id_type}, _sh array<string>, _sig array<bigint>, "
+                "_bands array<string>"),
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -101,6 +180,7 @@ def minhash_pairs(
     shingle_n: int = 3,
     max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
     persist_base: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b) whose shingle-set Jaccard ≥ threshold,
     found via minhash-LSH banding.
@@ -111,11 +191,16 @@ def minhash_pairs(
     candidates — ``max_band_size`` drops such degenerate bands (identical
     boilerplate belongs to exact dedup)."""
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
-    )
+    if use_arrow:
+        base = minhash_base_arrow(df, id_col, text_col, num_hashes,
+                                  shingle_n, bands)
+    else:
+        base = df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+            minhash_signature(F.col(text_col), num_hashes,
+                              shingle_n).alias("_sig"),
+        ).withColumn("_bands", lsh_bands(F.col("_sig"), bands, rows))
     if persist_base:
         # the signature table feeds three consumers (both band-join sides +
         # the verify re-attach); without persist the shingle/minhash pass
@@ -125,9 +210,7 @@ def minhash_pairs(
         base = base.persist()
     # candidate generation on (id, band) ONLY — the shingle arrays must not
     # ride through the k² band join (they dominate shuffle bytes otherwise)
-    band_rows = base.withColumn(
-        "_bands", lsh_bands(F.col("_sig"), bands, rows)
-    ).select("_id", F.explode("_bands").alias("_band"))
+    band_rows = base.select("_id", F.explode("_bands").alias("_band"))
     hot = None
     if max_band_size is not None:
         # hot-band guard: a band shared by k docs emits k² candidates; bands

@@ -65,11 +65,13 @@ def build_corpus(spark, n_docs: int, path: str, parallelism: int) -> None:
 def band_candidate_counts(docs, max_band_size: int) -> tuple[int, int]:
     """Σ k·(k−1)/2 over band buckets — the candidate-pair volume the band
     join would emit — with and without the hot-band cap, from ONE signature
-    pass (the per-shingle md5 work dominates at this scale)."""
-    from ragflow_spark.functions.text import lsh_bands, minhash_signature
+    pass (the per-shingle md5 work dominates at this scale; Arrow base
+    path, bit-identical to the expression version)."""
+    from ragflow_spark.operators.dedup import minhash_base_arrow
 
-    sig = minhash_signature(F.col("text"), 16, 3)
-    bands = docs.select(F.explode(lsh_bands(sig, 4, 4)).alias("b"))
+    bands = minhash_base_arrow(docs, "doc_id", "text").select(
+        F.explode("_bands").alias("b")
+    )
     counts = bands.groupBy("b").agg(F.count(F.lit(1)).alias("k"))
     pairs = F.col("k") * (F.col("k") - 1) / 2
     row = counts.agg(
@@ -139,7 +141,7 @@ def main() -> None:
     md = f"""## Dedup scale smoke ({n_docs:,} docs, local[{cores}])
 
 Corpus: every 16th doc a planted near-dup, every 64th doc IDENTICAL
-boilerplate (2,048 copies — the k² band bomb), rest unique. Measured
+boilerplate ({n_docs // 64:,} copies — the k² band bomb), rest unique. Measured
 {result['ts']}:
 
 | miner | wall sec | pairs found |
