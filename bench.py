@@ -122,10 +122,18 @@ def main() -> None:
                 prior = json.load(f).get("parsed", {})
             if prior.get("sf") == sf and prior.get("cpus") == cpus:
                 prior_round = prior_files[-1]
+                # flag only ratio AND absolute regressions: sub-second
+                # walls swing ±50% run-to-run on this box (two idle HEAD
+                # runs put doc_curation_summary at 1.0s and 2.2s with zero
+                # code delta); real cliffs (e.g. the interpreted-minhash
+                # fallback this gate exists for) are multi-second
+                REG_MIN_DELTA = float(
+                    os.environ.get("SPARK_GRAFT_REG_MIN_DELTA", "0.75"))
                 for name, t_prev in (prior.get("queries") or {}).items():
                     t_now = timings.get(name)
                     if t_now is not None and t_prev > 0.2 \
-                            and t_now > REG_FACTOR * t_prev:
+                            and t_now > REG_FACTOR * t_prev \
+                            and t_now - t_prev > REG_MIN_DELTA:
                         regressions[name] = {
                             "prev": t_prev, "now": t_now,
                             "x": round(t_now / t_prev, 2),
