@@ -21,7 +21,7 @@ Shared stand-ins on BOTH sides (the documented deviations): token counting
 rendering (markdown pkg absent; tests/refstubs routes the reference
 through our render_table_html).
 
-Usage: python tools/gen_ref_goldens.py [n_docs] [out.json]
+Usage: python tools/gen_ref_goldens.py [n_docs] [out.json] [profile]
 """
 
 from __future__ import annotations
@@ -87,7 +87,7 @@ def ref_factory():
     }
 
 
-def generate(n_docs: int) -> dict:
+def generate(n_docs: int, profile: str = "mixed") -> dict:
     import refstubs
 
     from ragflow_spark.core import pdf_mini
@@ -97,7 +97,7 @@ def generate(n_docs: int) -> dict:
     golden: dict[str, dict] = {}
     skipped: dict[str, int] = {}
     for doc_id in range(n_docs):
-        d = make_doc(doc_id)
+        d = make_doc(doc_id, profile)
         fmt, parser = d["fmt"], d["parser"]
         if (fmt not in EXEC_FMTS or parser not in factory
                 or (parser, fmt) in NOT_IN_REFERENCE
@@ -142,6 +142,7 @@ def generate(n_docs: int) -> dict:
             "ref_error": err,
         }
     return {
+        "profile": profile,
         "n_docs_corpus": n_docs,
         "executable_fmts": list(EXEC_FMTS),
         "skipped_fmt_counts": skipped,
@@ -151,9 +152,10 @@ def generate(n_docs: int) -> dict:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    profile = sys.argv[3] if len(sys.argv) > 3 else "mixed"
     out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        REPO, "tests", "goldens", f"ref_chunks_mixed{n}.json.gz")
-    data = generate(n)
+        REPO, "tests", "goldens", f"ref_chunks_{profile}{n}.json.gz")
+    data = generate(n, profile)
     os.makedirs(os.path.dirname(out), exist_ok=True)
     payload = json.dumps(data, ensure_ascii=False, indent=0,
                          sort_keys=True).encode("utf-8")
