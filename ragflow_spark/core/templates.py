@@ -284,6 +284,20 @@ def chunk_one(blob: bytes, fmt: str, lang: str = "English",
 
         sections = [(s, "") for s in extract_doc_text(blob).split("\n") if s]
         tables, title = [], ""
+    elif fmt == "docx":
+        # one.py:68-70 routes docx through laws.Docx()'s hierarchy walk
+        sections = [(s, "") for s in _laws_docx_sections(blob) if s]
+        tables, title = [], ""
+    elif fmt in ("xlsx", "xls"):
+        # one.py:81-84: ExcelParser.html with a huge chunk_rows — one
+        # <table> render per sheet
+        from ragflow_spark.core import office
+
+        sections = [
+            (s, "") for s in office.xlsx_to_html_chunks(blob, 1_000_000_000)
+            if s
+        ]
+        tables, title = [], ""
     else:
         sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
     joined = "\n".join(

@@ -101,3 +101,53 @@ def test_qa_docx_ab(ref_apps):
     ours = [c.chunk_text for c in run_template("qa", blob, "docx",
                                                "English")]
     assert ref == ours
+
+
+def _one_apps():
+    import logging
+
+    refstubs.install_reference_stubs()
+    import rag.app.laws as laws
+    import rag.app.one as one
+
+    laws.logging = logging
+    return one
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_one_docx_ab(ref_apps, seed):
+    one = _one_apps()
+    r = random.Random(seed)
+    paras = []
+    for ch in range(1, r.randint(2, 4)):
+        paras.append((f"Section {ch}", "Heading 1"))
+        for a in range(r.randint(1, 4)):
+            paras.append((f"One-template body {ch}-{a} with several "
+                          "words.", ""))
+    blob = build_simple_docx(paras, [])
+    random.seed(seed)
+    docs = one.chunk("o.docx", binary=blob, lang="English", callback=_noop)
+    ref = [_strip(c["content_with_weight"]) for c in docs]
+    ours = [c.chunk_text for c in run_template("one", blob, "docx",
+                                               "English")]
+    assert ref == ours, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_one_xlsx_ab(ref_apps, seed):
+    from ragflow_spark.core.office import build_simple_xlsx
+
+    one = _one_apps()
+    r = random.Random(seed)
+    rows = [["name", "score", "note"]] + [
+        [f"r{i}", str(r.randint(0, 99)), f"n{i}"]
+        for i in range(r.randint(2, 6))
+    ]
+    blob = build_simple_xlsx({"metrics": rows,
+                              "extra": [["a", "b"], ["1", "2"]]})
+    random.seed(seed)
+    docs = one.chunk("o.xlsx", binary=blob, lang="English", callback=_noop)
+    ref = [_strip(c["content_with_weight"]) for c in docs]
+    ours = [c.chunk_text for c in run_template("one", blob, "xlsx",
+                                               "English")]
+    assert ref == ours, seed
