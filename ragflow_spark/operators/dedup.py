@@ -92,6 +92,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash
 
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _java_ws_tokens(text: str) -> list[str]:
+    """Mirror of ``ws_tokens``'s JVM semantics: F.trim strips SPACES only
+    (not tabs/newlines), and Java split with limit -1 keeps empty edge
+    tokens (Java \\s is ASCII-only, unlike Python's str.split)."""
+    return _JAVA_WS.split(text.strip(" "))
+
+
 def minhash_base_arrow(
     df: DataFrame,
     id_col: str,
@@ -126,7 +138,9 @@ def minhash_base_arrow(
         for pdf in batches:
             ids, shs, sigs, bnds = [], [], [], []
             for _id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").strip().split()
+                # exact ws_tokens semantics: F.trim strips 0x20 only and
+                # Java split(\s+, -1) keeps empty edge tokens
+                toks = _java_ws_tokens(text or "")
                 if len(toks) >= shingle_n:
                     # dict preserves first-occurrence order like
                     # F.array_distinct
@@ -308,6 +322,52 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash64_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Vectorized twin of :func:`simhash64` — identical tokens (distinct of
+    lower/trim/whitespace-split), identical md5-derived halves and ±1 bit
+    votes, packed with numpy instead of the interpreted aggregate tree
+    (same codegen-fallback story as minhash_base_arrow)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    bits = np.arange(32, dtype=np.uint64)
+    pows = (np.uint64(1) << bits).astype(np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, hi, lo = [], [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = list(dict.fromkeys(
+                    _java_ws_tokens((text or "").lower())
+                ))
+                h1 = np.empty(len(toks), dtype=np.uint64)
+                h2 = np.empty(len(toks), dtype=np.uint64)
+                for k, t in enumerate(toks):
+                    d = hashlib.md5(t.encode("utf-8")).hexdigest()
+                    h1[k] = int(d[:8], 16)
+                    h2[k] = int(d[8:16], 16)
+
+                def pack(h):
+                    b = ((h[:, None] >> bits[None, :]) & np.uint64(1)
+                         ).astype(np.int64)
+                    vote = (2 * b - 1).sum(axis=0)
+                    return int(pows[vote > 0].sum())
+
+                ids.append(_id)
+                hi.append(pack(h1))
+                lo.append(pack(h2))
+            yield pd.DataFrame({
+                id_col: ids, "simhash_hi": hi, "simhash_lo": lo,
+            })
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash_hi long, simhash_lo long"
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -315,6 +375,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
     persist_base: bool = True,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Candidate pairs via 16-bit chunk banding over the 64-bit simhash
     (pigeonhole: hamming ≤ 6 over 4 chunks → some chunk differs ≤1; we use
@@ -327,7 +388,7 @@ def simhash_pairs(
     chunks away; identical docs are exact dedup's job. The simhash table is
     persisted (three consumers: both join sides + the guard) — without it
     the per-token aggregate tree runs 3×; release via ``release()``."""
-    sh = simhash64(df, id_col, text_col)
+    sh = (simhash64_arrow if use_arrow else simhash64)(df, id_col, text_col)
     if persist_base:
         sh = sh.persist()
     chunks = sh.select(
