@@ -52,7 +52,10 @@ def main() -> None:
     from ragflow_spark.session import get_spark
 
     spark = get_spark(app_name="ann_smoke", master=f"local[{cores}]",
-                      shuffle_partitions=4 * cores)
+                      shuffle_partitions=4 * cores,
+                      # 32 threads × array-heavy join buffers: the 8g default heap is
+                      # borderline at 1M docs (observed GCLocker OOM in the verify join)
+                      extra_conf={"spark.driver.memory": "32g"})
     spark.sparkContext.setLogLevel("ERROR")
     path = os.path.join(REPO, ".cache", f"vectors_{n}.parquet")
     if not os.path.exists(path):

@@ -63,7 +63,10 @@ def main() -> None:
     from ragflow_spark.sources.pages import write_pages
 
     spark = get_spark(app_name="resume_smoke", master=f"local[{cores}]",
-                      shuffle_partitions=parts)
+                      shuffle_partitions=parts,
+                      # 32 threads × array-heavy join buffers: the 8g default heap is
+                      # borderline at 1M docs (observed GCLocker OOM in the verify join)
+                      extra_conf={"spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
