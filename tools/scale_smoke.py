@@ -31,7 +31,9 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_smoke", master=f"local[{cores}]",
                       shuffle_partitions=parts,
-                      extra_conf={"spark.ui.enabled": "true"})
+                      extra_conf={"spark.ui.enabled": "true",
+                                  # explicit heap: see dedup_smoke note
+                                  "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
     path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
     gen_sec = None
