@@ -234,8 +234,15 @@ def layout_parse(
 ):
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
     PDFs: boxes → reading-order sort → W3 → W4/W5 → [(text, position_tag)].
-    Documents beyond TASK_PAGE_SIZE pages are processed in page windows,
-    mirroring the reference's page-range task splitting (SURVEY §2.5 P1).
+    ONE call = ONE task's page range, exactly like the reference's
+    ``Pdf.__call__(from_page, to_page)``; the production page-range task
+    splitting (api/db/services/task_service.py:164-186 — 12 pages/task,
+    22 for paper, whole-doc for one) lives in
+    ``templates.run_template``, which calls the full template once per
+    window like ``task_executor`` dispatching FACTORY[parser].chunk per
+    task. Position tags stay DOCUMENT-absolute (the reference's are
+    task-local; ours carry real page numbers into the spans contract —
+    documented deviation, invisible to the strip-tag A/B).
 
     ``merge_mode`` selects the vertical merge tier, matching which one each
     reference template runs:
@@ -262,19 +269,11 @@ def layout_parse(
         for page in all_pages
     ]
     all_pages = drop_repeated_chrome(all_pages)
-    # tags stay document-absolute: window offset + the from_page slice base
-    # (the reference's _line_tag adds page_from, pdf_parser.py:843-846)
-    out: list[tuple[str, str]] = []
-    tables: list[tuple[str, str]] = []
-    for w in range(0, len(all_pages), TASK_PAGE_SIZE):
-        secs, tbls = _layout_parse_window(
-            all_pages[w:w + TASK_PAGE_SIZE], lang, two_column,
-            w + from_page, extract_tables=return_tables,
-            merge_mode=merge_mode, toc_filter=toc_filter,
-            same_bullet=same_bullet,
-        )
-        out.extend(secs)
-        tables.extend(tbls)
+    out, tables = _layout_parse_window(
+        all_pages, lang, two_column, from_page,
+        extract_tables=return_tables, merge_mode=merge_mode,
+        toc_filter=toc_filter, same_bullet=same_bullet,
+    )
     if return_tables:
         return out, tables
     return out

@@ -509,6 +509,19 @@ def extract_boxes(blob: bytes) -> list[list[dict]]:
     return pages
 
 
+def page_count(blob: bytes) -> int:
+    """Page count from the object tree only — no content-stream decode
+    (the ``PdfParser.total_page_number`` role task splitting needs,
+    api/db/services/task_service.py:164)."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    pat = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")  # not /Pages
+    return sum(
+        1 for _n, (dct, _d) in objects.items() if pat.search(dct)
+    )
+
+
 _PDF_STR = re.compile(rb"\((?:\\.|[^\\()])*\)")
 
 

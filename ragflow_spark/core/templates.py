@@ -66,6 +66,13 @@ def _finish(chunks: list[str], title: str = "") -> list[ChunkOut]:
 # -------------------------------------------------------------- sections
 
 
+def _page_range(cfg: dict | None) -> tuple[int, int]:
+    """Task page window from cfg (the from_page/to_page a production task
+    row carries, rag/svr/task_executor.py:209-240)."""
+    cfg = cfg or {}
+    return int(cfg.get("from_page", 0)), int(cfg.get("to_page", 100000))
+
+
 def sections_for(blob: bytes, fmt: str, cfg: dict,
                  pdf_layout: bool = True, lang: str = "English",
                  pdf_merge_mode: str = "updown",
@@ -98,6 +105,7 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
         secs = jsonsplit.JsonSplitter(token_num).split_text_bytes(blob)
         return [(s, "") for s in secs if s], [], ""
     if fmt == "pdf":
+        fp, tp = _page_range(cfg)
         if pdf_layout:
             from ragflow_spark.core.pdf_layout import layout_parse
 
@@ -107,7 +115,7 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
             # W4 → box-level TOC filter → W6 same-bullet merge
             # (book.py:46-50)
             secs, tbls = layout_parse(
-                blob, lang, return_tables=True,
+                blob, lang, from_page=fp, to_page=tp, return_tables=True,
                 merge_mode=("naive" if pdf_merge_mode == "book"
                             else pdf_merge_mode),
                 toc_filter=pdf_merge_mode == "book",
@@ -116,7 +124,7 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
             return secs, [html + tag for html, tag in tbls], ""
-        return pdf_mini.plain_parse(blob), [], ""
+        return pdf_mini.plain_parse(blob, fp, tp), [], ""
     if fmt in ("xlsx", "xls"):
         from ragflow_spark.core import office
 
@@ -239,8 +247,9 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         # tables become standalone chunks first (paper.py:162)
         from ragflow_spark.core.pdf_layout import layout_parse
 
-        secs, tbls = layout_parse(blob, lang, two_column=True,
-                                  return_tables=True,
+        fp, tp = _page_range(cfg)
+        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
+                                  two_column=True, return_tables=True,
                                   merge_mode="updown", toc_filter=True)
         sections, title = [(t + tag, "") for t, tag in secs], ""
         table_chunks = [html + tag for html, tag in tbls]
@@ -327,7 +336,8 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
         # the W3/W4 merge tiers
         from ragflow_spark.core.pdf_layout import mean_heights, sort_y_first
 
-        pages = pdf_mini.extract_boxes(blob)
+        fp, tp = _page_range(cfg)
+        pages = pdf_mini.extract_boxes(blob)[fp:tp]
         mh = mean_heights(pages)
         slides = [
             "\n".join(
@@ -399,8 +409,9 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core import qa as qa_core
         from ragflow_spark.core.pdf_layout import layout_parse
 
-        secs, tbls = layout_parse(blob, lang, return_tables=True,
-                                  merge_mode="none")
+        fp, tp = _page_range(cfg)
+        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
+                                  return_tables=True, merge_mode="none")
         pairs = qa_core.qa_pairs_from_pdf(secs, tbls)
     elif fmt in ("md", "markdown"):
         from ragflow_spark.core import qa as qa_core
@@ -601,10 +612,13 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core.pdf_layout import layout_parse
 
         # manual.py:60-61: W5 concat + TOC filter before outline leveling
-        secs, tbls = layout_parse(blob, lang, return_tables=True,
+        fp, tp = _page_range(cfg)
+        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
+                                  return_tables=True,
                                   merge_mode="updown", toc_filter=True)
     else:
-        secs, tbls = pdf_mini.plain_parse(blob), []
+        fp, tp = _page_range(cfg)
+        secs, tbls = pdf_mini.plain_parse(blob, fp, tp), []
     # clean mess (manual.py:65-66)
     sections = [
         (_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs if t.strip()
@@ -721,9 +735,41 @@ TEMPLATES = {
 }
 
 
+# production PDF task splitting (api/db/services/task_service.py:164-186):
+# 12 pages per task by default, 22 for paper, whole-doc for one/KG and for
+# layout_recognize=False
+PDF_TASK_PAGES = {"paper": 22, "one": 10 ** 9, "knowledge_graph": 10 ** 9}
+
+
 def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",
                  cfg: dict | None = None) -> list[ChunkOut]:
+    """Template dispatch + the reference's per-task page windowing: for
+    PDFs beyond the parser's task page size, the FULL template runs once
+    per page range (exactly task_executor dispatching
+    FACTORY[parser].chunk per task row) and the chunk lists concatenate
+    in page order. Callers that pass an explicit from_page/to_page in cfg
+    are already one task and run as-is."""
     fn = TEMPLATES.get(parser)
     if fn is None:
         raise NotImplementedError(f"parser template not supported: {parser}")
+    cfg = cfg or {}
+    if fmt == "pdf" and "from_page" not in cfg and "to_page" not in cfg:
+        size = int(cfg.get("task_page_size")
+                   or PDF_TASK_PAGES.get(parser, 12))
+        if not cfg.get("layout_recognize", True):
+            size = 10 ** 9  # task_service.py:172-174
+        try:
+            npages = pdf_mini.page_count(blob)
+        except Exception:
+            npages = 0
+        if npages > size:
+            out: list[ChunkOut] = []
+            for p in range(0, npages, size):
+                cks = fn(blob, fmt, lang,
+                         {**cfg, "from_page": p,
+                          "to_page": min(p + size, npages)})
+                for ck in cks:
+                    ck.chunk_idx = len(out)
+                    out.append(ck)
+            return out
     return fn(blob, fmt, lang, cfg)

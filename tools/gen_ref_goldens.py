@@ -43,11 +43,11 @@ EXEC_FMTS = ("txt", "json", "md", "eml", "html", "pdf", "docx", "xlsx", "pptx")
 NOT_IN_REFERENCE = {("paper", "txt"), ("paper", "html")}
 
 # pdf docs run the reference's real Pdf.__call__ via the shared vision
-# stand-in (refstubs.template_pdf_instance); docs beyond the page-window
-# size diverge by design (our pipeline processes TASK_PAGE_SIZE windows,
-# the reference one range) and are skipped
+# stand-in (refstubs.template_pdf_instance); docs beyond the parser's
+# task page size run the reference ONCE PER PAGE WINDOW — the production
+# task split (api/db/services/task_service.py:164-186) our
+# run_template mirrors
 PDF_PARSERS = ("naive", "book", "paper", "manual")
-PDF_MAX_PAGES = 12
 
 
 def _noop(*a, **k):
@@ -104,10 +104,7 @@ def generate(n_docs: int, profile: str = "mixed") -> dict:
                 or (fmt == "pdf" and parser not in PDF_PARSERS)):
             skipped[fmt] = skipped.get(fmt, 0) + 1
             continue
-        if fmt == "pdf" and \
-                len(pdf_mini.extract_boxes(d["html"])) > PDF_MAX_PAGES:
-            skipped["pdf>window"] = skipped.get("pdf>window", 0) + 1
-            continue
+
         # the reference's is_english() samples via random.choices
         # (rag/nlp/__init__.py random_choices) - pin the global RNG so the
         # golden is a pure function of doc_id
@@ -118,15 +115,29 @@ def generate(n_docs: int, profile: str = "mixed") -> dict:
         orig_pdf = getattr(mod, "Pdf", None)
         try:
             if fmt == "pdf":
-                inst = refstubs.template_pdf_instance(
-                    mod.Pdf, d["html"], d["lang"])
-                mod.Pdf = lambda: inst
-            docs = fn(name, binary=d["html"], lang=d["lang"], callback=_noop)
-            # strip position tags (@@pn\tx0..##) so pdf goldens compare
-            # against tag-free chunk_text; span/tag parity is pinned by
-            # tests/test_pipeline.py + the e2e pdf A/B separately
-            chunks = [re.sub(r"@@[\t0-9.-]+?##", "",
-                             c["content_with_weight"]) for c in docs]
+                from ragflow_spark.core.templates import PDF_TASK_PAGES
+
+                size = PDF_TASK_PAGES.get(parser, 12)
+                npages = pdf_mini.page_count(d["html"])
+                chunks = []
+                for p in range(0, max(1, npages), size):
+                    inst = refstubs.template_pdf_instance(
+                        orig_pdf, d["html"], d["lang"])
+                    mod.Pdf = lambda: inst
+                    docs = fn(name, binary=d["html"], lang=d["lang"],
+                              callback=_noop, from_page=p,
+                              to_page=min(p + size, npages))
+                    chunks.extend(
+                        re.sub(r"@@[\t0-9.-]+?##", "",
+                               c["content_with_weight"]) for c in docs)
+            else:
+                docs = fn(name, binary=d["html"], lang=d["lang"],
+                          callback=_noop)
+                # strip position tags (@@pn\tx0..##) so goldens compare
+                # against tag-free chunk_text; span/tag parity is pinned
+                # by tests/test_pipeline.py + the e2e pdf A/B separately
+                chunks = [re.sub(r"@@[\t0-9.-]+?##", "",
+                                 c["content_with_weight"]) for c in docs]
             err = None
         except Exception as exc:  # reference-side refusal (e.g. laws empty)
             chunks, err = [], f"{type(exc).__name__}: {exc}"
