@@ -231,6 +231,7 @@ def layout_parse(
     merge_mode: str = "naive",
     toc_filter: bool = False,
     same_bullet: bool = False,
+    pages: list[list[dict]] | None = None,
 ):
     """The heuristic analog of ``RAGFlowPdfParser.__call__`` for text-layer
     PDFs: boxes → reading-order sort → W3 → W4/W5 → [(text, position_tag)].
@@ -259,7 +260,10 @@ def layout_parse(
     pdf_parser.py:625-817) and returns ``(sections, tables)`` where each
     table is ``(html_text, position_tag)`` — HTML because that is the naive
     /paper/book PDF contract (``return_html=True``, rag/app/naive.py:148)."""
-    all_pages = pdf_mini.extract_boxes(blob)
+    # ``pages`` lets the per-window caller (run_template's task split)
+    # parse the char layer ONCE per doc instead of once per window; the
+    # windows slice disjoint page ranges so in-place box mutation is safe
+    all_pages = pdf_mini.extract_boxes(blob) if pages is None else pages
     all_pages = all_pages[from_page:to_page]
     if not all_pages:
         return ([], []) if return_tables else []

@@ -120,6 +120,7 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
                             else pdf_merge_mode),
                 toc_filter=pdf_merge_mode == "book",
                 same_bullet=pdf_merge_mode == "book",
+                pages=cfg.get("_pdf_pages"),
             )
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
@@ -250,7 +251,8 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         fp, tp = _page_range(cfg)
         secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
                                   two_column=True, return_tables=True,
-                                  merge_mode="updown", toc_filter=True)
+                                  merge_mode="updown", toc_filter=True,
+                                  pages=cfg.get("_pdf_pages"))
         sections, title = [(t + tag, "") for t, tag in secs], ""
         table_chunks = [html + tag for html, tag in tbls]
     else:
@@ -337,7 +339,8 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core.pdf_layout import mean_heights, sort_y_first
 
         fp, tp = _page_range(cfg)
-        pages = pdf_mini.extract_boxes(blob)[fp:tp]
+        pages = (cfg.get("_pdf_pages")
+                 or pdf_mini.extract_boxes(blob))[fp:tp]
         mh = mean_heights(pages)
         slides = [
             "\n".join(
@@ -411,7 +414,8 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
 
         fp, tp = _page_range(cfg)
         secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
-                                  return_tables=True, merge_mode="none")
+                                  return_tables=True, merge_mode="none",
+                                  pages=cfg.get("_pdf_pages"))
         pairs = qa_core.qa_pairs_from_pdf(secs, tbls)
     elif fmt in ("md", "markdown"):
         from ragflow_spark.core import qa as qa_core
@@ -615,7 +619,8 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
         fp, tp = _page_range(cfg)
         secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
                                   return_tables=True,
-                                  merge_mode="updown", toc_filter=True)
+                                  merge_mode="updown", toc_filter=True,
+                                  pages=cfg.get("_pdf_pages"))
     else:
         fp, tp = _page_range(cfg)
         secs, tbls = pdf_mini.plain_parse(blob, fp, tp), []
@@ -763,11 +768,17 @@ def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",
         except Exception:
             npages = 0
         if npages > size:
+            # parse the char layer once; windows slice disjoint ranges
+            try:
+                all_pages = pdf_mini.extract_boxes(blob)
+            except Exception:
+                all_pages = None
             out: list[ChunkOut] = []
             for p in range(0, npages, size):
                 cks = fn(blob, fmt, lang,
                          {**cfg, "from_page": p,
-                          "to_page": min(p + size, npages)})
+                          "to_page": min(p + size, npages),
+                          "_pdf_pages": all_pages})
                 for ck in cks:
                     ck.chunk_idx = len(out)
                     out.append(ck)
