@@ -726,6 +726,27 @@ def _manual_docx(blob: bytes, lang: str) -> list[ChunkOut]:
     return _finish([*tables, *ti_list])
 
 
+def chunk_table(blob: bytes, fmt: str, lang: str = "English",
+                cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/table.py:123-240 — one chunk per spreadsheet/CSV row as
+    ``header:value; ...`` with per-column type-voted value transforms
+    (core/table_template.py). from_page/to_page are ROW indices (the
+    3000-row production task split, task_service.py:188-196)."""
+    from ragflow_spark.core.table_template import table_rows
+
+    cfg = cfg or {}
+    if fmt not in ("xlsx", "xls", "txt", "csv", "text"):
+        raise NotImplementedError(
+            "file type not supported yet(excel, text, csv supported)")
+    rows = table_rows(
+        blob, fmt,
+        int(cfg.get("from_page", 0)),
+        int(cfg.get("to_page", 10_000_000_000)),
+        cfg.get("delimiter", "\t"),
+    )
+    return _finish(rows)
+
+
 TEMPLATES = {
     "naive": chunk_naive,
     "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
@@ -737,6 +758,7 @@ TEMPLATES = {
     "laws": chunk_laws,
     "email": chunk_email,
     "manual": chunk_manual,
+    "table": chunk_table,
 }
 
 

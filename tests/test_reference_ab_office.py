@@ -151,3 +151,69 @@ def test_one_xlsx_ab(ref_apps, seed):
     ours = [c.chunk_text for c in run_template("one", blob, "xlsx",
                                                "English")]
     assert ref == ours, seed
+
+
+# ----------------------------------------------------- table template
+
+def _ref_table():
+    import re as _re
+    import types as _types
+
+    refstubs.install_reference_stubs()
+    sys.modules.setdefault("xpinyin", _types.SimpleNamespace(
+        Pinyin=lambda: _types.SimpleNamespace(
+            get_pinyins=lambda s, sep: [
+                _re.sub(r"[^a-z0-9]+", sep, str(s).lower()) or "col"])))
+    import api.db.services.knowledgebase_service as kbs
+
+    class _KB:
+        @classmethod
+        def update_parser_config(cls, kb_id, cfg):
+            pass
+
+    kbs.KnowledgebaseService = _KB
+    import importlib
+
+    import rag.app.table as ref_table
+    importlib.reload(ref_table)
+    return ref_table
+
+
+def test_table_csv_ab(ref_apps):
+    ref_table = _ref_table()
+    csv = ("name\tage\tmember\tjoined\tscore\n"
+           "alice\t31\tyes\t2021-04-05\t9.5\n"
+           "bob\t28\tno\t2020-01-02\t7\n"
+           "carol\t40\t✓\t2019-12-31\t8.25\n")
+    random.seed(0)
+    docs = ref_table.chunk("t.csv", binary=csv.encode(), lang="English",
+                           callback=_noop, kb_id="kb1")
+    ref = [c["content_with_weight"] for c in docs]
+    ours = [c.chunk_text for c in run_template("table", csv.encode(),
+                                               "csv", "English")]
+    assert ref == ours
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_table_xlsx_ab(ref_apps, seed):
+    from ragflow_spark.core.office import build_simple_xlsx
+
+    ref_table = _ref_table()
+    r = random.Random(seed)
+    rows = [["name", "age", "member", "joined", "score", "idx"]]
+    for i in range(r.randint(3, 10)):
+        age = str(r.randint(18, 80)) if r.random() < 0.8 else "unknown"
+        rows.append([
+            f"p{i}", age, r.choice(["yes", "no", "✓"]),
+            f"20{r.randint(10, 25)}-0{r.randint(1, 9)}-1{r.randint(0, 9)}",
+            f"{r.randint(0, 99)}.{r.randint(0, 9)}", str(i),
+        ])
+    blob = build_simple_xlsx({"people": rows,
+                              "more": [["k", "v"], ["a", "1"], ["b", "2"]]})
+    random.seed(seed)
+    docs = ref_table.chunk("t.xlsx", binary=blob, lang="English",
+                           callback=_noop, kb_id="kb1")
+    ref = [c["content_with_weight"] for c in docs]
+    ours = [c.chunk_text for c in run_template("table", blob, "xlsx",
+                                               "English")]
+    assert ref == ours, seed
