@@ -410,6 +410,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.createDataFrame(blobs, "doc_no int, pdf binary")
         return op(docs, "doc_no", "pdf")
 
+    def table_row_chunks(spark, sf):
+        """The `table` parser template distributed over binary CSV blobs
+        synthesized from lineitem; the oracle reconstructs every
+        'header:value; ...' row chunk straight from lineitem in SQL —
+        parse(render(data)) == data incl. the type-vote transforms
+        (ints bare, floats shortest-repr, dates -> '%Y-%m-%d 00:00:00')."""
+        from ragflow_spark.operators.tables import table_row_chunks as op
+
+        rows = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "l_shipdate", "l_returnflag")
+            # the synthetic lineitem has duplicate (orderkey, linenumber)
+            # pairs — full-row sort keys make the 60-row prefix stable
+            .orderBy("l_orderkey", "l_linenumber", "l_extendedprice",
+                     "l_shipdate", "l_returnflag")
+            .limit(60)
+            .collect()
+        )
+        blobs = []
+        for d in range(4):
+            lines = ["orderkey\tlinenumber\tprice\tshipdate\tflag"]
+            for r in rows[d * 15:(d + 1) * 15]:
+                lines.append("\t".join((
+                    str(r.l_orderkey), str(r.l_linenumber),
+                    f"{r.l_extendedprice:.2f}",
+                    r.l_shipdate.strftime("%Y-%m-%d"), r.l_returnflag,
+                )))
+            blobs.append((d, "\n".join(lines).encode("utf-8")))
+        docs = spark.createDataFrame(blobs, "doc_no int, blob binary")
+        return op(docs, "doc_no", "blob")
+
     # -------- hyperplane LSH bucketing (similarity scale path)
     def emb_hyperplane_lsh(spark, sf):
         from ragflow_spark.operators.similarity import (
@@ -722,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "table_typing": table_typing,
         "pdf_table_cells": pdf_table_cells,
+        "table_row_chunks": table_row_chunks,
         "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
@@ -1487,6 +1520,27 @@ def oracle_sql() -> dict[str, str]:
             select vec_id, adc from adc order by adc, vec_id limit 10
         """,
         "table_typing": _table_typing_oracle(),
+        "table_row_chunks": """
+            with src as (
+              select l_orderkey, l_linenumber, l_extendedprice,
+                     l_shipdate, l_returnflag,
+                     row_number() over (
+                         order by l_orderkey, l_linenumber,
+                                  l_extendedprice, l_shipdate,
+                                  l_returnflag) - 1 as rn
+              from (select * from lineitem
+                    order by l_orderkey, l_linenumber, l_extendedprice,
+                             l_shipdate, l_returnflag limit 60)
+            )
+            select cast(rn // 15 as int) as doc_no,
+                   cast(rn % 15 as int) as row_idx,
+                   concat('orderkey:', l_orderkey,
+                          '; linenumber:', l_linenumber,
+                          '; price:', cast(cast(round(l_extendedprice, 2) as double) as varchar),
+                          '; shipdate:', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+                          '; flag:', l_returnflag) as row_text
+            from src
+        """,
         "pdf_table_cells": """
             with src as (
               select row_number() over (order by l_orderkey, l_linenumber) - 1

@@ -131,3 +131,32 @@ def pdf_table_cells(df: DataFrame, id_col: str = "doc_no",
     return df.select(id_col, blob_col).mapInPandas(
         run, schema=PDF_TABLE_CELLS_SCHEMA
     )
+
+
+def table_row_chunks(df: DataFrame, id_col: str = "doc_no",
+                     blob_col: str = "blob", fmt: str = "csv") -> DataFrame:
+    """Distributed `table` template (rag/app/table.py:123-240) over a
+    binary spreadsheet/CSV column: one output row per kept data row, with
+    the per-column type-voted value transforms of
+    core/table_template.table_rows. Arrow-batched mapInPandas — per-doc
+    work sequential, document axis distributed."""
+
+    def run(batches):
+        import pandas as pd
+
+        from ragflow_spark.core.table_template import table_rows
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_no": [], "row_idx": [],
+                                    "row_text": []}
+            for r in pdf.itertuples():
+                blob = bytes(getattr(r, blob_col) or b"")
+                for i, line in enumerate(table_rows(blob, fmt)):
+                    out["doc_no"].append(getattr(r, id_col))
+                    out["row_idx"].append(i)
+                    out["row_text"].append(line)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, schema="doc_no int, row_idx int, row_text string"
+    )
