@@ -88,7 +88,7 @@ def main() -> None:
     ):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
         # round-4 additions append after the frozen earlier sets
-    for name in ("emb_ivf_pq_topk",):
+    for name in ("emb_ivf_pq_topk", "table_row_chunks"):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)

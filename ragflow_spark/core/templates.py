@@ -780,21 +780,19 @@ def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",
     if fn is None:
         raise NotImplementedError(f"parser template not supported: {parser}")
     cfg = cfg or {}
-    if fmt == "pdf" and "from_page" not in cfg and "to_page" not in cfg:
+    if fmt == "pdf" and "from_page" not in cfg and "to_page" not in cfg \
+            and cfg.get("layout_recognize", True):
         size = int(cfg.get("task_page_size")
                    or PDF_TASK_PAGES.get(parser, 12))
-        if not cfg.get("layout_recognize", True):
-            size = 10 ** 9  # task_service.py:172-174
+        # parse the char layer ONCE here and thread it through cfg — the
+        # single-window case costs nothing extra (the template would have
+        # parsed anyway) and multi-window docs slice disjoint ranges
         try:
-            npages = pdf_mini.page_count(blob)
+            all_pages = pdf_mini.extract_boxes(blob)
         except Exception:
-            npages = 0
-        if npages > size:
-            # parse the char layer once; windows slice disjoint ranges
-            try:
-                all_pages = pdf_mini.extract_boxes(blob)
-            except Exception:
-                all_pages = None
+            all_pages = None
+        if all_pages is not None and len(all_pages) > size:
+            npages = len(all_pages)
             out: list[ChunkOut] = []
             for p in range(0, npages, size):
                 cks = fn(blob, fmt, lang,
@@ -805,4 +803,6 @@ def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",
                     ck.chunk_idx = len(out)
                     out.append(ck)
             return out
+        if all_pages is not None:
+            return fn(blob, fmt, lang, {**cfg, "_pdf_pages": all_pages})
     return fn(blob, fmt, lang, cfg)
