@@ -139,3 +139,55 @@ def test_laws_pdf_e2e_ab(ref_apps, seed):
 @pytest.mark.parametrize("seed", range(8))
 def test_qa_pdf_e2e_ab(ref_apps, seed):
     _ab(ref_apps["qa"], "qa", _mk_qa_pdf(seed), "English", seed)
+
+
+# -------------------------------------------- giant PDFs (task windows)
+
+def _mk_giant_pdf(seed, npages=30):
+    r = random.Random(seed)
+    words = ("data spark query engine shuffle partition filter merge "
+             "chunk token document extract").split()
+    pages = []
+    for pn in range(npages):
+        lines = [f"Chapter {pn + 1}" if pn % 5 == 0
+                 else f"Section {pn + 1}.1"]
+        for _ in range(r.randint(10, 25)):
+            k = r.randint(6, 14)
+            lines.append(" ".join(r.choice(words) for _ in range(k))
+                         .capitalize() + r.choice([".", "!", "?"]))
+        pages.append(lines)
+    return pdf_mini.build_simple_pdf(pages)
+
+
+@pytest.mark.parametrize("parser", ["naive", "book", "paper", "manual",
+                                    "laws", "presentation"])
+def test_giant_pdf_window_ab(ref_apps, parser):
+    """30-page PDFs: our run_template's production task windowing must
+    equal the reference chunk()ed once per page window (12/22 per
+    task_service.py:164-186)."""
+    from ragflow_spark.core.templates import PDF_TASK_PAGES
+
+    mod = ref_apps[parser]
+    size = PDF_TASK_PAGES.get(parser, 12)
+    for seed in range(2):
+        blob = _mk_giant_pdf(seed)
+        npages = pdf_mini.page_count(blob)
+        assert npages > size
+        ref = []
+        for p in range(0, npages, size):
+            inst = refstubs.template_pdf_instance(mod.Pdf, blob, "English")
+            orig = mod.Pdf
+            try:
+                mod.Pdf = lambda: inst
+                random.seed(seed * 100 + p)
+                docs = mod.chunk(f"g{seed}.pdf", binary=blob,
+                                 lang="English", callback=_noop,
+                                 from_page=p, to_page=min(p + size, npages))
+                ref.extend(_remove_tag(c["content_with_weight"])
+                           for c in docs)
+            finally:
+                mod.Pdf = orig
+        random.seed(seed)
+        ours = [c.chunk_text for c in run_template(parser, blob, "pdf",
+                                                   "English")]
+        assert ref == ours, (parser, seed)
