@@ -159,6 +159,14 @@ def _mk_giant_pdf(seed, npages=30):
     return pdf_mini.build_simple_pdf(pages)
 
 
+def test_giant_pdf_one_whole_doc_ab(ref_apps):
+    """one/KG are whole-doc tasks (task_service.py:172-174): a 30-page
+    one-template doc runs the reference ONCE end-to-end — W5 merges may
+    cross every page — and must equal our unwindowed run."""
+    blob = _mk_giant_pdf(1)
+    _ab(ref_apps["one"], "one", blob, "English", 1)
+
+
 @pytest.mark.parametrize("parser", ["naive", "book", "paper", "manual",
                                     "laws", "presentation"])
 def test_giant_pdf_window_ab(ref_apps, parser):
