@@ -286,6 +286,40 @@ class DBPostProcess:
             return 0.0
         return float((crop * mask).sum() / denom)
 
+    def box_score_slow(self, pred, contour, bitmap):
+        """postprocess.py box_score_slow: mean of the probability map over
+        the contour polygon rather than the min-area quad. Our contours
+        are boundary-pixel SETS (find_contours docstring), so the polygon
+        interior is recovered as the 8-connected segmentation component
+        containing the contour — identical to cv2.fillPoly for hole-free
+        components (the DB text-blob norm; a component with interior holes
+        would score them in cv2's fill and not here — documented
+        deviation, unreachable through get_mini_boxes' convex quads)."""
+        h, w = bitmap.shape[:2]
+        xmin = int(np.clip(contour[:, 0].min(), 0, w - 1))
+        xmax = int(np.clip(contour[:, 0].max(), 0, w - 1))
+        ymin = int(np.clip(contour[:, 1].min(), 0, h - 1))
+        ymax = int(np.clip(contour[:, 1].max(), 0, h - 1))
+        crop = bitmap[ymin:ymax + 1, xmin:xmax + 1] > 0
+        mask = np.zeros_like(crop, dtype=bool)
+        seed = (int(contour[0, 1]) - ymin, int(contour[0, 0]) - xmin)
+        stack = [seed]
+        mask[seed] = True
+        ch, cw = crop.shape
+        while stack:
+            y, x = stack.pop()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx_ = y + dy, x + dx
+                    if 0 <= ny < ch and 0 <= nx_ < cw and crop[ny, nx_] \
+                            and not mask[ny, nx_]:
+                        mask[ny, nx_] = True
+                        stack.append((ny, nx_))
+        denom = int(mask.sum())
+        if denom == 0:
+            return 0.0
+        return float(pred[ymin:ymax + 1, xmin:xmax + 1][mask].mean())
+
     def unclip(self, box, unclip_ratio):
         area, length = polygon_area_perimeter(np.asarray(box))
         if length == 0:
@@ -302,7 +336,10 @@ class DBPostProcess:
             if sside < self.min_size:
                 continue
             points = np.array(points)
-            score = self.box_score_fast(pred, points.reshape(-1, 2))
+            if self.score_mode == "fast":
+                score = self.box_score_fast(pred, points.reshape(-1, 2))
+            else:
+                score = self.box_score_slow(pred, contour, bitmap)
             if self.box_thresh > score:
                 continue
             box = self.unclip(points, self.unclip_ratio).reshape(-1, 1, 2)

@@ -286,12 +286,36 @@ def docx_table_grids(blob: bytes) -> list[list[list[str]]]:
     if body is None:
         return grids
     for el in body.findall(f"{_W}tbl"):
-        rows = []
+        # python-docx's row.cells expands merged cells into every spanned
+        # grid position (gridSpan repeats horizontally, vMerge continue
+        # inherits the origin cell above) — the reference's
+        # __extract_table_content sees that expanded grid, so pairing
+        # headers with values depends on reproducing it here
+        rows: list[list[str]] = []
         for tr in el.findall(f"{_W}tr"):
-            rows.append([
-                "".join(t.text or "" for t in tc.iter(f"{_W}t"))
-                for tc in tr.findall(f"{_W}tc")
-            ])
+            out: list[str] = []
+            for tc in tr.findall(f"{_W}tc"):
+                txt = "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+                span, vmerge_cont = 1, False
+                tc_pr = tc.find(f"{_W}tcPr")
+                if tc_pr is not None:
+                    gs = tc_pr.find(f"{_W}gridSpan")
+                    if gs is not None:
+                        try:
+                            span = max(1, int(gs.get(f"{_W}val") or "1"))
+                        except ValueError:
+                            span = 1
+                    vm = tc_pr.find(f"{_W}vMerge")
+                    if vm is not None \
+                            and (vm.get(f"{_W}val") or "continue") != "restart":
+                        vmerge_cont = True
+                for _ in range(span):
+                    col = len(out)
+                    if vmerge_cont and rows and col < len(rows[-1]):
+                        out.append(rows[-1][col])
+                    else:
+                        out.append(txt)
+            rows.append(out)
         grids.append(rows)
     return grids
 

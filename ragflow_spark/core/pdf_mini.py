@@ -467,12 +467,8 @@ def _content_boxes(content: bytes, page_height: float) -> list[dict]:
     return boxes
 
 
-def extract_boxes(blob: bytes) -> list[list[dict]]:
-    """Per-page positioned text boxes (the heuristic stand-in for the OCR
-    box stream of SURVEY §2.8 V1/V2). Adds 1-based ``page_number``."""
-    if not blob.startswith(b"%PDF"):
-        raise UnsupportedPdfError("not a PDF")
-    objects = _parse_objects(blob)
+def _page_order(objects: dict) -> list[int]:
+    """Page object numbers in document order (Kids walk, flat fallback)."""
     page_order: list[int] = []
     for num, (dct, _data) in sorted(objects.items()):
         if b"/Type /Pages" in dct or b"/Type/Pages" in dct:
@@ -485,6 +481,37 @@ def extract_boxes(blob: bytes) -> list[list[dict]]:
             n for n, (dct, _d) in sorted(objects.items())
             if b"/Type /Page" in dct or b"/Type/Page" in dct
         ]
+    return page_order
+
+
+def page_heights(blob: bytes) -> list[float]:
+    """Real MediaBox height per page, aligned index-for-index with
+    ``extract_boxes``' pages list. The reference accumulates ACTUAL page
+    heights into ``page_cum_height`` (pdf_parser.py ``__images__``); callers
+    that rebuild doc-absolute offsets (qa's has_qbullet spacing veto) need
+    these rather than a pinned 792."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    heights: list[float] = []
+    for pn in _page_order(objects):
+        dct, _d = objects.get(pn, (b"", None))
+        if b"/Type /Page" not in dct and b"/Type/Page" not in dct:
+            continue
+        mb = re.search(
+            rb"/MediaBox\s*\[\s*" + _NUM_RE + rb"\s+" + _NUM_RE
+            + rb"\s+" + _NUM_RE + rb"\s+(" + _NUM_RE + rb")", dct)
+        heights.append(float(mb.group(1)) if mb else 792.0)
+    return heights
+
+
+def extract_boxes(blob: bytes) -> list[list[dict]]:
+    """Per-page positioned text boxes (the heuristic stand-in for the OCR
+    box stream of SURVEY §2.8 V1/V2). Adds 1-based ``page_number``."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    page_order = _page_order(objects)
     pages: list[list[dict]] = []
     for pn in page_order:
         dct, _d = objects.get(pn, (b"", None))

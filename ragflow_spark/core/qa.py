@@ -247,7 +247,9 @@ def _tag_fields(tag: str):
 
 
 def qa_pairs_from_pdf(sections: list[tuple[str, str]],
-                      tables: list[tuple[str, str]]) -> list[tuple[str, str]]:
+                      tables: list[tuple[str, str]],
+                      page_heights: list[float] | None = None,
+                      ) -> list[tuple[str, str]]:
     """qa.py:93-160: line-level boxes (W3 text-merge only — the qa Pdf
     pipeline runs neither vertical merge nor concat), question bullets
     voted by ``qbullets_category``, tables folded into the running answer
@@ -259,6 +261,20 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
     if q_bull == -1:
         raise ValueError("Unable to recognize Q&A structure.")
 
+    # cumulative ACTUAL page heights (reference: page_cum_height from the
+    # rasterized image sizes, pdf_parser.py __images__); 792/page when the
+    # caller has no real heights (non-PDF tag sources, legacy callers)
+    cum = [0.0]
+    for h in (page_heights or []):
+        cum.append(cum[-1] + h)
+
+    def _cum_off(pn: float) -> float:
+        i = max(0, int(pn) - 1)
+        if i < len(cum):
+            return cum[i]
+        extra = i - (len(cum) - 1)
+        return cum[-1] + extra * 792.0
+
     boxes = []
     for text, tag in sections:
         pn, x0, _x1, top, bottom = _tag_fields(tag)
@@ -266,10 +282,11 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
         # DOC-ABSOLUTE tops in the reference (page_cum_height added by
         # _layouts_rec) — a bullet opening a new page must see the page
         # jump; the table-folding walk below uses the tag's page-local top
-        off = max(0.0, pn - 1) * 792.0
+        off = _cum_off(pn)
         boxes.append({
             "text": text, "tag": tag, "x0": x0, "top": top + off,
-            "tag_top": top, "bottom": bottom + off, "pn": pn,
+            "tag_top": top, "tag_bottom": bottom, "bottom": bottom + off,
+            "pn": pn,
             "layout_type": "title" if match_proj(text.strip()) else "",
         })
     # tables in reading order, parsed once (qa.py:108-113 sort + get_tbls_info)
@@ -339,7 +356,12 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
             _, end = bull.span()
             last_a = section[end:]
             last_tag = line_tag
-        last_bottom = box["bottom"]
+        # qa.py:154 re-parses last_bottom from the tag — PAGE-LOCAL, the
+        # same frame as tbl_top (which comes from the table's tag). Using
+        # the doc-absolute bottom here would make the fold condition
+        # `tbl_pn == last_pn and tbl_top >= last_bottom` always false on
+        # pages >= 2, silently dropping tables from qa chunks.
+        last_bottom = box["tag_bottom"]
         last_pn = line_pn
     if last_q:
         qai.append((last_q, last_a))

@@ -416,7 +416,14 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
         secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
                                   return_tables=True, merge_mode="none",
                                   pages=cfg.get("_pdf_pages"))
-        pairs = qa_core.qa_pairs_from_pdf(secs, tbls)
+        # full-document heights, NOT window-sliced: position tags carry
+        # document-absolute page numbers, so the cum-offset lookup must
+        # index the real page list
+        try:
+            heights = pdf_mini.page_heights(blob)
+        except Exception:
+            heights = None
+        pairs = qa_core.qa_pairs_from_pdf(secs, tbls, page_heights=heights)
     elif fmt in ("md", "markdown"):
         from ragflow_spark.core import qa as qa_core
 

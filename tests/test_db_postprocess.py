@@ -183,3 +183,32 @@ def test_db_postprocess_scores_and_gates(ref_db):
     lone[5, 5] = 0.9
     b2, _ = ours.boxes_from_bitmap(lone, lone > 0.3, 32, 32)
     assert len(b2) == 0
+
+
+def test_db_postprocess_slow_score_mode():
+    """score_mode='slow' must actually score (ADVICE r4: it was silently
+    accepted and ignored). On axis-aligned rectangular blobs the filled
+    component region equals the min-area quad, so slow == fast scores and
+    the emitted boxes are identical."""
+    pred = _synthetic_map(5)
+    fast = DBP.DBPostProcess(thresh=0.3, box_thresh=0.5, unclip_ratio=1.5,
+                             score_mode="fast")
+    slow = DBP.DBPostProcess(thresh=0.3, box_thresh=0.5, unclip_ratio=1.5,
+                             score_mode="slow")
+    bf, sf = fast.boxes_from_bitmap(pred, pred > 0.3,
+                                    pred.shape[1], pred.shape[0])
+    bs, ss = slow.boxes_from_bitmap(pred, pred > 0.3,
+                                    pred.shape[1], pred.shape[0])
+    assert np.array_equal(bf, bs)
+    assert np.allclose(sf, ss, atol=1e-6)
+    # an L-shaped (concave) blob: slow scores ONLY the component pixels,
+    # fast averages the min-area bbox incl. background → slow > fast
+    lmap = np.full((40, 40), 0.05, dtype=np.float32)
+    lmap[10:30, 10:14] = 0.9
+    lmap[26:30, 10:30] = 0.9
+    _, sfast = fast.boxes_from_bitmap(lmap, lmap > 0.3, 40, 40)
+    _, sslow = slow.boxes_from_bitmap(lmap, lmap > 0.3, 40, 40)
+    # fast dilutes the L over its bbox (~0.36) and box_thresh kills it;
+    # slow scores the component pixels alone (0.9) and keeps it
+    assert len(sfast) == 0
+    assert len(sslow) == 1 and sslow[0] > 0.89

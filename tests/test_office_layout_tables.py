@@ -391,3 +391,47 @@ def test_single_occurrence_banded_line_survives():
     secs = pdf_layout.layout_parse(blob)
     joined = " ".join(t for t, _ in secs)
     assert "unique title" in joined
+
+
+def _docx_with_merged_table() -> bytes:
+    """Hand-built document.xml: row 1 has a gridSpan=2 header over cols
+    B/C and a vMerge restart in col A continued in row 2."""
+    import zipfile
+    from io import BytesIO
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+    def tc(text, extra=""):
+        pr = f"<w:tcPr>{extra}</w:tcPr>" if extra else ""
+        return f"<w:tc>{pr}<w:p><w:r><w:t>{text}</w:t></w:r></w:p></w:tc>"
+
+    row1 = ("<w:tr>"
+            + tc("Region", '<w:vMerge w:val="restart"/>')
+            + tc("Sales", '<w:gridSpan w:val="2"/>')
+            + "</w:tr>")
+    row2 = ("<w:tr>"
+            + tc("", "<w:vMerge/>")
+            + tc("Q1") + tc("Q2")
+            + "</w:tr>")
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>')
+        zf.writestr(
+            "word/document.xml",
+            f'<?xml version="1.0"?><w:document xmlns:w="{w}"><w:body>'
+            f"<w:tbl>{row1}{row2}</w:tbl></w:body></w:document>")
+    return buf.getvalue()
+
+
+def test_docx_table_grids_expands_merged_cells():
+    """python-docx row.cells semantics: gridSpan repeats the cell text
+    across spanned columns; vMerge continue inherits the origin above —
+    merged-cell tables must not produce ragged/shifted grids."""
+    grids = office.docx_table_grids(_docx_with_merged_table())
+    assert grids == [[
+        ["Region", "Sales", "Sales"],
+        ["Region", "Q1", "Q2"],
+    ]]

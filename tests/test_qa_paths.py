@@ -163,3 +163,41 @@ def test_qa_pdf_malformed_tag_terminates():
     ]
     pairs = qa.qa_pairs_from_pdf(sections, tables=[])
     assert isinstance(pairs, list)  # completion IS the assertion
+
+
+def test_qa_pdf_table_folds_on_page_two():
+    """Regression: last_bottom must be PAGE-LOCAL (qa.py:154 re-parses it
+    from the tag) so a same-page table after an answer line on page >= 2
+    still satisfies `tbl_top >= last_bottom` and folds into the answer."""
+    sections = [
+        ("intro text before questions", "@@2\t72\t200\t60\t70##"),
+        ("1. What is Spark?", "@@2\t72\t200\t100\t110##"),
+        ("It is an engine.", "@@2\t72\t200\t130\t140##"),
+        ("2. What is Arrow?", "@@2\t72\t200\t200\t210##"),
+        ("A columnar format.", "@@2\t72\t200\t230\t240##"),
+    ]
+    tables = [("<table><tr><td>cell</td></tr></table>",
+               "@@2\t72\t200\t150\t160##")]
+    pairs = qa.qa_pairs_from_pdf(sections, tables)
+    assert pairs[0] == ("1. What is Spark?",
+                        "It is an engine.<table><tr><td>cell</td></tr></table>")
+    assert pairs[1] == ("2. What is Arrow?", "A columnar format.")
+
+
+def test_qa_pdf_real_page_heights_offset():
+    """A4 pages (842pt) must use real cumulative heights for the doc-
+    absolute has_qbullet frame, not a pinned 792/page."""
+    sections = [("1. q?", "@@2\t72\t200\t10\t20##")]
+    # smoke the cum-offset plumbing: same result as default on page 1,
+    # and page_heights are honored without error
+    pairs_default = qa.qa_pairs_from_pdf(list(sections), [])
+    pairs_a4 = qa.qa_pairs_from_pdf(list(sections), [],
+                                    page_heights=[842.0, 842.0])
+    assert pairs_default == pairs_a4  # single box: offset can't change pairing
+
+
+def test_pdf_mini_page_heights():
+    blob = pdf_mini.build_simple_pdf([["page one line"], ["page two line"]])
+    hs = pdf_mini.page_heights(blob)
+    assert hs == [792.0, 792.0]
+    assert len(hs) == len(pdf_mini.extract_boxes(blob))
