@@ -44,6 +44,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _ORACLE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".cache")
 
+# reference-anchored snapshot goldens for the no-SQL-twin queries
+# (committed parquet; regenerate with tools/gen_query_goldens.py)
+_GOLDEN_Q = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "goldens", "q")
+
 
 # ----------------------------------------------------------------- entry
 
@@ -1700,13 +1705,36 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(fingerprints, ',')) as fp_digest
             from fp
         """,
-        # extract_chunks_docs / extract_pipeline_pages / extract_manifest
-        # stay rows-only (corpus-synthesis pipelines with no ANSI-SQL
-        # equivalent; gated byte-identically in pytest + the
-        # reference-executed goldens). Their STRUCTURE is oracle-gated via
-        # the two invariant queries below: the Spark query materializes
-        # the chunk table to .cache and DuckDB independently recomputes
-        # the invariants from the same parquet.
+        # extract_chunks_docs / extract_pipeline_pages / extract_manifest /
+        # doc_tokenize have no ANSI-SQL equivalent (sequential per-doc
+        # template / DP-segmentation pipelines); their oracles are
+        # REFERENCE-ANCHORED snapshot goldens (tests/goldens/q/*.parquet,
+        # tools/gen_query_goldens.py) — the generator refuses to write a
+        # golden unless chunk texts are byte-identical to the reference's
+        # own FACTORY[parser].chunk execution (244 pipeline urls + all 500
+        # sf0.01 docs) and manifest counts agree with a DuckDB recount.
+        # Pinned at the driver's compare scale (sf0.01).
+        "extract_chunks_docs": f"""
+            select url, chunk_idx, chunk_text, content_hash, partition_id
+            from '{_GOLDEN_Q}/extract_chunks_docs.parquet'
+        """,
+        "extract_pipeline_pages": f"""
+            select url, chunk_idx, chunk_text, tag_text, title, parser,
+                   fmt, content_hash
+            from '{_GOLDEN_Q}/extract_pipeline_pages.parquet'
+        """,
+        "extract_manifest": f"""
+            select partition_id, doc_count, chunk_count, bytes, content_hash
+            from '{_GOLDEN_Q}/extract_manifest.parquet'
+        """,
+        "doc_tokenize": f"""
+            select doc_id, content_ltks, content_sm_ltks
+            from '{_GOLDEN_Q}/doc_tokenize.parquet'
+        """,
+        # the two invariant queries below additionally oracle-gate the
+        # STRUCTURE live (not snapshot): the Spark query materializes the
+        # chunk table to .cache and DuckDB independently recomputes the
+        # invariants from the same parquet.
         "extract_chunks_invariants": f"""
             with t as (
               select * from '{_ORACLE_CACHE}/oracle_chunks/*.parquet'

@@ -1,0 +1,73 @@
+"""Registry sanity + snapshot-golden integrity for the driver contract.
+
+The four no-SQL-twin queries (extract_chunks_docs, extract_pipeline_pages,
+extract_manifest, doc_tokenize) are oracle-gated against reference-anchored
+snapshot parquets (tools/gen_query_goldens.py). These tests pin that the
+goldens exist, load, and keep the exact driver-facing shape — and that the
+queries()/oracle_sql() registry stays self-consistent (VERDICT r4 #1)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entrymod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(REPO, "tests", "goldens", "q")
+
+EXPECTED = {
+    "extract_chunks_docs": (
+        500, ["url", "chunk_idx", "chunk_text", "content_hash",
+              "partition_id"]),
+    "extract_pipeline_pages": (
+        2680, ["url", "chunk_idx", "chunk_text", "tag_text", "title",
+               "parser", "fmt", "content_hash"]),
+    "extract_manifest": (
+        16, ["partition_id", "doc_count", "chunk_count", "bytes",
+             "content_hash"]),
+    "doc_tokenize": (200, ["doc_id", "content_ltks", "content_sm_ltks"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_golden_parquet_shape(name):
+    rows, cols = EXPECTED[name]
+    path = os.path.join(GOLD, f"{name}.parquet")
+    assert os.path.exists(path), f"missing golden {path}"
+    t = pq.read_table(path)
+    assert t.num_rows == rows
+    assert sorted(t.column_names) == sorted(cols)
+
+
+def test_registry_self_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # every oracle names a registered query
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    # no rows-only queries remain: every registered query has an oracle
+    assert set(qs) == set(oracles), sorted(set(qs) - set(oracles))
+    # every golden-backed oracle's file exists (a missing committed golden
+    # would silently fail all four at driver time)
+    for name in EXPECTED:
+        assert f"goldens/q/{name}.parquet" in oracles[name].replace(
+            os.sep, "/")
+
+
+def test_bench_registry_names_cover_queries():
+    """bench.py's registry block must list every queries() entry so the
+    driver artifact carries the full registry (record-drift check)."""
+    import json
+    import re
+
+    rdir = REPO
+    files = sorted(f for f in os.listdir(rdir)
+                   if re.fullmatch(r"BENCH_r\d+\.json", f))
+    if not files:
+        pytest.skip("no bench record yet")
+    with open(os.path.join(rdir, files[-1])) as f:
+        data = json.load(f)
+    reg = (data.get("parsed") or data).get("registry")
+    if reg is None:
+        pytest.skip("registry block lands with the r5 bench record")
+    assert set(reg["names"]) == set(entrymod.queries())

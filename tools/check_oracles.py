@@ -103,6 +103,25 @@ def main():
             n_ok += 1
             print(f"OK   {name}: {len(sdf)} rows")
     print(f"\n{n_ok} ok, {n_bad} bad")
+    # registry-vs-record completeness (VERDICT r4 #1): when running the
+    # full set, flag any registered query the newest driver CORRECTNESS
+    # record silently dropped (r04 dropped media_detector_plan).
+    if not only:
+        import json as _json
+        import re as _re
+        rdir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        corr = sorted(f for f in os.listdir(rdir)
+                      if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f))
+        if corr:
+            with open(os.path.join(rdir, corr[-1])) as f:
+                recorded = set(_json.load(f))
+            missing = sorted(set(qs) - recorded)
+            if missing:
+                print(f"RECORD DRIFT vs {corr[-1]}: registered but "
+                      f"unrecorded: {missing}")
+            else:
+                print(f"record complete vs {corr[-1]}: "
+                      f"all {len(qs)} registered queries recorded")
     spark.stop()
     sys.exit(1 if n_bad else 0)
 
