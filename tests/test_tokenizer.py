@@ -184,3 +184,32 @@ def test_tokenize_applies_tradi2simp():
     tk = RagTokenizer(["电脑 5 n", "学习 5 n"])
     # traditional input segments identically to its simplified form
     assert tk.tokenize("電腦學習") == tk.tokenize("电脑学习")
+
+
+def test_tradi2simp_table_invariants():
+    """r5 expanded table (~918 pairs): structurally sound — every source
+    entry is a 2-char pair, no traditional char maps two ways, and no
+    simplified output is itself a key mapping elsewhere (no chains, so
+    single-pass str.translate is idempotent like hanziconv's)."""
+    from ragflow_spark.core.hanzi import _PAIRS, TRADI2SIMP_FIXTURE
+
+    assert len(TRADI2SIMP_FIXTURE) >= 900
+    seen: dict[str, str] = {}
+    for p in _PAIRS.split():
+        assert len(p) == 2, p
+        t, s = p
+        assert seen.get(t, s) == s, f"conflicting mapping for {t}"
+        seen[t] = s
+    for t, s in seen.items():
+        if s != t and s in seen:
+            assert seen[s] == s, f"chain {t}->{s}->{seen[s]}"
+    out = "".join(TRADI2SIMP_FIXTURE.values())
+    assert out == out.translate(TRADI2SIMP_FIXTURE)  # idempotent
+
+
+def test_tradi2simp_r5_expansion_pairs():
+    from ragflow_spark.core.hanzi import to_simplified
+
+    assert to_simplified("臺灣鐵路縱貫線") == "台湾铁路纵贯线"
+    assert to_simplified("醫藥費證明書") == "医药费证明书"
+    assert to_simplified("變更紀錄檔") == "变更纪录档"
