@@ -53,6 +53,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    rep_timings: dict[str, list[float]] = {}
+    # noise hardening (VERDICT r4 #6): sub-second walls on this box swing
+    # ±50% run-to-run; record the MEDIAN of N timed passes per query so a
+    # single scheduler hiccup can't masquerade as a regression. All reps
+    # are kept in the JSON for inspection.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     def bench(name, fn):
         from ragflow_spark.operators.dedup import release
@@ -61,10 +67,15 @@ def main() -> None:
         # population (Spark's CacheManager matches the timed pass's
         # identical plan to the warm pass's persisted data — r01 semantics)
         _force(fn())
-        t0 = time.perf_counter()
-        df = fn()
-        _force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn()
+            _force(df)
+            walls.append(round(time.perf_counter() - t0, 3))
+        walls.sort()
+        timings[name] = walls[len(walls) // 2]
+        rep_timings[name] = walls
         release(df)  # drop persisted LSH/shingle intermediates between queries
 
     pages = spark.read.parquet(pages_path)
@@ -171,6 +182,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_reps": rep_timings,
+        "bench_reps": reps,
         "docs_per_sec_by_query": rates,
         "sf": sf,
         "pages_docs": n_pages,
@@ -191,6 +204,19 @@ def main() -> None:
         },
     }))
     spark.stop()
+    # ledger freshness (VERDICT r4 #10): the per-round bench run is the
+    # end-of-round hook, so refresh COVERAGE.md's generated tally block
+    # from the newest CORRECTNESS artifact here (best-effort — a tally
+    # failure must never kill the bench numbers).
+    try:
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(rdir, "tools", "gen_coverage_tallies.py")],
+            check=False, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
     # the gate fails loudly INTO the recorded JSON (regression_gate.pass
     # = false); exit stays 0 so the driver still records the numbers —
     # set SPARK_GRAFT_REG_STRICT=1 for a hard nonzero exit in CI use

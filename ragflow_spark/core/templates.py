@@ -412,8 +412,12 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core import qa as qa_core
         from ragflow_spark.core.pdf_layout import layout_parse
 
-        fp, tp = _page_range(cfg)
-        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
+        # qa ignores the task page window: rag/app/qa.py:294 takes no
+        # from_page/to_page (they land in **kwargs) and qa.py:355-357
+        # hardcodes to_page=10000 — every production task re-parses the
+        # WHOLE document
+        secs, tbls = layout_parse(blob, lang, from_page=0,
+                                  to_page=10 ** 9,
                                   return_tables=True, merge_mode="none",
                                   pages=cfg.get("_pdf_pages"))
         # full-document heights, NOT window-sliced: position tags carry
@@ -771,8 +775,14 @@ TEMPLATES = {
 
 # production PDF task splitting (api/db/services/task_service.py:164-186):
 # 12 pages per task by default, 22 for paper, whole-doc for one/KG and for
-# layout_recognize=False
-PDF_TASK_PAGES = {"paper": 22, "one": 10 ** 9, "knowledge_graph": 10 ** 9}
+# layout_recognize=False. qa is whole-doc as the NET semantics: the task
+# service does split qa PDFs into 12-page tasks, but rag/app/qa.py:294
+# ignores from_page/to_page (qa.py:355-357 hardcodes to_page=10000), so
+# every task emits the identical whole-doc chunk set and the copies
+# collapse downstream under the content-md5 chunk id (A8 dedup) — the
+# net output is exactly one whole-doc run.
+PDF_TASK_PAGES = {"paper": 22, "one": 10 ** 9, "knowledge_graph": 10 ** 9,
+                  "qa": 10 ** 9}
 
 
 def run_template(parser: str, blob: bytes, fmt: str, lang: str = "English",

@@ -300,3 +300,74 @@ def test_resume_reprocesses_drifted_partitions(spark, tmpdir_path):
 
     m = read_manifest(spark, man)
     assert m.filter("attempt = 3").count() == 0
+
+
+# ----------------------------------------- verify-join plan shape (r5)
+
+def _formatted_plan(df):
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _nodes(plan):
+    """Split a formatted explain into (header, body) physical nodes."""
+    out = []
+    for block in re.split(r"\n(?=\(\d+\) )", plan):
+        lines = block.split("\n")
+        out.append((lines[0], "\n".join(lines[1:])))
+    return out
+
+
+def test_minhash_verify_join_plan_shape(spark):
+    """The r4 1M OOM postmortem, pinned as plan shape (VERDICT r4 #8):
+    (a) the hot-band guard is a BROADCAST left-anti join on _band (the
+    hot set is O(dropped bands), never a shuffle side); (b) the k²
+    band self-join carries ID-ONLY rows — no node that partitions or
+    broadcasts on _band may carry the _sh shingle arrays or _sig
+    signatures (they dominated shuffle bytes and heap in the 1M run)."""
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared words here")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_pairs(docs, "doc_id", "text", max_band_size=16)
+    plan = _formatted_plan(out)
+    anti = [h for h, b in _nodes(plan)
+            if "Join" in h and "LeftAnti" in b and "_band" in b]
+    assert anti, plan
+    assert all("Broadcast" in h for h in anti), anti
+    for head, body in _nodes(plan):
+        if ("Exchange" in head or "Broadcast" in head) and "_band#" in body:
+            assert "_sh#" not in body and "_sig#" not in body, (head, body)
+    dedup.release(out)
+
+
+def test_simhash_verify_join_plan_shape(spark):
+    """Same pin for the simhash chunk-band join: broadcast anti on
+    _chunk, and no 64-bit signature column riding the chunk join's
+    exchanges beyond the (id, sim) pair the verify needs."""
+    docs = spark.createDataFrame(
+        [(i, f"another text body number {i} with shared words here")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_pairs(docs, "doc_id", "text", max_band_size=16)
+    plan = _formatted_plan(out)
+    anti = [h for h, b in _nodes(plan)
+            if "Join" in h and "LeftAnti" in b and "_chunk" in b]
+    assert anti, plan
+    assert all("Broadcast" in h for h in anti), anti
+    dedup.release(out)
+
+
+def test_session_defaults_pin_aqe_skew_join(spark):
+    """The dedup/extraction sizing rule (PLANS.md §memory): AQE with
+    skew-join splitting is a default, not an opt-in — partition-level
+    skew the static planner can't see (hot bands under the cap, giant
+    docs) re-splits at runtime."""
+    for key in ("spark.sql.adaptive.enabled",
+                "spark.sql.adaptive.skewJoin.enabled"):
+        assert spark.conf.get(key) == "true", key
