@@ -180,17 +180,46 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _worker_tokenizer(dict_path: str):
+    """Per-python-worker-PROCESS tokenizer singleton keyed by the dict
+    file path: with a production-size dict (10⁵-10⁶ entries) the trie
+    build costs seconds and hundreds of MB — rebuilding it per TASK (the
+    closure-shipped variant) multiplies that by the task count. The
+    singleton is the reference's model-load pattern (SURVEY §4: one ONNX
+    session per executor) applied to the dictionary; on a cluster the
+    file ships once per node via ``spark-submit --files`` and every task
+    on a reused worker process hits the cache."""
+    from ragflow_spark.core import tokenizer as _tkmod
+
+    cache = getattr(_tkmod, "_RS_TK_CACHE", None)
+    if cache is None:
+        cache = _tkmod._RS_TK_CACHE = {}
+    tk = cache.get(dict_path)
+    if tk is None:
+        with open(dict_path, encoding="utf-8") as f:
+            tk = _tkmod.RagTokenizer(f)
+        cache.clear()  # one dict at a time — bound worker memory
+        cache[dict_path] = tk
+    return tk
+
+
 def tokenize_column(
-    df: DataFrame, id_col: str, text_col: str, dict_lines: list[str],
+    df: DataFrame, id_col: str, text_col: str,
+    dict_lines: list[str] | None = None, dict_path: str | None = None,
 ) -> DataFrame:
     """The reference's ``content_ltks`` / ``content_sm_ltks`` fields
     (rag/nlp/__init__.py:227-246 tokenize) as a distributed operator: the
     bilingual tokenizer (core/tokenizer.py) runs per doc inside an Arrow
     batch with the trie built ONCE per python worker (the reference's
-    model-singleton pattern). ``dict_lines`` is the pluggable 'word freq
-    tag' dictionary — huqie.txt-shaped. The id column keeps its name and
-    (integral) type in the output, matching the other mapInPandas
-    operators."""
+    model-singleton pattern). The 'word freq tag' (huqie.txt-shaped)
+    dictionary comes either as ``dict_lines`` (small fixture dicts,
+    shipped in the task closure) or ``dict_path`` (production: a file
+    distributed via ``spark-submit --files``, loaded once per worker
+    process and cached — see ``_worker_tokenizer``). The id column keeps
+    its name and (integral) type in the output, matching the other
+    mapInPandas operators."""
+    if (dict_lines is None) == (dict_path is None):
+        raise ValueError("pass exactly one of dict_lines / dict_path")
     id_type = dict(df.dtypes)[id_col]
     schema = f"{id_col} {id_type}, content_ltks string, content_sm_ltks string"
 
@@ -199,7 +228,10 @@ def tokenize_column(
 
         from ragflow_spark.core.tokenizer import RagTokenizer
 
-        tk = RagTokenizer(dict_lines)  # once per worker-process generator
+        if dict_path is not None:
+            tk = _worker_tokenizer(dict_path)
+        else:
+            tk = RagTokenizer(dict_lines)  # once per worker-process generator
         for pdf in batches:
             ltks = [tk.tokenize(t or "") for t in pdf[text_col]]
             yield pd.DataFrame({

@@ -213,3 +213,33 @@ def test_tradi2simp_r5_expansion_pairs():
     assert to_simplified("臺灣鐵路縱貫線") == "台湾铁路纵贯线"
     assert to_simplified("醫藥費證明書") == "医药费证明书"
     assert to_simplified("變更紀錄檔") == "变更纪录档"
+
+
+def test_tokenize_column_dict_path_singleton(spark, tmp_path):
+    """dict_path mode (the --files deploy shape) must produce byte-equal
+    output to the closure-shipped dict_lines mode, loading the trie ONCE
+    per worker process via the module-level singleton."""
+    from ragflow_spark.operators import textstats
+    from ragflow_spark.operators.textstats import tokenize_column
+
+    p = tmp_path / "dict.txt"
+    p.write_text("\n".join(DICT), encoding="utf-8")
+    rows = [(i, "数据库管理系统 handles 分布式查询引擎 queries") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r.doc_id, r.content_ltks, r.content_sm_ltks)
+               for r in tokenize_column(df, "doc_id", "text", DICT).collect())
+    b = sorted((r.doc_id, r.content_ltks, r.content_sm_ltks)
+               for r in tokenize_column(df, "doc_id", "text",
+                                        dict_path=str(p)).collect())
+    assert a == b
+    # driver-side singleton contract: same path → same object, cache
+    # bounded to one dict at a time
+    t1 = textstats._worker_tokenizer(str(p))
+    t2 = textstats._worker_tokenizer(str(p))
+    assert t1 is t2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tokenize_column(df, "doc_id", "text")
+    with _pytest.raises(ValueError):
+        tokenize_column(df, "doc_id", "text", DICT, dict_path=str(p))
