@@ -479,9 +479,13 @@ def _layout_parse_window(
 
             boxes = updown.merge_with_same_bullet(boxes)
     sections = []
+    # NOTE: whitespace-only boxes are NOT filtered here. The reference
+    # drops them only inside _naive_vertical_merge's pair walk
+    # (pdf_parser.py:402-404, mirrored in naive_vertical_merge above,
+    # including the final box escaping the check) — the _concat_downward
+    # templates (naive/paper/manual/one) emit them as sections, and the
+    # fuzz A/B (tests/test_fuzz_ab_templates.py) pins that behavior.
     for b in boxes:
-        if not b["text"].strip():
-            continue
         off = cum[b["page_number"] - 1]
         top, bott = b["top"] - off, b["bottom"] - off
         # W5 can merge across pages: extend the tag's page list while the

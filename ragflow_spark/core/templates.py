@@ -253,7 +253,12 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
                                   two_column=True, return_tables=True,
                                   merge_mode="updown", toc_filter=True,
                                   pages=cfg.get("_pdf_pages"))
-        sections, title = [(t + tag, "") for t, tag in secs], ""
+        # clean mess (paper.py:58-59): strip + collapse whitespace runs
+        # BEFORE the tag attaches — a whitespace-only box becomes an
+        # empty section that still joins with its \n (fuzz A/B pins it)
+        sections = [(_WS_RUNS.sub(" ", t.strip()) + tag, "")
+                    for t, tag in secs]
+        title = ""
         table_chunks = [html + tag for html, tag in tbls]
     else:
         # PlainParser branch (paper.py:139-146): no table tier
@@ -635,10 +640,11 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
     else:
         fp, tp = _page_range(cfg)
         secs, tbls = pdf_mini.plain_parse(blob, fp, tp), []
-    # clean mess (manual.py:65-66)
-    sections = [
-        (_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs if t.strip()
-    ]
+    # clean mess (manual.py:65-66). Empty sections are KEPT: the
+    # reference's level walk runs over every box (a cleaned-to-empty box
+    # still occupies a levels slot and can split a sec_id run — fuzz A/B
+    # seed 8 pins this)
+    sections = [(_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs]
     outlines = pdf_mini.extract_outlines(blob)
     if sections and outlines and len(outlines) / len(sections) > 0.1:
         # outline-driven levels (manual.py:191-206): bigram-set overlap > 0.8

@@ -340,17 +340,22 @@ def concat_downward(
                         or up["x0"] > down["x1"] + 10 * mw:
                     i += 1
                     continue
-                if i - dp < 5 and up.get("layout_type") == "text" \
-                        and up.get("layoutno", "1") == down.get("layoutno", "2"):
-                    # fast path: same detected region → merge unscored
-                    # (pdf_parser.py:500-507). The reference also VETOES
-                    # near pairs whose layoutnos differ without scoring —
-                    # correct when layoutno is detector ground truth, but
-                    # our pseudo-regions are geometric guesses, so
-                    # cross-region pairs fall through to the scorer here
-                    # (the sentence-bridging decision IS the scorer's job).
-                    merged_i = i
-                    break
+                if i - dp < 5 and up.get("layout_type") == "text":
+                    # pdf_parser.py:500-507: same detected region → merge
+                    # unscored; near pairs whose layoutnos DIFFER (incl.
+                    # the "1"/"2" missing-key defaults) are VETOED without
+                    # scoring. r5 note: an earlier build let cross-region
+                    # near pairs fall through to the scorer on the theory
+                    # that pseudo-regions are geometric guesses — the fuzz
+                    # A/B (seed 36, giant-token line in its own region)
+                    # showed that diverges from the reference whenever the
+                    # scorer would bridge what the region split separates,
+                    # so the veto is the contract.
+                    if up.get("layoutno", "1") == down.get("layoutno", "2"):
+                        merged_i = i
+                        break
+                    i += 1
+                    continue
                 fea = updown_concat_features(up, down)
                 if predict(fea) <= 0.5:
                     i += 1

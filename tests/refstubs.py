@@ -53,6 +53,14 @@ def install_reference_stubs() -> None:
         m = existing or types.ModuleType(name)
         for k, v in attrs.items():
             setattr(m, k, v)
+        if getattr(m, "__spec__", None) is None:
+            # a None __spec__ makes importlib.util.find_spec raise
+            # ValueError for the stubbed name — pyspark's session init
+            # probes optional deps (openpyxl) that way, so a stub with
+            # no spec breaks any Spark session created after stub install
+            import importlib.machinery as _mach
+
+            m.__spec__ = _mach.ModuleSpec(name, loader=None)
         sys.modules[name] = m
         return m
 
@@ -67,6 +75,9 @@ def install_reference_stubs() -> None:
     pil_img.new = lambda mode, size, color=None: _FakeImg(*size)
     pil_img.alpha_composite = lambda a, b: a
     pil_img.open = lambda buf: _FakeImg(1, 1)
+    import importlib.machinery as _mach0
+
+    pil_img.__spec__ = _mach0.ModuleSpec("PIL.Image", loader=None)
     sys.modules["PIL.Image"] = pil_img
     _mod("PIL", Image=pil_img)
     _mod("roman_numbers", number=_raise(ValueError))

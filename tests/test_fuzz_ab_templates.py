@@ -1,0 +1,328 @@
+"""Seeded FUZZ A/B: adversarial generated documents through the
+reference's own chunk() (refstubs-stubbed assets, shared vision/booster
+stand-ins) versus our run_template, byte-identical. The curated A/B
+suites pin known behaviors; this file sweeps the mixture space —
+bullet-family collisions, garbage/TOC/chrome lines, numeric-only and
+empty lines, giant tokens, backticks (the txt-split quirk), '@' (book's
+section split char), mixed scripts — with deterministic seeds so a
+failure replays exactly.
+
+The reference's random_choices sampling (with replacement,
+rag/nlp/__init__.py:185-187) is routed to the deterministic full-list
+vote on BOTH sides, same control as the window-straddle suite: fuzz
+mixtures are exactly where a sampled vote flips by seed luck.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import logging
+import random
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "tests")
+import refstubs  # noqa: E402
+
+from ragflow_spark.core import pdf_mini  # noqa: E402
+from ragflow_spark.core.templates import run_template  # noqa: E402
+
+
+def _noop(*a, **k):
+    pass
+
+
+def _remove_tag(t):
+    return re.sub(r"@@[\t0-9.-]+?##", "", t)
+
+
+@pytest.fixture(scope="module")
+def ref_apps():
+    refstubs.install_reference_stubs()
+    import rag.app.book as book
+    import rag.app.laws as laws
+    import rag.app.manual as manual
+    import rag.app.naive as naive
+    import rag.app.one as one
+    import rag.app.paper as paper
+    import rag.app.presentation as presentation
+    import rag.app.qa as qa
+    import rag.nlp as ragnlp
+
+    laws.logging = logging
+
+    def _full_list(arr, k):
+        return arr
+
+    ragnlp.random_choices = _full_list
+    mods = {
+        "naive": naive, "book": book, "paper": paper, "manual": manual,
+        "laws": laws, "presentation": presentation, "qa": qa, "one": one,
+    }
+    for m in mods.values():
+        if hasattr(m, "random_choices"):
+            m.random_choices = _full_list
+    return mods
+
+
+# --------------------------------------------------------- generators
+
+_VOCAB = ("data spark query engine shuffle partition filter merge chunk "
+          "token document extract scan index vector stream batch").split()
+
+
+def _sentence(rng):
+    k = rng.randint(4, 14)
+    return (" ".join(rng.choice(_VOCAB) for _ in range(k)).capitalize()
+            + rng.choice([".", "!", "?", ":", ""]))
+
+
+def _fuzz_line(rng, i):
+    forms = [
+        lambda: f"Chapter {rng.randint(1, 20)}",
+        lambda: f"Section {rng.randint(1, 30)}.{rng.randint(1, 9)}",
+        lambda: f"{rng.randint(1, 30)}.{rng.randint(1, 9)} Topic {i}",
+        lambda: f"({rng.randint(1, 9)}) item {i}",
+        lambda: f"Article {rng.randint(1, 50)}. Rule text {i}.",
+        lambda: f"PART {rng.choice(['ONE', 'TWO', 'THREE'])}",
+        lambda: f"{rng.randint(1, 12)}. " + _sentence(rng),
+        lambda: _sentence(rng),
+        lambda: _sentence(rng) + " " + _sentence(rng),
+        lambda: str(rng.randint(0, 99999)),            # F8 numeric-only
+        lambda: "." * rng.randint(5, 40),              # dotted TOC leader
+        lambda: f"Contents {'.' * rng.randint(8, 30)} {rng.randint(1, 99)}",
+        lambda: "",
+        lambda: "   ",
+        lambda: "Key point: " + _sentence(rng),        # colon-as-title
+        lambda: "verylongtoken" * rng.randint(8, 30),  # giant token
+        lambda: "- " + _sentence(rng),
+        lambda: _sentence(rng) + " @ " + _sentence(rng),  # book '@' split
+    ]
+    return rng.choice(forms)()
+
+
+def _fuzz_pdf(seed):
+    """≤8-page (single task window) ASCII PDF of adversarial line mix,
+    optionally with repeated page chrome (A6 target)."""
+    rng = random.Random(seed)
+    npages = rng.randint(2, 8)
+    chrome = rng.random() < 0.5
+    pages = []
+    for pn in range(npages):
+        lines = [_fuzz_line(rng, i) for i in range(rng.randint(3, 18))]
+        if chrome:
+            lines.insert(0, "ACME CONFIDENTIAL DRAFT")
+            lines.append(f"Page {pn + 1} of {npages}")
+        pages.append(lines)
+    return pdf_mini.build_simple_pdf(pages)
+
+
+def _fuzz_qa_pdf(seed):
+    """qa needs a recognizable Q-bullet structure; fuzz the noise AROUND
+    the questions, not the structure itself."""
+    rng = random.Random(seed)
+    lines = []
+    for q in range(1, rng.randint(4, 9)):
+        if rng.random() < 0.4:
+            lines.append(_fuzz_line(rng, q))
+        lines.append(f"QUESTION {q}")
+        lines.append(f"What is the meaning of term {q} here?")
+        for i in range(rng.randint(1, 3)):
+            lines.append(f"The answer explains term {q} part {i} with "
+                         "more detail words here.")
+    per = rng.randint(10, 18)
+    pages = [lines[i:i + per] for i in range(0, len(lines), per)]
+    return pdf_mini.build_simple_pdf(pages)
+
+
+def _fuzz_text(seed, n=50):
+    """Unicode adversarial lines for the txt/md paths (backticks, CJK,
+    tabs, delimiter chars)."""
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        form = rng.randint(0, 11)
+        if form == 0:
+            out.append(f"第{'一二三四五六七八九十'[i % 10]}章 标题{i}")
+        elif form == 1:
+            out.append(f"中文句子{i}，带标点。还有一句！")
+        elif form == 2:
+            out.append("code `inline backtick` sample")   # txt ` quirk
+        elif form == 3:
+            out.append("```")
+        elif form == 4:
+            out.append(f"col{i}\tcol{i + 1}\tcol{i + 2}")
+        elif form == 5:
+            out.append("")
+        else:
+            out.append(_fuzz_line(rng, i))
+    return "\n".join(out)
+
+
+# ------------------------------------------------------------- pdf A/B
+
+def _pdf_ab(mod, parser, blob, seed):
+    inst = refstubs.template_pdf_instance(mod.Pdf, blob, "English")
+    orig = mod.Pdf
+    try:
+        mod.Pdf = lambda: inst
+        random.seed(seed)
+        docs = mod.chunk(f"fz{seed}.pdf", binary=blob, lang="English",
+                         callback=_noop)
+    finally:
+        mod.Pdf = orig
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template(parser, blob, "pdf",
+                                               "English")]
+    assert ref_chunks == ours, (parser, seed, len(ref_chunks), len(ours))
+
+
+@pytest.mark.parametrize("parser", ["naive", "book", "paper", "manual",
+                                    "one", "presentation", "laws"])
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_pdf_template_ab(ref_apps, parser, seed):
+    _pdf_ab(ref_apps[parser], parser, _fuzz_pdf(seed * 7 + 1), seed)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_qa_pdf_ab(ref_apps, seed):
+    _pdf_ab(ref_apps["qa"], "qa", _fuzz_qa_pdf(seed * 11 + 3), seed)
+
+
+# ----------------------------------------------------- txt/md/json A/B
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_naive_txt_ab(ref_apps, seed):
+    payload = _fuzz_text(seed).encode()
+    cfg = {"chunk_token_num": 64, "delimiter": "\n!?。；！？"}
+    random.seed(seed)
+    docs = ref_apps["naive"].chunk("f.txt", binary=payload, lang="English",
+                                   callback=_noop, parser_config=dict(cfg))
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("naive", payload, "txt",
+                                               "English", cfg=cfg)]
+    assert ref_chunks == ours, seed
+
+
+def _fuzz_markdown(seed):
+    rng = random.Random(seed)
+    out = []
+    for i in range(rng.randint(15, 40)):
+        form = rng.randint(0, 9)
+        if form == 0:
+            out.append("#" * rng.randint(1, 4) + f" Heading {i}")
+        elif form == 1:
+            out.append(f"| a{i} | b{i} |\n|---|---|\n| {i} | {i * 2} |")
+        elif form == 2:
+            out.append(f"```\ncode block {i}\nline two\n```")
+        elif form == 3:
+            out.append(f"- list item {i}\n- second {i}")
+        elif form == 4:
+            out.append("")
+        else:
+            out.append(_sentence(rng) + " 中文内容" + str(i) + "。")
+    return "\n\n".join(out)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_naive_markdown_ab(ref_apps, seed):
+    payload = _fuzz_markdown(seed).encode()
+    cfg = {"chunk_token_num": 96}
+    random.seed(seed)
+    docs = ref_apps["naive"].chunk("f.md", binary=payload, lang="English",
+                                   callback=_noop, parser_config=dict(cfg))
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("naive", payload, "md",
+                                               "English", cfg=cfg)]
+    assert ref_chunks == ours, seed
+
+
+def _fuzz_json(seed):
+    rng = random.Random(seed)
+
+    def val(depth):
+        if depth > 2:
+            return rng.choice(["leaf", 42, True, None])
+        form = rng.randint(0, 5)
+        if form == 0:
+            return {f"k{i}": val(depth + 1) for i in range(rng.randint(0, 4))}
+        if form == 1:
+            return [val(depth + 1) for _ in range(rng.randint(0, 5))]
+        if form == 2:
+            return " ".join(rng.choice(_VOCAB) for _ in range(rng.randint(1, 60)))
+        if form == 3:
+            return "中文值" + str(rng.randint(0, 99)) + "。"
+        if form == 4:
+            return rng.random() * 1000
+        return ""
+
+    return _json.dumps(
+        {f"top{i}": val(0) for i in range(rng.randint(1, 6))},
+        ensure_ascii=False).encode()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_naive_json_ab(ref_apps, seed):
+    payload = _fuzz_json(seed)
+    cfg = {"chunk_token_num": 64}
+    random.seed(seed)
+    docs = ref_apps["naive"].chunk("f.json", binary=payload,
+                                   lang="English", callback=_noop,
+                                   parser_config=dict(cfg))
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("naive", payload, "json",
+                                               "English", cfg=cfg)]
+    assert ref_chunks == ours, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_laws_txt_ab(ref_apps, seed):
+    rng = random.Random(seed)
+    lines = []
+    for i in range(1, rng.randint(6, 15)):
+        lines.append(f"第{'一二三四五六七八九十'[i % 10]}条 "
+                     f"规则{i}的具体内容如下。")
+        if rng.random() < 0.5:
+            lines.append(_fuzz_line(rng, i))
+    payload = "\n".join(lines).encode()
+    random.seed(seed)
+    docs = ref_apps["laws"].chunk("f.txt", binary=payload, lang="Chinese",
+                                  callback=_noop)
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("laws", payload, "txt",
+                                               "Chinese")]
+    assert ref_chunks == ours, seed
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_qa_csv_ab(ref_apps, seed):
+    rng = random.Random(seed)
+    lines = []
+    for i in range(rng.randint(3, 12)):
+        form = rng.randint(0, 4)
+        if form == 0:
+            lines.append(f"What is {i}?\tIt is number {i}.")
+        elif form == 1:
+            lines.append(f"noise line {i} without a tab")
+        elif form == 2:
+            lines.append(f"问题{i}？\t答案{i}。")
+        elif form == 3:
+            lines.append("")
+        else:
+            lines.append(f"Q{i}\tA{i}\textra\tfields")
+    payload = "\n".join(lines).encode()
+    random.seed(seed)
+    docs = ref_apps["qa"].chunk("f.csv", binary=payload, lang="English",
+                                callback=_noop)
+    ref_chunks = [d["content_with_weight"] for d in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("qa", payload, "csv",
+                                               "English")]
+    assert ref_chunks == ours, seed

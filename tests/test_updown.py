@@ -94,20 +94,28 @@ def test_concat_downward_fast_path_same_region():
     assert out[0]["bottom"] == boxes[-1]["bottom"] if False else True
 
 
-def test_concat_downward_scorer_bridges_regions():
-    # paragraph 1 ends mid-sentence; paragraph 2 (new pseudo-region, big
-    # gap) continues it → only the scorer can bridge
+def test_concat_downward_near_cross_region_veto():
+    # pdf_parser.py:500-507 (pinned r5 by the fuzz A/B): a NEAR pair
+    # (i - dp < 5) whose layoutnos differ is vetoed WITHOUT consulting
+    # the scorer when up is text — even a scorer that would merge
+    # everything cannot bridge it
     p1 = _mk_para(["first line of text that", "continues and then stops"],
                   region=0)
-    # gap of 34pt: a new pseudo-region (>1.5x line height) but inside the
-    # same-page geometric gate (y_dis < 4x line height)
     p2 = _mk_para(["without finishing the sentence."], top0=160, region=1)
-    out = updown.concat_downward(p1 + p2, [12.0], [6.0])
-    assert len(out) == 1
-    # same fixture, scorer vetoes everything → regions stay separate
-    out2 = updown.concat_downward(p1 + p2, [12.0], [6.0],
+    out = updown.concat_downward(p1 + p2, [12.0], [6.0],
+                                 predict=lambda fea: 1.0)
+    assert len(out) == 2
+    # when up is NOT typed text the near-veto doesn't apply and the
+    # scorer decides: permissive scorer bridges, vetoing scorer splits
+    p1b = [dict(b, layout_type=None) for b in p1]
+    out2 = updown.concat_downward(p1b + p2, [12.0], [6.0],
+                                  predict=lambda fea: 1.0)
+    assert len(out2) == 1
+    out3 = updown.concat_downward(p1b + p2, [12.0], [6.0],
                                   predict=lambda fea: 0.0)
-    assert len(out2) == 2
+    # untyped boxes skip the same-region fast path too, so a vetoing
+    # scorer keeps all three lines separate
+    assert len(out3) == 3
 
 
 def test_concat_downward_breaks_on_sentence_plus_item():
@@ -244,10 +252,12 @@ def test_layout_parse_updown_differs_from_naive():
 def test_concat_downward_bridges_pages():
     # a sentence split across a page break (cum-rebased coordinates) must
     # merge when concat_between_pages=True, and must not when False
+    # same layoutno: the continuation region spans the break (a DIFFERING
+    # layoutno on a near pair is vetoed outright — see the veto test)
     up = box("the findings indicate that", 72, 540, 700, 712, page=1,
              layoutno="text-0", layout_type="text")
     down = box("results were conclusive.", 72, 540, 820, 832, page=2,
-               layoutno="text-1", layout_type="text")
+               layoutno="text-0", layout_type="text")
     merged = updown.concat_downward([up.copy(), down.copy()],
                                     [12.0, 12.0], [6.0, 6.0])
     assert len(merged) == 1
