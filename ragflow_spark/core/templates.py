@@ -316,9 +316,33 @@ def chunk_one(blob: bytes, fmt: str, lang: str = "English",
         tables, title = [], ""
     else:
         sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
-    joined = "\n".join(
-        [t for t, _ in sections if t] + [t for t in tables if t]
-    )
+    if fmt == "pdf" and cfg.get("layout_recognize", True):
+        # one.py:49-56: table renders INTERLEAVE into the text at their
+        # page position — Pdf sorts text boxes + table rows together by
+        # (page, top, left) of the first position before chunk() joins
+        # them (stable sort: original order breaks ties). r5: the
+        # append-after-text approximation this replaces was caught by the
+        # table fuzz A/B.
+        def _first_pos(tag: str):
+            m = re.match(
+                r"@@([0-9-]+)\t([0-9.]+)\t[0-9.]+\t([0-9.]+)\t", tag or "")
+            if not m:
+                return (1 << 30, 0.0, 0.0)
+            return (int(m.group(1).split("-")[0]), float(m.group(3)),
+                    float(m.group(2)))
+
+        items = [(_first_pos(tag), t) for t, tag in sections]
+        for t in tables:
+            if not t:
+                continue
+            m = re.search(r"@@[\t0-9.-]+?##", t)
+            items.append((_first_pos(m.group(0) if m else ""), t))
+        items.sort(key=lambda x: x[0])
+        joined = "\n".join(t for _, t in items if t)
+    else:
+        joined = "\n".join(
+            [t for t, _ in sections if t] + [t for t in tables if t]
+        )
     return _finish([joined] if joined else [], title)
 
 

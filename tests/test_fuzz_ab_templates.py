@@ -326,3 +326,71 @@ def test_fuzz_qa_csv_ab(ref_apps, seed):
     ours = [c.chunk_text for c in run_template("qa", payload, "csv",
                                                "English")]
     assert ref_chunks == ours, seed
+
+
+# ----------------------------------- positioned fuzz: columns + tables
+
+def _fuzz_two_col_pdf(seed):
+    """Two text columns per page (x=72 and x=320) — exercises column
+    detection + X-first reorder (paper) and the plain reading-order walk
+    (naive/manual) on narrow boxes."""
+    rng = random.Random(seed)
+    pages = []
+    for pn in range(rng.randint(2, 5)):
+        items = []
+        for col_x in (72, 320):
+            y = 770
+            for i in range(rng.randint(6, 16)):
+                k = rng.randint(2, 6)
+                txt = (" ".join(rng.choice(_VOCAB) for _ in range(k))
+                       .capitalize() + rng.choice([".", "!", "", ","]))
+                items.append((col_x, y, txt))
+                y -= 13
+        pages.append(items)
+    return pdf_mini.build_positioned_pdf(pages)
+
+
+def _fuzz_table_pdf(seed):
+    """Text pages with 1-2 random 3-4 column grids (captioned or not) at
+    random heights — exercises region detection, span inference, caption
+    pairing and the table-chunk tier."""
+    rng = random.Random(seed)
+    x_cols = (72, 200, 330, 460)
+    pages = []
+    for pn in range(rng.randint(2, 5)):
+        items = []
+        y = 770
+        for i in range(rng.randint(4, 10)):
+            items.append((72, y, _sentence(rng)))
+            y -= 13
+        for _ in range(rng.randint(0, 2)):
+            ncols = rng.randint(3, 4)
+            nrows = rng.randint(3, 6)
+            y -= 26
+            if rng.random() < 0.6:
+                items.append((72, y, f"Table {rng.randint(1, 9)}: "
+                              f"{rng.choice(_VOCAB)} metrics"))
+                y -= 18
+            head = [rng.choice(_VOCAB) for _ in range(ncols)]
+            rows = [[str(rng.randint(0, 9999)) for _ in range(ncols)]
+                    for _ in range(nrows - 1)]
+            for rn, row in enumerate([head] + rows):
+                for cn, cell in enumerate(row):
+                    items.append((x_cols[cn], y - 15 * rn, cell))
+            y -= 15 * nrows + 13
+        pages.append(items)
+    return pdf_mini.build_positioned_pdf(pages)
+
+
+@pytest.mark.parametrize("parser", ["naive", "paper", "manual", "book"])
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_two_col_pdf_ab(ref_apps, parser, seed):
+    _pdf_ab(ref_apps[parser], parser, _fuzz_two_col_pdf(seed * 13 + 2),
+            seed)
+
+
+@pytest.mark.parametrize("parser", ["naive", "book", "manual", "one"])
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_table_pdf_ab(ref_apps, parser, seed):
+    _pdf_ab(ref_apps[parser], parser, _fuzz_table_pdf(seed * 17 + 5),
+            seed)
