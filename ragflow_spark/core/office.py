@@ -234,11 +234,10 @@ def docx_tables_html(blob: bytes) -> list[str]:
         if el.tag != f"{_W}tbl":
             continue
         html = "<table>"
-        for tr in el.iter(f"{_W}tr"):
-            cells = [
-                "".join(t.text or "" for t in tc.iter(f"{_W}t"))
-                for tc in tr.iter(f"{_W}tc")
-            ]
+        # merged cells expand to python-docx row.cells first — adjacent
+        # expanded copies then collapse back into the colspan the
+        # reference renders (naive.py:106: row.cells before the loop)
+        for cells in _expand_docx_table(el):
             html += "<tr>"
             i = 0
             while i < len(cells):
@@ -286,38 +285,43 @@ def docx_table_grids(blob: bytes) -> list[list[list[str]]]:
     if body is None:
         return grids
     for el in body.findall(f"{_W}tbl"):
-        # python-docx's row.cells expands merged cells into every spanned
-        # grid position (gridSpan repeats horizontally, vMerge continue
-        # inherits the origin cell above) — the reference's
-        # __extract_table_content sees that expanded grid, so pairing
-        # headers with values depends on reproducing it here
-        rows: list[list[str]] = []
-        for tr in el.findall(f"{_W}tr"):
-            out: list[str] = []
-            for tc in tr.findall(f"{_W}tc"):
-                txt = "".join(t.text or "" for t in tc.iter(f"{_W}t"))
-                span, vmerge_cont = 1, False
-                tc_pr = tc.find(f"{_W}tcPr")
-                if tc_pr is not None:
-                    gs = tc_pr.find(f"{_W}gridSpan")
-                    if gs is not None:
-                        try:
-                            span = max(1, int(gs.get(f"{_W}val") or "1"))
-                        except ValueError:
-                            span = 1
-                    vm = tc_pr.find(f"{_W}vMerge")
-                    if vm is not None \
-                            and (vm.get(f"{_W}val") or "continue") != "restart":
-                        vmerge_cont = True
-                for _ in range(span):
-                    col = len(out)
-                    if vmerge_cont and rows and col < len(rows[-1]):
-                        out.append(rows[-1][col])
-                    else:
-                        out.append(txt)
-            rows.append(out)
-        grids.append(rows)
+        grids.append(_expand_docx_table(el))
     return grids
+
+
+def _expand_docx_table(el) -> list[list[str]]:
+    """python-docx's row.cells expands merged cells into every spanned
+    grid position (gridSpan repeats horizontally, vMerge continue
+    inherits the origin cell above) — the reference's table consumers
+    (__extract_table_content, naive.py:104-122 html render) see that
+    expanded grid, so both docx_table_grids and docx_tables_html must
+    reproduce it."""
+    rows: list[list[str]] = []
+    for tr in el.findall(f"{_W}tr"):
+        out: list[str] = []
+        for tc in tr.findall(f"{_W}tc"):
+            txt = "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+            span, vmerge_cont = 1, False
+            tc_pr = tc.find(f"{_W}tcPr")
+            if tc_pr is not None:
+                gs = tc_pr.find(f"{_W}gridSpan")
+                if gs is not None:
+                    try:
+                        span = max(1, int(gs.get(f"{_W}val") or "1"))
+                    except ValueError:
+                        span = 1
+                vm = tc_pr.find(f"{_W}vMerge")
+                if vm is not None \
+                        and (vm.get(f"{_W}val") or "continue") != "restart":
+                    vmerge_cont = True
+            for _ in range(span):
+                col = len(out)
+                if vmerge_cont and rows and col < len(rows[-1]):
+                    out.append(rows[-1][col])
+                else:
+                    out.append(txt)
+        rows.append(out)
+    return rows
 
 
 def compose_table_content(rows: list[list[str]]) -> list[str]:
@@ -416,11 +420,24 @@ def build_simple_docx(paragraphs: list[tuple[str, str]],
     for text, style in paragraphs:
         stag = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
         parts.append(f"<w:p>{stag}<w:r><w:t>{text}</w:t></w:r></w:p>")
+    def _tc(c) -> str:
+        # cell spec: plain str, or dict {text, grid_span, v_merge} where
+        # v_merge is "restart" | "continue" — emits real tcPr markup so
+        # merged-cell fixtures exercise the gridSpan/vMerge expansion
+        if not isinstance(c, dict):
+            return f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>"
+        pr = ""
+        if c.get("grid_span", 1) > 1:
+            pr += f'<w:gridSpan w:val="{int(c["grid_span"])}"/>'
+        if c.get("v_merge"):
+            pr += f'<w:vMerge w:val="{c["v_merge"]}"/>'
+        pr = f"<w:tcPr>{pr}</w:tcPr>" if pr else ""
+        return (f"<w:tc>{pr}<w:p><w:r><w:t>{c.get('text', '')}</w:t>"
+                "</w:r></w:p></w:tc>")
+
     for tbl in tables or []:
         rows = "".join(
-            "<w:tr>" + "".join(
-                f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>" for c in row
-            ) + "</w:tr>"
+            "<w:tr>" + "".join(_tc(c) for c in row) + "</w:tr>"
             for row in tbl
         )
         parts.append(f"<w:tbl>{rows}</w:tbl>")

@@ -77,21 +77,53 @@ class _Paragraph:
 
 
 class _Cell:
-    def __init__(self, el):
-        self.text = "\n".join(
-            "".join(t.text or "" for t in p.iter(f"{_W}t"))
-            for p in el.findall(f"{_W}p")
-        )
+    def __init__(self, text):
+        self.text = text
 
 
 class _Row:
-    def __init__(self, el):
-        self.cells = [_Cell(tc) for tc in el.findall(f"{_W}tc")]
+    def __init__(self, cells):
+        self.cells = cells
 
 
 class _DocxTable:
+    """python-docx row.cells semantics: merged cells repeat into every
+    spanned grid position — gridSpan repeats horizontally, a vMerge
+    continue cell yields the text of the cell above (the same expansion
+    ragflow_spark.core.office.docx_table_grids implements, so the A/B
+    exercises it on both sides)."""
+
     def __init__(self, el):
-        self.rows = [_Row(tr) for tr in el.findall(f"{_W}tr")]
+        self.rows = []
+        prev: list[_Cell] = []
+        for tr in el.findall(f"{_W}tr"):
+            out: list[_Cell] = []
+            for tc in tr.findall(f"{_W}tc"):
+                text = "\n".join(
+                    "".join(t.text or "" for t in p.iter(f"{_W}t"))
+                    for p in tc.findall(f"{_W}p")
+                )
+                span, vmerge_cont = 1, False
+                tc_pr = tc.find(f"{_W}tcPr")
+                if tc_pr is not None:
+                    gs = tc_pr.find(f"{_W}gridSpan")
+                    if gs is not None:
+                        try:
+                            span = max(1, int(gs.get(f"{_W}val") or "1"))
+                        except ValueError:
+                            span = 1
+                    vm = tc_pr.find(f"{_W}vMerge")
+                    if vm is not None and \
+                            (vm.get(f"{_W}val") or "continue") != "restart":
+                        vmerge_cont = True
+                for _ in range(span):
+                    col = len(out)
+                    if vmerge_cont and col < len(prev):
+                        out.append(prev[col])
+                    else:
+                        out.append(_Cell(text))
+            self.rows.append(_Row(out))
+            prev = out
 
 
 class _Part:

@@ -394,3 +394,59 @@ def test_fuzz_two_col_pdf_ab(ref_apps, parser, seed):
 def test_fuzz_table_pdf_ab(ref_apps, parser, seed):
     _pdf_ab(ref_apps[parser], parser, _fuzz_table_pdf(seed * 17 + 5),
             seed)
+
+
+# --------------------------------------------- docx fuzz (merged cells)
+
+def _fuzz_docx(seed):
+    """Heading/body mixture plus tables with REAL merged cells (gridSpan
+    header banners, vMerge first columns) — the python-docx row.cells
+    expansion (office.docx_table_grids and the refoffice facade must
+    agree cell-for-cell)."""
+    from ragflow_spark.core.office import build_simple_docx
+
+    rng = random.Random(seed)
+    paras = []
+    for ch in range(1, rng.randint(2, 5)):
+        paras.append((f"Chapter {['I', 'II', 'III', 'IV'][ch - 1]}",
+                      "Heading 1"))
+        for _ in range(rng.randint(1, 4)):
+            paras.append((_fuzz_line(rng, ch), ""))
+        if rng.random() < 0.5:
+            paras.append((f"第{ch}节 中文标题", "Heading 2"))
+            paras.append((f"中文正文内容{ch}。", ""))
+    tables = []
+    for _ in range(rng.randint(0, 2)):
+        ncols = rng.randint(2, 4)
+        tbl = []
+        if rng.random() < 0.6:
+            # banner header spanning all columns
+            tbl.append([{"text": f"Summary {seed}", "grid_span": ncols}])
+        tbl.append([rng.choice(_VOCAB) for _ in range(ncols)])
+        nrows = rng.randint(2, 5)
+        for rn in range(nrows):
+            row = []
+            for cn in range(ncols):
+                if cn == 0 and rn > 0 and rng.random() < 0.4:
+                    row.append({"text": "", "v_merge": "continue"})
+                elif cn == 0 and rng.random() < 0.3:
+                    row.append({"text": f"grp{rn}", "v_merge": "restart"})
+                else:
+                    row.append(str(rng.randint(0, 999)))
+            tbl.append(row)
+        tables.append(tbl)
+    return build_simple_docx(paras, tables)
+
+
+@pytest.mark.parametrize("parser", ["book", "one", "naive"])
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_docx_ab(ref_apps, parser, seed):
+    blob = _fuzz_docx(seed * 19 + 4)
+    mod = ref_apps[parser]
+    random.seed(seed)
+    docs = mod.chunk("f.docx", binary=blob, lang="English", callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template(parser, blob, "docx",
+                                               "English")]
+    assert ref_chunks == ours, (parser, seed)
