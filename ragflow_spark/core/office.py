@@ -177,10 +177,16 @@ def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 
 
-def parse_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
+def parse_docx(blob: bytes, keep_empty: bool = False
+               ) -> tuple[list[tuple[str, str]], list[str]]:
     """DOCX scan (deepdoc/parser/docx_parser.py:113-136): paragraphs become
     ``(text, style_name)`` sections; tables render to ``header：value; …``
-    row lines (the reference's __compose_table natural-language form)."""
+    row lines (the reference's __compose_table natural-language form).
+
+    ``keep_empty=True`` keeps whitespace-only paragraphs — python-docx's
+    ``doc.paragraphs`` includes them, and walks that accumulate answer
+    text per paragraph (manual.py:112-121) append a bare newline for
+    each, which the emitted chunks retain."""
     zf = zipfile.ZipFile(BytesIO(blob))
     root = ET.fromstring(zf.read("word/document.xml"))
     body = root.find(f"{_W}body")
@@ -195,7 +201,7 @@ def parse_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
             ps = el.find(f"{_W}pPr/{_W}pStyle")
             if ps is not None:
                 style = ps.attrib.get(f"{_W}val", "")
-            if text.strip():
+            if keep_empty or text.strip():
                 sections.append((text, style))
         elif el.tag == f"{_W}tbl":
             rows = []

@@ -205,16 +205,24 @@ def qa_pairs_from_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
     qa template emits first)."""
     from ragflow_spark.core import office
 
-    secs, _row_tables = office.parse_docx(blob)
+    # keep_empty: the reference walks every doc.paragraphs entry — an
+    # empty paragraph appends a bare "\n" to last_answer (qa.py:199-203;
+    # p.text.strip() gates the level check, so empties are never
+    # questions), and both sides of the walk use the 　-normalized
+    # STRIPPED p_text that docx_question_level returns
+    secs, _row_tables = office.parse_docx(blob, keep_empty=True)
     out: list[tuple[str, str]] = []
     last_answer = ""
     question_stack: list[str] = []
     level_stack: list[int] = []
     for text, style in secs:
-        m = _HEADING_RE.match(style or "")
-        level = int(m.group(1)) if m else 0
+        level, p_text = 0, ""
+        if text.strip():
+            p_text = re.sub(r"　", " ", text).strip()
+            m = _HEADING_RE.match(style or "")
+            level = int(m.group(1)) if m else 0
         if not level or level > 6:
-            last_answer = f"{last_answer}\n{text}"
+            last_answer = f"{last_answer}\n{p_text}"
             continue
         if last_answer:
             sum_question = "\n".join(question_stack)
@@ -224,7 +232,7 @@ def qa_pairs_from_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
         while question_stack and level <= level_stack[-1]:
             question_stack.pop()
             level_stack.pop()
-        question_stack.append(text)
+        question_stack.append(p_text)
         level_stack.append(level)
     if last_answer:
         sum_question = "\n".join(question_stack)

@@ -737,19 +737,25 @@ def _manual_docx(blob: bytes, lang: str) -> list[ChunkOut]:
     accumulated answer into one chunk; tables (colspan HTML) come first."""
     from ragflow_spark.core import office
 
-    secs, _rows = office.parse_docx(blob)
+    # keep_empty: the reference walks doc.paragraphs — every empty
+    # paragraph appends a bare "\n" to last_answer (manual.py:112-121,
+    # question_level stays 0 because p.text.strip() gates the level
+    # check), and both flushes test last_answer truthiness, not strip
+    secs, _rows = office.parse_docx(blob, keep_empty=True)
     ti_list: list[str] = []
     question_stack: list[str] = []
     level_stack: list[int] = []
     last_answer = ""
     for text, style in secs:
-        txt_clean = re.sub(r"　", " ", text).strip()
-        m = _HEADING_RE.match(style or "")
-        level = int(m.group(1)) if m else 0
+        level, p_text = 0, ""
+        if text.strip():
+            p_text = re.sub(r"　", " ", text).strip()
+            m = _HEADING_RE.match(style or "")
+            level = int(m.group(1)) if m else 0
         if not level or level > 6:  # not a question
-            last_answer = f"{last_answer}\n{txt_clean}"
+            last_answer = f"{last_answer}\n{p_text}"
             continue
-        if last_answer.strip():
+        if last_answer:
             sum_question = "\n".join(question_stack)
             if sum_question:
                 ti_list.append(f"{sum_question}\n{last_answer}")
@@ -757,9 +763,9 @@ def _manual_docx(blob: bytes, lang: str) -> list[ChunkOut]:
         while question_stack and level <= level_stack[-1]:
             question_stack.pop()
             level_stack.pop()
-        question_stack.append(txt_clean)
+        question_stack.append(p_text)
         level_stack.append(level)
-    if last_answer.strip():
+    if last_answer:
         sum_question = "\n".join(question_stack)
         if sum_question:
             ti_list.append(f"{sum_question}\n{last_answer}")

@@ -412,6 +412,11 @@ def _fuzz_docx(seed):
                       "Heading 1"))
         for _ in range(rng.randint(1, 4)):
             paras.append((_fuzz_line(rng, ch), ""))
+            if rng.random() < 0.3:
+                # empty / whitespace-only paragraphs: python-docx walks
+                # them (manual's answer accumulator appends a bare \n per
+                # empty paragraph; naive/book-style parsers skip them)
+                paras.append((rng.choice(["", " ", "　"]), ""))
         if rng.random() < 0.5:
             paras.append((f"第{ch}节 中文标题", "Heading 2"))
             paras.append((f"中文正文内容{ch}。", ""))
@@ -438,7 +443,8 @@ def _fuzz_docx(seed):
     return build_simple_docx(paras, tables)
 
 
-@pytest.mark.parametrize("parser", ["book", "one", "naive"])
+@pytest.mark.parametrize("parser", ["book", "one", "naive", "laws",
+                                    "manual"])
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_docx_ab(ref_apps, parser, seed):
     blob = _fuzz_docx(seed * 19 + 4)
@@ -450,3 +456,133 @@ def test_fuzz_docx_ab(ref_apps, parser, seed):
     ours = [c.chunk_text for c in run_template(parser, blob, "docx",
                                                "English")]
     assert ref_chunks == ours, (parser, seed)
+
+
+# --------------------------------------------------------- qa docx fuzz
+
+def _fuzz_qa_docx(seed):
+    """Nested Heading question stacks with empty-paragraph noise and
+    tables (the qa docx path emits table chunks first, then the joined
+    question-path/answer pairs — qa.py:189-248)."""
+    from ragflow_spark.core.office import build_simple_docx
+
+    rng = random.Random(seed)
+    paras = []
+    if rng.random() < 0.4:
+        paras.append((_fuzz_line(rng, 0), ""))  # preamble before any question
+    for q in range(rng.randint(2, 5)):
+        paras.append((f"What is topic {q}?", "Heading 1"))
+        for _ in range(rng.randint(0, 3)):
+            paras.append((_fuzz_line(rng, q), ""))
+            if rng.random() < 0.3:
+                paras.append(("", ""))
+        if rng.random() < 0.5:
+            paras.append((f"Sub-question {q}a?", "Heading 2"))
+            paras.append((f"Sub answer {q}a with more words.", ""))
+            if rng.random() < 0.4:
+                paras.append((f"Deeper {q}b?", "Heading 3"))
+                paras.append((f"Deep answer {q}b.", ""))
+    tables = []
+    if rng.random() < 0.5:
+        tables.append([["k", "v"],
+                       [str(rng.randint(0, 99)), rng.choice(_VOCAB)]])
+    return build_simple_docx(paras, tables)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_qa_docx_ab(ref_apps, seed):
+    blob = _fuzz_qa_docx(seed * 23 + 7)
+    random.seed(seed)
+    docs = ref_apps["qa"].chunk("q.docx", binary=blob, lang="English",
+                                callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("qa", blob, "docx",
+                                               "English")]
+    assert ref_chunks == ours, seed
+
+
+# ------------------------------------------------------------ xlsx fuzz
+
+def _fuzz_xlsx(seed):
+    """Multi-sheet workbooks with ragged rows, skipped (None) cells,
+    numeric/int/float mixtures, empty strings and CJK — the cell walks
+    and per-sheet html renders must agree with the reference's openpyxl
+    view (refoffice facade) cell-for-cell."""
+    from ragflow_spark.core.office import build_simple_xlsx
+
+    rng = random.Random(seed)
+    sheets = {}
+    for si in range(rng.randint(1, 3)):
+        ncols = rng.randint(2, 5)
+        rows = [[f"col{c}" for c in range(ncols)]]
+        for ri in range(rng.randint(1, 20)):
+            row = []
+            for c in range(ncols):
+                form = rng.randint(0, 6)
+                if form == 0:
+                    row.append(None)          # skipped cell → ragged row
+                elif form == 1:
+                    row.append(rng.randint(-5, 500))
+                elif form == 2:
+                    row.append(round(rng.uniform(0, 99), 2))
+                elif form == 3:
+                    row.append("")
+                elif form == 4:
+                    row.append(f"中文{ri}-{c}")
+                else:
+                    row.append(rng.choice(_VOCAB))
+            # occasionally truncate the row short of the header width
+            row = row[:rng.randint(1, ncols)]
+            rows.append(row)
+        sheets[f"sheet{si}" if si else "data"] = rows
+    return build_simple_xlsx(sheets)
+
+
+@pytest.mark.parametrize("parser", ["naive", "one"])
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_xlsx_ab(ref_apps, parser, seed):
+    blob = _fuzz_xlsx(seed * 29 + 11)
+    mod = ref_apps[parser]
+    random.seed(seed)
+    docs = mod.chunk("f.xlsx", binary=blob, lang="English", callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template(parser, blob, "xlsx",
+                                               "English")]
+    assert ref_chunks == ours, (parser, seed)
+
+
+def _fuzz_qa_xlsx(seed):
+    """qa xlsx: column 0 = question, column 1 = answer, adversarial blanks
+    and numeric questions sprinkled in (qa.py:30-70 Excel.__call__ skips
+    rows missing either side)."""
+    from ragflow_spark.core.office import build_simple_xlsx
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(3, 15)):
+        form = rng.randint(0, 5)
+        if form == 0:
+            rows.append([f"Question {i}?"])          # no answer → skipped
+        elif form == 1:
+            rows.append(["", f"orphan answer {i}"])  # no question → skipped
+        elif form == 2:
+            rows.append([rng.randint(0, 99), f"numeric question answer {i}"])
+        else:
+            rows.append([f"Q{i} {rng.choice(_VOCAB)}?",
+                         f"A{i} {_sentence(rng)}"])
+    return build_simple_xlsx({"qa": rows})
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_qa_xlsx_ab(ref_apps, seed):
+    blob = _fuzz_qa_xlsx(seed * 31 + 13)
+    random.seed(seed)
+    docs = ref_apps["qa"].chunk("q.xlsx", binary=blob, lang="English",
+                                callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("qa", blob, "xlsx",
+                                               "English")]
+    assert ref_chunks == ours, seed
