@@ -136,11 +136,74 @@ def xlsx_to_html_chunks(blob: bytes, chunk_rows: int = 256) -> list[str]:
 # ------------------------------------------------------------------- pptx
 
 
+def _pptx_off(el) -> tuple[int, int]:
+    """(top, left) from the first a:off under el; 0,0 when absent (python-
+    pptx returns None and the reference's sort key coerces top to 0)."""
+    off = el.find(f".//{_PPTX_A}off")
+    if off is None:
+        return 0, 0
+    return (int(off.attrib.get("y", 0)), int(off.attrib.get("x", 0)))
+
+
+def _pptx_text(body) -> str:
+    """python-pptx text_frame.text: paragraphs joined by newline, run
+    texts concatenated — EMPTY paragraphs contribute empty lines."""
+    paras = []
+    for p in body.findall(f"{_PPTX_A}p"):
+        paras.append("".join(t.text or "" for t in p.iter(f"{_PPTX_A}t")))
+    return "\n".join(paras)
+
+
+def _pptx_extract(el) -> str | None:
+    """RAGFlowPptParser.__extract (ppt_parser.py:20-39): tables render as
+    'header: value; …' per body row, groups recurse over their children in
+    (top//10, left) order, text frames yield text_frame.text verbatim."""
+    if el.tag == f"{_PPTX_P}graphicFrame":
+        tbl = el.find(f".//{_PPTX_A}tbl")
+        if tbl is None:
+            return None
+        trs = tbl.findall(f"{_PPTX_A}tr")
+        ncols = len(tbl.findall(f"{_PPTX_A}tblGrid/{_PPTX_A}gridCol"))
+        grid = [
+            [_pptx_text(tc.find(f"{_PPTX_A}txBody"))
+             if tc.find(f"{_PPTX_A}txBody") is not None else ""
+             for tc in tr.findall(f"{_PPTX_A}tc")]
+            for tr in trs
+        ]
+        rows = []
+        for i in range(1, len(grid)):
+            rows.append("; ".join(
+                f"{grid[0][j]}: {grid[i][j]}" for j in range(ncols)
+            ))
+        return "\n".join(rows)
+    if el.tag == f"{_PPTX_P}grpSp":
+        kids = [
+            (c, _pptx_off(c)) for c in el
+            if c.tag in (f"{_PPTX_P}sp", f"{_PPTX_P}graphicFrame",
+                         f"{_PPTX_P}grpSp")
+        ]
+        kids.sort(key=lambda k: (k[1][0] // 10, k[1][1]))
+        texts = []
+        for c, _ in kids:
+            t = _pptx_extract(c)
+            if t:
+                texts.append(t)
+        return "\n".join(texts)
+    if el.tag == f"{_PPTX_P}sp":
+        body = el.find(f"{_PPTX_P}txBody")
+        if body is None:
+            return None
+        return _pptx_text(body)
+    return None
+
+
 def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
                ) -> list[str]:
     """Mirror of RAGFlowPptParser.__call__ (ppt_parser.py:41-62): one text
-    string per slide, shapes in (top//10, left) order, paragraph text runs
-    joined."""
+    string per slide; TOP-LEVEL shapes (slide.shapes walks the spTree
+    children only — shapes inside a group sort within the group, not
+    globally) in (top//10, left) order; tables and groups via
+    :func:`_pptx_extract`."""
     zf = zipfile.ZipFile(BytesIO(blob))
     slide_files = sorted(
         (n for n in zf.namelist()
@@ -154,17 +217,14 @@ def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
         if i >= to_page:
             break
         root = ET.fromstring(zf.read(path))
+        tree = root.find(f"{_PPTX_P}cSld/{_PPTX_P}spTree")
         shapes = []
-        for sp in root.iter(f"{_PPTX_P}sp"):
-            off = sp.find(f".//{_PPTX_A}off")
-            top = int(off.attrib.get("y", 0)) if off is not None else 0
-            left = int(off.attrib.get("x", 0)) if off is not None else 0
-            paras = []
-            for p in sp.iter(f"{_PPTX_A}p"):
-                runs = [t.text or "" for t in p.iter(f"{_PPTX_A}t")]
-                if runs:
-                    paras.append("".join(runs))
-            text = "\n".join(paras)
+        for el in (tree if tree is not None else root.iter()):
+            if el.tag not in (f"{_PPTX_P}sp", f"{_PPTX_P}graphicFrame",
+                              f"{_PPTX_P}grpSp"):
+                continue
+            top, left = _pptx_off(el)
+            text = _pptx_extract(el)
             if text:
                 shapes.append((top // 10, left, text))
         shapes.sort(key=lambda s: (s[0], s[1]))
@@ -508,27 +568,61 @@ def build_simple_xlsx(sheets: dict[str, list[list]]) -> bytes:
     return buf.getvalue()
 
 
-def build_simple_pptx(slides: list[list[str]]) -> bytes:
-    """Deterministic minimal PPTX writer (one text shape per string)."""
+def build_simple_pptx(slides: list[list]) -> bytes:
+    """Deterministic minimal PPTX writer. Each slide is a list of shape
+    specs: a plain ``str`` (text shape at stacked offsets), or a dict —
+    ``{"text": str|list[str], "top": int, "left": int}`` (list = one
+    paragraph per entry, empty strings allowed), ``{"table": grid, ...}``
+    (row 0 = header), or ``{"group": [specs], ...}``."""
     buf = BytesIO()
     a = "http://schemas.openxmlformats.org/drawingml/2006/main"
     p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+    def _body(text, ns: str = "p") -> str:
+        # shape text bodies are p:txBody; DrawingML table cells use a:txBody
+        paras = text if isinstance(text, list) else [text]
+        return f"<{ns}:txBody>" + "".join(
+            f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" if t else "<a:p/>"
+            for t in paras
+        ) + f"</{ns}:txBody>"
+
+    def _shape(spec, j) -> str:
+        if not isinstance(spec, dict):
+            spec = {"text": spec}
+        top = spec.get("top", j * 1000)
+        left = spec.get("left", j * 100)
+        xfrm = f'<a:xfrm><a:off x="{left}" y="{top}"/></a:xfrm>'
+        if "table" in spec:
+            grid = spec["table"]
+            ncols = max(len(r) for r in grid) if grid else 0
+            cols = "".join('<a:gridCol w="914400"/>' for _ in range(ncols))
+            trs = "".join(
+                '<a:tr h="370840">' + "".join(
+                    f"<a:tc>{_body(c, 'a')}</a:tc>" for c in row
+                ) + "</a:tr>"
+                for row in grid
+            )
+            return (f'<p:graphicFrame><p:xfrm><a:off x="{left}" y="{top}"/>'
+                    "</p:xfrm><a:graphic><a:graphicData>"
+                    f"<a:tbl><a:tblGrid>{cols}</a:tblGrid>{trs}</a:tbl>"
+                    "</a:graphicData></a:graphic></p:graphicFrame>")
+        if "group" in spec:
+            kids = "".join(_shape(s, k) for k, s in enumerate(spec["group"]))
+            return (f"<p:grpSp><p:grpSpPr>{xfrm}</p:grpSpPr>{kids}"
+                    "</p:grpSp>")
+        return f"<p:sp><p:spPr>{xfrm}</p:spPr>{_body(spec['text'])}</p:sp>"
+
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr(
             "[Content_Types].xml",
             '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
             '<Default Extension="xml" ContentType="application/xml"/></Types>',
         )
-        for i, texts in enumerate(slides, start=1):
-            shapes = []
-            for j, text in enumerate(texts):
-                shapes.append(
-                    f'<p:sp><p:spPr><a:xfrm><a:off x="{j * 100}" y="{j * 1000}"/></a:xfrm></p:spPr>'
-                    f"<p:txBody><a:p><a:r><a:t>{text}</a:t></a:r></a:p></p:txBody></p:sp>"
-                )
+        for i, specs in enumerate(slides, start=1):
+            shapes = "".join(_shape(s, j) for j, s in enumerate(specs))
             zf.writestr(
                 f"ppt/slides/slide{i}.xml",
                 f'<?xml version="1.0"?><p:sld xmlns:p="{p}" xmlns:a="{a}">'
-                f"<p:cSld><p:spTree>{''.join(shapes)}</p:spTree></p:cSld></p:sld>",
+                f"<p:cSld><p:spTree>{shapes}</p:spTree></p:cSld></p:sld>",
             )
     return buf.getvalue()

@@ -188,13 +188,61 @@ class _TextFrame:
         self.text = text
 
 
-class _Shape:
-    shape_type = 17  # MSO_SHAPE_TYPE.TEXT_BOX
+def _ppt_off(el):
+    off = el.find(f".//{_A}off")
+    if off is None:
+        return 0, 0
+    return (int(off.attrib.get("y", 0)), int(off.attrib.get("x", 0)))
 
-    def __init__(self, top, left, text):
-        self.top, self.left = top, left
-        self.has_text_frame = True
-        self.text_frame = _TextFrame(text)
+
+def _ppt_body_text(body):
+    # python-pptx text_frame.text: "\n".join over ALL paragraphs (empty
+    # paragraphs contribute empty lines), runs concatenated
+    return "\n".join(
+        "".join(t.text or "" for t in p.iter(f"{_A}t"))
+        for p in body.findall(f"{_A}p")
+    )
+
+
+class _Shape:
+    """python-pptx shape facade: TEXT_BOX (17) with .text_frame, TABLE
+    (19) with .table.rows/.columns/.cell(i,j), GROUP (6) with .shapes —
+    the three branches ppt_parser.py:20-39 dispatches on."""
+
+    def __init__(self, el):
+        self.top, self.left = _ppt_off(el)
+        self.has_text_frame = False
+        if el.tag == f"{_P}grpSp":
+            self.shape_type = 6
+            self.shapes = [
+                _Shape(c) for c in el
+                if c.tag in (f"{_P}sp", f"{_P}graphicFrame", f"{_P}grpSp")
+            ]
+        elif el.tag == f"{_P}graphicFrame":
+            self.shape_type = 19
+            self.table = _PptTable(el.find(f".//{_A}tbl"))
+        else:
+            self.shape_type = 17
+            body = el.find(f"{_P}txBody")
+            if body is not None:
+                self.has_text_frame = True
+                self.text_frame = _TextFrame(_ppt_body_text(body))
+
+
+class _PptTable:
+    def __init__(self, tbl):
+        self.columns = (tbl.findall(f"{_A}tblGrid/{_A}gridCol")
+                        if tbl is not None else [])
+        self._grid = [
+            [_TextFrame(_ppt_body_text(tc.find(f"{_A}txBody"))
+                        if tc.find(f"{_A}txBody") is not None else "")
+             for tc in tr.findall(f"{_A}tc")]
+            for tr in (tbl.findall(f"{_A}tr") if tbl is not None else [])
+        ]
+        self.rows = self._grid
+
+    def cell(self, i, j):
+        return self._grid[i][j]
 
 
 class _Slide:
@@ -214,17 +262,11 @@ class Presentation:
         self.slides = []
         for path in slide_files:
             root = ET.fromstring(zf.read(path))
-            shapes = []
-            for sp in root.iter(f"{_P}sp"):
-                off = sp.find(f".//{_A}off")
-                top = int(off.attrib.get("y", 0)) if off is not None else 0
-                left = int(off.attrib.get("x", 0)) if off is not None else 0
-                paras = []
-                for p in sp.iter(f"{_A}p"):
-                    runs = [t.text or "" for t in p.iter(f"{_A}t")]
-                    if runs:
-                        paras.append("".join(runs))
-                shapes.append(_Shape(top, left, "\n".join(paras)))
+            tree = root.find(f"{_P}cSld/{_P}spTree")
+            shapes = [
+                _Shape(el) for el in (tree if tree is not None else [])
+                if el.tag in (f"{_P}sp", f"{_P}graphicFrame", f"{_P}grpSp")
+            ]
             self.slides.append(_Slide(shapes))
 
 

@@ -586,3 +586,128 @@ def test_fuzz_qa_xlsx_ab(ref_apps, seed):
     ours = [c.chunk_text for c in run_template("qa", blob, "xlsx",
                                                "English")]
     assert ref_chunks == ours, seed
+
+
+# ------------------------------------------------------------ email fuzz
+
+def _fuzz_eml(seed):
+    """Well-formed MIME mixtures: plain, alternative (text+html), mixed
+    with txt/docx attachments, CJK payloads with explicit charsets. The
+    reference email path (email.py:25-105) feeds headers + text/plain
+    through the txt parser, text/html through the (shared-stand-in) HTML
+    parser, then naive-merges; attachments recurse into naive."""
+    from email.mime.application import MIMEApplication
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    from ragflow_spark.core.office import build_simple_docx
+
+    rng = random.Random(seed)
+    body_lines = [_sentence(rng) for _ in range(rng.randint(2, 8))]
+    if rng.random() < 0.5:
+        body_lines.append(f"中文段落{seed}，带标点。")
+    plain = MIMEText("\n".join(body_lines), "plain", "utf-8")
+    form = rng.randint(0, 2)
+    if form == 0:
+        msg = plain
+    else:
+        html = MIMEText(
+            "<html><body><article>"
+            + "".join(f"<p>{_sentence(rng)} paragraph body {i}</p>"
+                      for i in range(rng.randint(2, 6)))
+            + "</article></body></html>", "html", "utf-8")
+        alt = MIMEMultipart("alternative")
+        alt.attach(plain)
+        alt.attach(html)
+        if form == 1:
+            msg = alt
+        else:
+            msg = MIMEMultipart("mixed")
+            msg.attach(alt)
+            att_form = rng.randint(0, 1)
+            if att_form == 0:
+                att = MIMEText("\n".join(
+                    _sentence(rng) for _ in range(rng.randint(2, 6))),
+                    "plain", "utf-8")
+                att.add_header("Content-Disposition", "attachment",
+                               filename=f"notes{seed}.txt")
+            else:
+                blob = build_simple_docx(
+                    [("Attached Doc", "Heading 1"),
+                     (_sentence(rng), "")], [])
+                att = MIMEApplication(blob)
+                att.add_header("Content-Disposition", "attachment",
+                               filename=f"doc{seed}.docx")
+            msg.attach(att)
+    msg["Subject"] = f"Fuzz subject {seed} {rng.choice(_VOCAB)}"
+    msg["From"] = f"sender{seed}@example.com"
+    msg["To"] = "dest@example.com"
+    return msg.as_bytes()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_email_ab(ref_apps, seed):
+    refstubs.install_reference_stubs()
+    import rag.app.email as ref_email
+
+    blob = _fuzz_eml(seed * 37 + 17)
+    random.seed(seed)
+    docs = ref_email.chunk("m.eml", binary=blob, lang="English",
+                           callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("email", blob, "eml",
+                                               "English")]
+    assert ref_chunks == ours, seed
+
+
+# ------------------------------------------------------------- pptx fuzz
+
+def _fuzz_pptx(seed):
+    """Slides mixing text boxes (with empty-paragraph runs), DrawingML
+    tables (header: value render, ppt_parser.py:21-28), nested groups
+    (recursive child sort), and shuffled (top//10, left) orders."""
+    from ragflow_spark.core.office import build_simple_pptx
+
+    rng = random.Random(seed)
+    slides = []
+    for sn in range(rng.randint(2, 5)):
+        shapes = []
+        tops = rng.sample(range(0, 40000, 700), 8)
+        for j in range(rng.randint(1, 5)):
+            form = rng.randint(0, 3)
+            top, left = tops[j], rng.randint(0, 5000)
+            if form == 0:
+                shapes.append({"text": _fuzz_line(rng, sn * 7 + j) or "t",
+                               "top": top, "left": left})
+            elif form == 1:
+                paras = [_sentence(rng) if rng.random() < 0.7 else ""
+                         for _ in range(rng.randint(1, 4))]
+                shapes.append({"text": paras, "top": top, "left": left})
+            elif form == 2:
+                ncols = rng.randint(2, 3)
+                grid = [[f"h{c}" for c in range(ncols)]]
+                for r in range(rng.randint(1, 3)):
+                    grid.append([rng.choice(_VOCAB) for _ in range(ncols)])
+                shapes.append({"table": grid, "top": top, "left": left})
+            else:
+                kids = [{"text": _sentence(rng),
+                         "top": rng.randint(0, 3000),
+                         "left": rng.randint(0, 500)}
+                        for _ in range(rng.randint(1, 3))]
+                shapes.append({"group": kids, "top": top, "left": left})
+        slides.append(shapes)
+    return build_simple_pptx(slides)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_pptx_ab(ref_apps, seed):
+    blob = _fuzz_pptx(seed * 41 + 19)
+    random.seed(seed)
+    docs = ref_apps["presentation"].chunk(
+        "p.pptx", binary=blob, lang="English", callback=_noop)
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("presentation", blob,
+                                               "pptx", "English")]
+    assert ref_chunks == ours, seed
