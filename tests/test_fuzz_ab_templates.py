@@ -223,6 +223,18 @@ def _fuzz_markdown(seed):
             out.append(f"- list item {i}\n- second {i}")
         elif form == 4:
             out.append("")
+        elif form == 5:
+            # adversarial tables: ragged rows, alignment colons, escaped
+            # pipes, headerless, no body — all probed MATCH vs reference
+            out.append(rng.choice([
+                f"| a{i} | b | c |\n|---|---|---|\n| 1 | 2 |\n"
+                f"| 1 | 2 | 3 | 4 |",
+                f"| a{i} | b |\n|:---|---:|\n| l | r |\n| x | y |",
+                f"| a{i} | b |\n|---|---|",
+                f"| a{i} | b |\n|---|---|\n| x\\|y | z |",
+                f"| {i} | {i + 1} |\n| {i + 2} | {i + 3} |",
+                f"|  a{i}  |b|\n| --- |---|\n|1 | 2|",
+            ]))
         else:
             out.append(_sentence(rng) + " 中文内容" + str(i) + "。")
     return "\n\n".join(out)
@@ -710,4 +722,38 @@ def test_fuzz_pptx_ab(ref_apps, seed):
     random.seed(seed)
     ours = [c.chunk_text for c in run_template("presentation", blob,
                                                "pptx", "English")]
+    assert ref_chunks == ours, seed
+
+
+# ------------------------------------------------- table template fuzz
+
+_TABLE_VALS = [
+    "42", "-3", "1.5", "99%%", "+7.25", "yes", "no", "是", "否", "✓", "×",
+    "TRUE", "2021-04-05", "2020/01/02", "Jan 3, 2019", "05.06.2021",
+    "plain text", "中文值", "", "3.0", "0.1e2", "1,000",
+]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_table_csv_ab(ref_apps, seed):
+    """Column-type vote (table.py:35-71: int/float/bool/datetime/text
+    majority with %%-stripping and multilingual bool symbols) over mixed
+    adversarial columns — every cell class the vote dispatches on."""
+    from test_reference_ab_office import _ref_table
+
+    ref_table = _ref_table()
+    rng = random.Random(seed * 43 + 23)
+    ncols = rng.randint(2, 5)
+    lines = ["\t".join(f"col {c} name" for c in range(ncols))]
+    for _ in range(rng.randint(3, 12)):
+        lines.append("\t".join(rng.choice(_TABLE_VALS)
+                               for _ in range(ncols)))
+    csv = "\n".join(lines) + ("\n" if rng.random() < 0.5 else "")
+    random.seed(seed)
+    docs = ref_table.chunk("t.csv", binary=csv.encode(), lang="English",
+                           callback=_noop, kb_id="kb1")
+    ref_chunks = [c["content_with_weight"] for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template("table", csv.encode(),
+                                               "csv", "English")]
     assert ref_chunks == ours, seed
