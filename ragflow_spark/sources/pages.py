@@ -171,12 +171,22 @@ def _docx_doc(rng: random.Random, sents: list[str]) -> bytes:
         if i % 6 == 0:
             paras.append((f"Article {i // 6 + 1}", "Heading 1"))
         paras.append((s, ""))
+        if rng.random() < 0.15:
+            # empty paragraph: python-docx walks these (answer-accumulator
+            # templates append a bare newline per empty paragraph)
+            paras.append(("", ""))
     tables = []
     if rng.random() < 0.5:
-        tables.append(
-            [["metric", "value"]]
-            + [[f"m{i}", str(rng.randint(0, 99))] for i in range(rng.randint(2, 5))]
-        )
+        grid: list[list] = [["metric", "value"]]
+        for i in range(rng.randint(2, 5)):
+            grid.append([f"m{i}", str(rng.randint(0, 99))])
+        if rng.random() < 0.4:
+            # real merged cells: banner row spanning both columns +
+            # vMerge continuation in the first body column
+            grid.insert(0, [{"text": "summary", "grid_span": 2}])
+            if len(grid) > 3:
+                grid[3] = [{"text": "", "v_merge": "continue"}, grid[3][1]]
+        tables.append(grid)
     return build_simple_docx(paras, tables)
 
 
@@ -200,7 +210,26 @@ def _pptx_doc(rng: random.Random, sents: list[str]) -> bytes:
             slide = []
     if slide:
         slides.append(slide)
-    return build_simple_pptx(slides or [[""]])
+    slides = slides or [[""]]
+    # a minority of slides carry the non-text shapes the reference's
+    # __extract dispatches on: DrawingML tables ('header: value; …'
+    # rows), nested groups (child re-sort), empty-paragraph text bodies
+    for sl in slides:
+        r = rng.random()
+        if r < 0.2:
+            sl.append({"table": [["k", "v"],
+                                 ["size", str(rng.randint(1, 99))],
+                                 ["kind", "deck"]],
+                       "top": 50000})
+        elif r < 0.35:
+            sl.append({"group": [
+                {"text": "grouped note B", "top": 900, "left": 10},
+                {"text": "grouped note A", "top": 100, "left": 10},
+            ], "top": 60000})
+        elif r < 0.45 and sl:
+            sl[0] = {"text": [str(sl[0]), "", "after the blank line"],
+                     "top": 0, "left": 0}
+    return build_simple_pptx(slides)
 
 
 def _pdf_doc(rng: random.Random, sents: list[str]) -> bytes:
