@@ -192,17 +192,40 @@ def _dir_entry(name: str, etype: int, start: int, size: int,
     return bytes(e)
 
 
-def build_simple_doc(paragraphs: list[str], compressed: bool = False) -> bytes:
-    """Minimal spec-conformant .doc: one text piece, UTF-16 by default or
+def build_simple_doc(paragraphs: list[str] | None = None,
+                     compressed: bool = False,
+                     pieces: list[tuple[str, bool]] | None = None,
+                     mini_table: bool = False) -> bytes:
+    """Minimal spec-conformant .doc. Default: one text piece, UTF-16, or
     CP1252 'compressed' (PCD.fc bit 30 + halved offset semantics) when
-    ``compressed=True``. Streams are padded past the 4096-byte mini cutoff
-    so the fixture exercises the regular FAT path (the reader handles mini
-    streams for real-world files)."""
-    text = "\r".join(paragraphs)
-    utf16 = text.encode("cp1252") if compressed else text.encode("utf-16-le")
-    # MS-DOC CPs count UTF-16 CODE UNITS (a non-BMP char is two), not
-    # Python characters — the reader's 2*n_chars byte read depends on it
-    n_chars = len(utf16) if compressed else len(utf16) // 2
+    ``compressed=True``.
+
+    ``pieces=[(text, compressed), …]`` writes a MULTI-PIECE Pcdt — the
+    shape Word fast-saves produce, with mixed CP1252/UTF-16 pieces and
+    cumulative CPs counted in UTF-16 code units.
+
+    ``mini_table=True`` stores the (small) Table stream in the CFB mini
+    stream: mini-FAT chain of 64-byte sectors inside the root entry's
+    container — the path real sub-4096-byte streams take. Default pads
+    every stream past the cutoff onto the regular FAT path."""
+    if pieces is None:
+        pieces = [("\r".join(paragraphs or []), compressed)]
+
+    payloads: list[bytes] = []
+    fc_fields: list[int] = []
+    cps: list[int] = [0]
+    fc_text = 1024
+    off = fc_text
+    for text, comp in pieces:
+        raw = text.encode("cp1252") if comp else text.encode("utf-16-le")
+        # MS-DOC CPs count UTF-16 CODE UNITS (a non-BMP char is two), not
+        # Python characters — the reader's 2*n_chars byte read depends on it
+        cps.append(cps[-1] + (len(raw) if comp else len(raw) // 2))
+        # compressed pieces carry fc = byte_offset*2 with bit 30 set
+        fc_fields.append((off * 2) | 0x40000000 if comp else off)
+        payloads.append(raw)
+        off += len(raw)
+    n_chars = cps[-1]
 
     word = bytearray(1024)
     struct.pack_into("<H", word, 0, 0xA5EC)      # wIdent
@@ -213,18 +236,17 @@ def build_simple_doc(paragraphs: list[str], compressed: bool = False) -> bytes:
     struct.pack_into("<I", word, 76, n_chars)    # ccpText
     struct.pack_into("<H", word, 152, 0x005D)    # cbRgFcLcb (Word 97)
     struct.pack_into("<I", word, 418, 0)         # fcClx
-    fc_text = 1024
 
-    # Clx: one Pcdt, one piece; compressed pieces carry fc*2 with bit 30
-    fc_field = (fc_text * 2) | 0x40000000 if compressed else fc_text
-    plc = struct.pack("<II", 0, n_chars) + struct.pack(
-        "<HIH", 0, fc_field, 0
+    plc = struct.pack(f"<{len(cps)}I", *cps) + b"".join(
+        struct.pack("<HIH", 0, fc, 0) for fc in fc_fields
     )
     clx = bytes([0x02]) + struct.pack("<I", len(plc)) + plc
     struct.pack_into("<I", word, 422, len(clx))  # lcbClx
-    word_stream = bytes(word) + utf16
+    word_stream = bytes(word) + b"".join(payloads)
 
     table_stream = clx
+    if mini_table:
+        return _build_cfb_mini_table(word_stream, table_stream)
 
     def pad_sectors(b: bytes, unit: int = 512, floor: int = 4096) -> bytes:
         size = max(len(b), floor)
@@ -284,4 +306,88 @@ def build_simple_doc(paragraphs: list[str], compressed: bool = False) -> bytes:
         + directory + b"\x00" * (512 - len(directory) % 512 if len(directory) % 512 else 0)
         + word_padded
         + table_padded
+    )
+
+
+def _build_cfb_mini_table(word_stream: bytes, table_stream: bytes) -> bytes:
+    """CFB container with the Table stream in the MINI stream: 64-byte
+    mini sectors chained through a mini FAT, the chain's bytes living in
+    the root entry's container (itself a regular-FAT chain) — the layout
+    real Word files use for every sub-4096-byte stream."""
+    if len(table_stream) >= 4096:
+        raise DocError("mini_table fixture requires table stream < 4096")
+
+    def pad(b: bytes, unit: int) -> bytes:
+        rem = len(b) % unit
+        return b + b"\x00" * (unit - rem if rem else 0)
+
+    # a CFB stream under the cutoff lives in the mini stream — size the
+    # WordDocument stream itself past 4096 (real word streams are) so
+    # only the Table stream exercises the mini path
+    word_stream = word_stream + b"\x00" * max(0, 4096 - len(word_stream))
+    word_padded = pad(word_stream, 512)
+    n_word = len(word_padded) // 512
+
+    container = pad(table_stream, 64)
+    n_mini = len(container) // 64
+    container_padded = pad(container, 512)
+    n_container = len(container_padded) // 512
+
+    # layout: [FAT][DIR][minifat][word sectors][container sectors]
+    fat_sect, dir_sect, minifat_sect = 0, 1, 2
+    word_start = 3
+    container_start = word_start + n_word
+    total = container_start + n_container
+    if total > 128:
+        raise DocError("fixture too large for one FAT sector")
+
+    fat = [FREESECT] * 128
+    fat[fat_sect] = 0xFFFFFFFD  # FATSECT
+    fat[dir_sect] = ENDOFCHAIN
+    fat[minifat_sect] = ENDOFCHAIN
+    for i in range(n_word):
+        fat[word_start + i] = word_start + i + 1
+    fat[word_start + n_word - 1] = ENDOFCHAIN
+    for i in range(n_container):
+        fat[container_start + i] = container_start + i + 1
+    fat[container_start + n_container - 1] = ENDOFCHAIN
+
+    minifat = [FREESECT] * 128
+    for i in range(n_mini):
+        minifat[i] = i + 1
+    minifat[n_mini - 1] = ENDOFCHAIN
+
+    directory = (
+        _dir_entry("Root Entry", 5, container_start, len(container),
+                   child=1)
+        + _dir_entry("WordDocument", 2, word_start, len(word_stream),
+                     right=2)
+        + _dir_entry("0Table", 2, 0, len(table_stream))  # mini chain @ 0
+        + b"\x00" * 128
+    )
+
+    header = bytearray(512)
+    header[:8] = MAGIC
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0003)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)        # 512-byte sectors
+    struct.pack_into("<H", header, 32, 6)        # 64-byte mini sectors
+    struct.pack_into("<I", header, 44, 1)        # one FAT sector
+    struct.pack_into("<I", header, 48, dir_sect)
+    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
+    struct.pack_into("<I", header, 60, minifat_sect)
+    struct.pack_into("<I", header, 64, 1)        # one mini-FAT sector
+    struct.pack_into("<I", header, 68, ENDOFCHAIN)
+    struct.pack_into("<I", header, 72, 0)
+    difat = [fat_sect] + [FREESECT] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+
+    return (
+        bytes(header)
+        + struct.pack("<128I", *fat)
+        + directory + b"\x00" * (512 - len(directory) % 512 if len(directory) % 512 else 0)
+        + struct.pack("<128I", *minifat)
+        + word_padded
+        + container_padded
     )

@@ -2,6 +2,8 @@
 round-tripped against the from-scratch writer, plus the naive-template
 and Spark-pipeline integration."""
 
+import random
+
 import pytest
 
 from ragflow_spark.core.doc_legacy import (
@@ -67,3 +69,46 @@ def test_doc_through_spark_pipeline(spark):
     out = extract_chunks(pages, num_partitions=2).collect()
     assert all(r.error is None for r in out)
     assert any("legacy document body" in r.chunk_text for r in out)
+
+
+# ------------------------------------------- multi-piece / mini-FAT fuzz
+
+_CP1252_WORDS = ["plain ascii text", "café résumé", "naïve Zürich",
+                 "quote » dash – bullet •", "100 µm ©2024"]
+_UTF16_WORDS = ["中文段落内容", "mixed 中英 text", "emoji 🎉 non-bmp 𝄞",
+                "русский текст", "plain too"]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_multipiece_roundtrip(seed):
+    """Fast-save-shaped piece tables: mixed CP1252/UTF-16 pieces with
+    non-BMP chars (CPs count UTF-16 code units) must reassemble in CP
+    order regardless of piece encoding."""
+    rng = random.Random(seed * 47 + 29)
+    pieces, expect = [], []
+    for i in range(rng.randint(2, 6)):
+        comp = rng.random() < 0.5
+        words = _CP1252_WORDS if comp else _UTF16_WORDS
+        txt = f"p{i} " + rng.choice(words)
+        sep = "\r" if rng.random() < 0.7 else " "
+        pieces.append((txt + sep, comp))
+        expect.append(txt + ("\n" if sep == "\r" else " "))
+    blob = build_simple_doc(pieces=pieces)
+    assert extract_doc_text(blob) == "".join(expect)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mini_table_roundtrip(seed):
+    """Table stream routed through the CFB mini FAT (64-byte sectors in
+    the root container) — the layout every real sub-4096-byte stream
+    uses; combined with multi-piece tables."""
+    rng = random.Random(seed * 53 + 31)
+    pieces = []
+    for i in range(rng.randint(1, 5)):
+        comp = rng.random() < 0.5
+        words = _CP1252_WORDS if comp else _UTF16_WORDS
+        pieces.append((f"m{i} {rng.choice(words)}\r", comp))
+    blob = build_simple_doc(pieces=pieces, mini_table=True)
+    got = extract_doc_text(blob)
+    want = "".join(t.replace("\r", "\n") for t, _ in pieces)
+    assert got == want
