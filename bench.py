@@ -54,6 +54,19 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     rep_timings: dict[str, list[float]] = {}
+    # noise context: this box carries waves of external background load
+    # (virtualized host, 0→2 cores over tens of minutes) that inflate the
+    # driver-latency-bound queries (emb_ivf_pq_topk, table_row_chunks)
+    # 1.5-2.5× — stamp the 1-min load average around the run so every
+    # recorded number carries the conditions it was measured under
+    def _loadavg() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except Exception:
+            return -1.0
+
+    load_samples = [_loadavg()]
     # noise hardening (VERDICT r4 #6): sub-second walls on this box swing
     # ±50% run-to-run; record the MEDIAN of N timed passes per query so a
     # single scheduler hiccup can't masquerade as a regression. All reps
@@ -84,6 +97,7 @@ def main() -> None:
         # through every timed pass.
         for df in handles:
             release(df)
+        load_samples.append(_loadavg())
         walls.sort()
         timings[name] = walls[len(walls) // 2]
         rep_timings[name] = walls
@@ -199,10 +213,20 @@ def main() -> None:
         "pages_docs": n_pages,
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
+        "loadavg_1min": {
+            "start": load_samples[0],
+            "max": max(load_samples),
+            "mean": round(sum(load_samples) / len(load_samples), 2),
+        },
         "regression_gate": {
             "vs": prior_round, "factor": REG_FACTOR,
             "regressions": regressions,
             "pass": not regressions,
+            # flags raised while external load was present are suspect —
+            # measured: mean load ≈ 4 inflates untouched pure-SQL queries
+            # 2.5-2.9× uniformly (see BENCH/BASELINE.md round-5 caveat)
+            "load_suspect": bool(regressions)
+            and max(load_samples) > 0.5,
         },
         "registry": {
             "n_queries": len(registry_names),
