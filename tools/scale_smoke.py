@@ -21,6 +21,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    profile = sys.argv[3] if len(sys.argv) > 3 else "web"
     parts = 8 * cores
 
     from pyspark.sql import functions as F
@@ -35,11 +36,11 @@ def main() -> None:
                                   # explicit heap: see dedup_smoke note
                                   "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
-    path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
+    path = os.path.join(REPO, ".cache", f"pages_{profile}_{n_docs}.parquet")
     gen_sec = None
     if not os.path.exists(path):
         t0 = time.perf_counter()
-        write_pages(spark, n_docs, path, parallelism=parts, profile="web")
+        write_pages(spark, n_docs, path, parallelism=parts, profile=profile)
         gen_sec = round(time.perf_counter() - t0, 1)
     pages = spark.read.parquet(path)
 
@@ -99,6 +100,7 @@ def main() -> None:
         "docs_covered": int(stats.n_docs),
         "steady_sec": wall, "docs_per_sec": dps,
         "bytes_spilled": int(spilled), "task_skew": skew,
+        "profile": profile,
         "gen_sec": gen_sec, "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
@@ -114,9 +116,16 @@ def main() -> None:
             f"size-bucketed giant-doc scatter holds at this scale); "
             f"bytes spilled: {result['bytes_spilled']:,}."
         )
-    md = f"""## Scale smoke ({n_docs // 32768}× the gate corpus; round-2 corpus with TSR tables)
+    if profile == "web":
+        title = (f"## Scale smoke ({n_docs // 32768}\u00d7 the gate corpus; "
+                 "round-2 corpus with TSR tables)")
+    else:
+        title = (f"## Office-format scale smoke ({profile} profile: "
+                 "docx merged cells / pptx tables+groups / xlsx / eml / "
+                 "legacy formats in-stream)")
+    md = f"""{title}
 
-{n_docs:,} web-profile docs at local[{cores}], {parts} partitions, measured
+{n_docs:,} {profile}-profile docs at local[{cores}], {parts} partitions, measured
 {result['ts']}: **{result['n_chunks']:,} chunks, {result['n_errors']}
 error rows, {wall} s steady-state → {dps:.0f} docs/s**; giant
 PDFs bounded by 12-page task windows; ~half the PDFs carry TSR-lite table
@@ -125,7 +134,9 @@ pages.{f" (Corpus generation, distributed via mapInPandas: {gen_sec} s.)" if gen
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(out_md):
         prev = open(out_md).read()
-        pat = re.compile(r"## Scale smoke.*?(?=\n## |\Z)", re.S)
+        pat = re.compile(
+            r"## Scale smoke.*?(?=\n## |\Z)" if profile == "web"
+            else r"## Office-format scale smoke.*?(?=\n## |\Z)", re.S)
         if pat.search(prev):
             prev = pat.sub(md.rstrip() + "\n", prev, count=1)
         else:
