@@ -25,7 +25,19 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
+    # external-load evidence MUST be sampled before any Spark work — every
+    # later sample reflects our own executors; only this one can tell
+    # "the box was already busy" from "we made it busy"
+    load_pre = _loadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -57,15 +69,10 @@ def main() -> None:
     # noise context: this box carries waves of external background load
     # (virtualized host, 0→2 cores over tens of minutes) that inflate the
     # driver-latency-bound queries (emb_ivf_pq_topk, table_row_chunks)
-    # 1.5-2.5× — stamp the 1-min load average around the run so every
-    # recorded number carries the conditions it was measured under
-    def _loadavg() -> float:
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except Exception:
-            return -1.0
-
+    # 1.5-2.5× — stamp the 1-min load average so every recorded number
+    # carries its conditions. Per-query samples (taken right after our own
+    # Spark passes) include OUR load and are context only; `pre_spark` is
+    # the external-load evidence.
     load_samples = [_loadavg()]
     # noise hardening (VERDICT r4 #6): sub-second walls on this box swing
     # ±50% run-to-run; record the MEDIAN of N timed passes per query so a
@@ -214,6 +221,7 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
         "loadavg_1min": {
+            "pre_spark": load_pre,
             "start": load_samples[0],
             "max": max(load_samples),
             "mean": round(sum(load_samples) / len(load_samples), 2),
@@ -222,11 +230,12 @@ def main() -> None:
             "vs": prior_round, "factor": REG_FACTOR,
             "regressions": regressions,
             "pass": not regressions,
-            # flags raised while external load was present are suspect —
-            # measured: mean load ≈ 4 inflates untouched pure-SQL queries
-            # 2.5-2.9× uniformly (see BENCH/BASELINE.md round-5 caveat)
-            "load_suspect": bool(regressions)
-            and max(load_samples) > 0.5,
+            # flags raised while EXTERNAL load was already present before
+            # Spark started are suspect — measured: mean load ≈ 4 inflates
+            # untouched pure-SQL queries 2.5-2.9× uniformly (BENCH/
+            # BASELINE.md round-5 caveat). Post-start samples would count
+            # our own executors, so only the pre-Spark sample judges this.
+            "load_suspect": bool(regressions) and load_pre > 0.5,
         },
         "registry": {
             "n_queries": len(registry_names),

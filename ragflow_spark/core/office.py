@@ -217,9 +217,12 @@ def parse_pptx(blob: bytes, from_page: int = 0, to_page: int = 100000
         if i >= to_page:
             break
         root = ET.fromstring(zf.read(path))
+        # top-level shapes only: a slide without cSld/spTree has no shape
+        # tree (python-pptx slide.shapes is empty — iterating root.iter()
+        # would extract group children twice, once via the group walk)
         tree = root.find(f"{_PPTX_P}cSld/{_PPTX_P}spTree")
         shapes = []
-        for el in (tree if tree is not None else root.iter()):
+        for el in (tree if tree is not None else ()):
             if el.tag not in (f"{_PPTX_P}sp", f"{_PPTX_P}graphicFrame",
                               f"{_PPTX_P}grpSp"):
                 continue
@@ -264,13 +267,10 @@ def parse_docx(blob: bytes, keep_empty: bool = False
             if keep_empty or text.strip():
                 sections.append((text, style))
         elif el.tag == f"{_W}tbl":
-            rows = []
-            for tr in el.iter(f"{_W}tr"):
-                cells = [
-                    "".join(t.text or "" for t in tc.iter(f"{_W}t"))
-                    for tc in tr.iter(f"{_W}tc")
-                ]
-                rows.append(cells)
+            # same python-docx row.cells view as every reference table
+            # consumer: merged cells expanded, cell text = direct
+            # paragraphs newline-joined
+            rows = _expand_docx_table(el)
             if len(rows) >= 2:
                 header = rows[0]
                 for r in rows[1:]:
@@ -366,7 +366,12 @@ def _expand_docx_table(el) -> list[list[str]]:
     for tr in el.findall(f"{_W}tr"):
         out: list[str] = []
         for tc in tr.findall(f"{_W}tc"):
-            txt = "".join(t.text or "" for t in tc.iter(f"{_W}t"))
+            # python-docx _Cell.text: direct paragraphs joined by newline
+            # (a nested table's text is NOT part of the outer cell's text)
+            txt = "\n".join(
+                "".join(t.text or "" for t in p.iter(f"{_W}t"))
+                for p in tc.findall(f"{_W}p")
+            )
             span, vmerge_cont = 1, False
             tc_pr = tc.find(f"{_W}tcPr")
             if tc_pr is not None:
@@ -487,9 +492,10 @@ def build_simple_docx(paragraphs: list[tuple[str, str]],
         stag = f'<w:pPr><w:pStyle w:val="{style}"/></w:pPr>' if style else ""
         parts.append(f"<w:p>{stag}<w:r><w:t>{text}</w:t></w:r></w:p>")
     def _tc(c) -> str:
-        # cell spec: plain str, or dict {text, grid_span, v_merge} where
-        # v_merge is "restart" | "continue" — emits real tcPr markup so
-        # merged-cell fixtures exercise the gridSpan/vMerge expansion
+        # cell spec: plain str, or dict {text | paras, grid_span, v_merge}
+        # where v_merge is "restart" | "continue" — emits real tcPr markup
+        # so merged-cell fixtures exercise the gridSpan/vMerge expansion;
+        # "paras" emits one w:p per entry (cell.text newline-joins them)
         if not isinstance(c, dict):
             return f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>"
         pr = ""
@@ -498,8 +504,10 @@ def build_simple_docx(paragraphs: list[tuple[str, str]],
         if c.get("v_merge"):
             pr += f'<w:vMerge w:val="{c["v_merge"]}"/>'
         pr = f"<w:tcPr>{pr}</w:tcPr>" if pr else ""
-        return (f"<w:tc>{pr}<w:p><w:r><w:t>{c.get('text', '')}</w:t>"
-                "</w:r></w:p></w:tc>")
+        paras = c.get("paras", [c.get("text", "")])
+        body = "".join(f"<w:p><w:r><w:t>{t}</w:t></w:r></w:p>"
+                       for t in paras)
+        return f"<w:tc>{pr}{body}</w:tc>"
 
     for tbl in tables or []:
         rows = "".join(

@@ -195,7 +195,10 @@ def qa_pairs_from_markdown(txt: str) -> list[tuple[str, str]]:
 
 # ----------------------------------------------------------------- docx
 
-_HEADING_RE = re.compile(r"Heading\s*(\d+)", re.IGNORECASE)
+# case-sensitive like the reference: docx_question_level tests
+# p.style.name.startswith('Heading') — a custom lowercase 'heading 2'
+# style is NOT a question level there
+_HEADING_RE = re.compile(r"Heading\s*(\d+)")
 
 
 def qa_pairs_from_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:

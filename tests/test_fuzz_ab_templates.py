@@ -448,6 +448,11 @@ def _fuzz_docx(seed):
                     row.append({"text": "", "v_merge": "continue"})
                 elif cn == 0 and rng.random() < 0.3:
                     row.append({"text": f"grp{rn}", "v_merge": "restart"})
+                elif rng.random() < 0.2:
+                    # multi-paragraph cell: cell.text newline-joins the
+                    # direct paragraphs (python-docx _Cell.text semantics)
+                    row.append({"paras": [f"line{rn}a", "",
+                                          f"line{rn}b"][:rng.randint(2, 3)]})
                 else:
                     row.append(str(rng.randint(0, 999)))
             tbl.append(row)

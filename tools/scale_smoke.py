@@ -121,8 +121,8 @@ def main() -> None:
                  "round-2 corpus with TSR tables)")
     else:
         title = (f"## Office-format scale smoke ({profile} profile: "
-                 "docx merged cells / pptx tables+groups / xlsx / eml / "
-                 "legacy formats in-stream)")
+                 "docx merged cells / pptx tables+groups / xlsx / eml "
+                 "in-stream)")
     md = f"""{title}
 
 {n_docs:,} {profile}-profile docs at local[{cores}], {parts} partitions, measured
