@@ -147,3 +147,47 @@ def test_qa_markdown_never_raises_and_pairs_have_questions(spec):
     # payloads is truthy, so all-blank question paths still emit — assert
     # totality and shape, not non-blankness
     assert all(isinstance(q, str) and isinstance(a, str) for q, a in pairs)
+
+
+# --------------------------- docx merged-cell expansion (two impls agree)
+
+_cell_st = st.one_of(
+    st.text(alphabet="abcxyz01 ", max_size=8),
+    st.fixed_dictionaries(
+        {"text": st.text(alphabet="abcxyz01 ", max_size=8)},
+        optional={
+            "grid_span": st.integers(2, 4),
+            "v_merge": st.sampled_from(["restart", "continue"]),
+            "paras": st.lists(
+                st.text(alphabet="pq ", max_size=5), min_size=1, max_size=3
+            ),
+        },
+    ),
+)
+_table_st = st.lists(
+    st.lists(_cell_st, min_size=1, max_size=5), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_table_st)
+def test_docx_expansion_engine_equals_facade(tbl):
+    """office._expand_docx_table (engine) and refoffice._DocxTable (the
+    python-docx facade the reference A/B runs on) are INDEPENDENT
+    implementations of row.cells merged-cell expansion — they must agree
+    cell-for-cell on any gridSpan/vMerge/multi-paragraph mixture."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import refoffice
+
+    from ragflow_spark.core.office import build_simple_docx, docx_table_grids
+
+    blob = build_simple_docx([("t", "")], [tbl])
+    engine = docx_table_grids(blob)
+    assert len(engine) == 1
+    doc = refoffice.DocxDocument(__import__("io").BytesIO(blob))
+    facade = [
+        [c.text for c in row.cells] for row in doc.tables[0].rows
+    ]
+    assert engine[0] == facade
