@@ -106,7 +106,13 @@ def main() -> None:
             release(df)
         load_samples.append(_loadavg())
         walls.sort()
-        timings[name] = walls[len(walls) // 2]
+        # true median (even rep counts average the middle pair — the
+        # upper-middle alone would bias the recorded wall pessimistic)
+        mid = len(walls) // 2
+        timings[name] = round(
+            walls[mid] if len(walls) % 2 else (walls[mid - 1] + walls[mid]) / 2,
+            3,
+        )
         rep_timings[name] = walls
 
     pages = spark.read.parquet(pages_path)

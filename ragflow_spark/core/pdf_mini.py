@@ -484,25 +484,54 @@ def _page_order(objects: dict) -> list[int]:
     return page_order
 
 
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(" + _NUM_RE + rb")\s+(" + _NUM_RE + rb")\s+("
+    + _NUM_RE + rb")\s+(" + _NUM_RE + rb")"
+)
+
+
+def _page_ybox(dct: bytes, objects: dict) -> tuple[float, float]:
+    """(y0, y1) of a page's MediaBox. MediaBox is an INHERITABLE page
+    attribute — when the page dict lacks one, the first /Pages node
+    carrying a MediaBox supplies it; US-Letter (0, 792) as last resort.
+    Height is y1 - y0 and the content y-flip reference is y1 (top edge),
+    which only coincide when the origin sits at 0."""
+    mb = _MEDIABOX_RE.search(dct)
+    if mb is None:
+        for _num, (pdct, _pd) in sorted(objects.items()):
+            if b"/Type /Pages" in pdct or b"/Type/Pages" in pdct:
+                mb = _MEDIABOX_RE.search(pdct)
+                if mb is not None:
+                    break
+    if mb is None:
+        return 0.0, 792.0
+    return float(mb.group(2)), float(mb.group(4))
+
+
+def _page_dicts(objects: dict):
+    """Page dicts in document order — THE shared walk both the box
+    extractor and the height scan use, so their lists stay aligned
+    index-for-index by construction."""
+    for pn in _page_order(objects):
+        dct, _d = objects.get(pn, (b"", None))
+        if b"/Type /Page" in dct or b"/Type/Page" in dct:
+            yield dct
+
+
 def page_heights(blob: bytes) -> list[float]:
-    """Real MediaBox height per page, aligned index-for-index with
-    ``extract_boxes``' pages list. The reference accumulates ACTUAL page
-    heights into ``page_cum_height`` (pdf_parser.py ``__images__``); callers
-    that rebuild doc-absolute offsets (qa's has_qbullet spacing veto) need
-    these rather than a pinned 792."""
+    """Real MediaBox height (y1 - y0) per page, aligned index-for-index
+    with ``extract_boxes``' pages list (same ``_page_dicts`` walk). The
+    reference accumulates ACTUAL page heights into ``page_cum_height``
+    (pdf_parser.py ``__images__``); callers that rebuild doc-absolute
+    offsets (qa's has_qbullet spacing veto) need these rather than a
+    pinned 792."""
     if not blob.startswith(b"%PDF"):
         raise UnsupportedPdfError("not a PDF")
     objects = _parse_objects(blob)
-    heights: list[float] = []
-    for pn in _page_order(objects):
-        dct, _d = objects.get(pn, (b"", None))
-        if b"/Type /Page" not in dct and b"/Type/Page" not in dct:
-            continue
-        mb = re.search(
-            rb"/MediaBox\s*\[\s*" + _NUM_RE + rb"\s+" + _NUM_RE
-            + rb"\s+" + _NUM_RE + rb"\s+(" + _NUM_RE + rb")", dct)
-        heights.append(float(mb.group(1)) if mb else 792.0)
-    return heights
+    return [
+        y1 - y0 for y0, y1 in
+        (_page_ybox(dct, objects) for dct in _page_dicts(objects))
+    ]
 
 
 def extract_boxes(blob: bytes) -> list[list[dict]]:
@@ -511,16 +540,10 @@ def extract_boxes(blob: bytes) -> list[list[dict]]:
     if not blob.startswith(b"%PDF"):
         raise UnsupportedPdfError("not a PDF")
     objects = _parse_objects(blob)
-    page_order = _page_order(objects)
     pages: list[list[dict]] = []
-    for pn in page_order:
-        dct, _d = objects.get(pn, (b"", None))
-        if b"/Type /Page" not in dct and b"/Type/Page" not in dct:
-            continue
-        mb = re.search(
-            rb"/MediaBox\s*\[\s*" + _NUM_RE + rb"\s+" + _NUM_RE
-            + rb"\s+" + _NUM_RE + rb"\s+(" + _NUM_RE + rb")", dct)
-        page_h = float(mb.group(1)) if mb else 792.0
+    for dct in _page_dicts(objects):
+        # y-flip reference is the MediaBox TOP edge (y1): top = y1 - y
+        _y0, page_h = _page_ybox(dct, objects)
         m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", dct)
         if not m:
             pages.append([])
@@ -608,6 +631,9 @@ def plain_parse(blob: bytes, from_page: int = 0, to_page: int = 100000
         if pn >= to_page:
             break
         for ln in lines:
-            if ln:
-                sections.append((ln, ""))
+            # EMPTY lines stay: the reference extends with every
+            # extract_text().split("\n") entry unfiltered
+            # (pdf_parser.py:1149) — consumers filter (or keep) them
+            # per template, e.g. paper joins them as blank lines
+            sections.append((ln, ""))
     return sections

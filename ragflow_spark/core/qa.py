@@ -249,8 +249,11 @@ def qa_pairs_from_docx(blob: bytes) -> tuple[list[tuple[str, str]], list[str]]:
 def _tag_fields(tag: str):
     """Parse one @@pn\tx0\tx1\ttop\tbottom## tag → (pn, x0, x1, top, bottom);
     zeros when absent (the reference's empty-tbl sentinel shape)."""
-    m = re.match(r"@@([0-9-]+)\t([0-9.]+)\t([0-9.]+)\t([0-9.]+)\t([0-9.]+)##",
-                 tag or "")
+    # coords may be negative (raw box math); the reference parses via
+    # split('\t') + float(), which accepts them (qa.py:120,165-167)
+    m = re.match(
+        r"@@([0-9-]+)\t(-?[0-9.]+)\t(-?[0-9.]+)\t(-?[0-9.]+)\t(-?[0-9.]+)##",
+        tag or "")
     if not m:
         return 0.0, 0.0, 0.0, 0.0, 0.0
     pn = float(m.group(1).split("-")[0])
@@ -326,7 +329,9 @@ def qa_pairs_from_pdf(sections: list[tuple[str, str]],
                                   bull_x0_list)
         last_box, last_index, last_bull = box, index, bull
         # the reference re-parses line_top from the TAG (page-local,
-        # qa.py:120-121) while last_bottom stays doc-absolute
+        # qa.py:120-121); last_bottom is ALSO page-local (parsed from the
+        # last line's tag, qa.py:154) — the r5 fix below mirrors that via
+        # box["tag_bottom"]
         line_pn, line_top = box["pn"], box["tag_top"]
         tbl_pn, tbl_top, tbl_tag, tbl_text = tbl_info(tbl_index)
         if not bull:

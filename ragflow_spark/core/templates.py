@@ -315,7 +315,12 @@ def chunk_one(blob: bytes, fmt: str, lang: str = "English",
         ]
         tables, title = [], ""
     else:
-        sections, tables, title = sections_for(blob, fmt, cfg, lang=lang)
+        # one.py:74-76: layout_recognize=False routes to PlainParser —
+        # tag-free text lines, no table tier
+        sections, tables, title = sections_for(
+            blob, fmt, cfg,
+            pdf_layout=cfg.get("layout_recognize", True), lang=lang,
+        )
     if fmt == "pdf" and cfg.get("layout_recognize", True):
         # one.py:49-56: table renders INTERLEAVE into the text at their
         # page position — Pdf sorts text boxes + table rows together by
@@ -324,8 +329,11 @@ def chunk_one(blob: bytes, fmt: str, lang: str = "English",
         # append-after-text approximation this replaces was caught by the
         # table fuzz A/B.
         def _first_pos(tag: str):
+            # coords may be negative (line_tag formats raw box math:
+            # x0 < 0 from a negative Td, top < 0 above the page origin)
             m = re.match(
-                r"@@([0-9-]+)\t([0-9.]+)\t[0-9.]+\t([0-9.]+)\t", tag or "")
+                r"@@([0-9-]+)\t(-?[0-9.]+)\t-?[0-9.]+\t(-?[0-9.]+)\t",
+                tag or "")
             if not m:
                 return (1 << 30, 0.0, 0.0)
             return (int(m.group(1).split("-")[0]), float(m.group(3)),
@@ -354,6 +362,14 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
         from ragflow_spark.core import office
 
         slides = office.parse_pptx(blob)
+    elif fmt == "pdf" and not cfg.get("layout_recognize", True):
+        # presentation.py:79-88 PlainPdf: ONE chunk per page, the raw
+        # per-page extract_text (blank lines kept, no __garbage filter),
+        # and every page kept even when empty (presentation.py:121-133
+        # has no empty check)
+        fp, tp = _page_range(cfg)
+        pages = pdf_mini.extract_text_lines(blob)[fp:tp]
+        return _finish(["\n".join(lines) for lines in pages])
     elif fmt == "pdf":
         # per-line garbage filter (presentation.py:52-57 __garbage):
         # numeric/punct-only lines and stubs under 3 chars drop
@@ -551,6 +567,9 @@ def chunk_laws(blob: bytes, fmt: str, lang: str = "English",
         # paragraphs exclusively, laws.py:36-53)
         sections, _tables, _title = sections_for(
             blob, fmt, cfg, lang=lang,
+            # laws.py:157-159: layout_recognize=False routes to
+            # PlainParser (tag-free lines, poss="")
+            pdf_layout=cfg.get("layout_recognize", True),
             # laws.Pdf runs _layouts_rec → W4 only: no W3 text merge, no
             # table extraction (laws.py:118-133)
             pdf_merge_mode="laws",
@@ -661,14 +680,18 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
                                   return_tables=True,
                                   merge_mode="updown", toc_filter=True,
                                   pages=cfg.get("_pdf_pages"))
+        # clean mess (manual.py:65-66 — lives in manual.Pdf.__call__, so
+        # LAYOUT branch only). Empty sections are KEPT: the reference's
+        # level walk runs over every box (a cleaned-to-empty box still
+        # occupies a levels slot and can split a sec_id run — fuzz A/B
+        # seed 8 pins this)
+        sections = [(_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs]
     else:
         fp, tp = _page_range(cfg)
-        secs, tbls = pdf_mini.plain_parse(blob, fp, tp), []
-    # clean mess (manual.py:65-66). Empty sections are KEPT: the
-    # reference's level walk runs over every box (a cleaned-to-empty box
-    # still occupies a levels slot and can split a sec_id run — fuzz A/B
-    # seed 8 pins this)
-    sections = [(_WS_RUNS.sub(" ", t.strip()), tag) for t, tag in secs]
+        # PlainParser lines pass through RAW (whitespace-only lines kept
+        # verbatim — manual.py:182-187 applies no cleanup on this branch)
+        sections = pdf_mini.plain_parse(blob, fp, tp)
+        tbls = []
     outlines = pdf_mini.extract_outlines(blob)
     if sections and outlines and len(outlines) / len(sections) > 0.1:
         # outline-driven levels (manual.py:191-206): bigram-set overlap > 0.8

@@ -6,6 +6,8 @@ member (rolling hash is inherently sequential per doc).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from ragflow_spark.functions.text import (
@@ -194,12 +196,16 @@ def _worker_tokenizer(dict_path: str):
     cache = getattr(_tkmod, "_RS_TK_CACHE", None)
     if cache is None:
         cache = _tkmod._RS_TK_CACHE = {}
-    tk = cache.get(dict_path)
+    # key includes (mtime, size): a reused worker process must not serve
+    # a stale trie after the dict file is regenerated in place
+    st = os.stat(dict_path)
+    key = (dict_path, st.st_mtime_ns, st.st_size)
+    tk = cache.get(key)
     if tk is None:
         with open(dict_path, encoding="utf-8") as f:
             tk = _tkmod.RagTokenizer(f)
         cache.clear()  # one dict at a time — bound worker memory
-        cache[dict_path] = tk
+        cache[key] = tk
     return tk
 
 

@@ -102,8 +102,46 @@ def install_reference_stubs() -> None:
     sys.modules.setdefault("cv2", _AnyAttrModule("cv2"))
     _mod("onnxruntime")
     _mod("pdfplumber", open=_raise(RuntimeError))
-    _mod("pypdf", PdfReader=object)
-    _mod("PyPDF2", PdfReader=object)
+
+    # functional pypdf facade: the reference's PlainParser
+    # (pdf_parser.py:1140-1166) consumes pages[].extract_text() and the
+    # nested .outline list. Backed by the SAME pdf_mini primitives our
+    # plain_parse/extract_outlines use (shared stand-in, like the vision
+    # tier) so the A/B exercises the reference's logic ABOVE the
+    # primitive: page windowing, line splitting, outline DFS, template
+    # consumption of tag-free sections.
+    class _PyPdfPage:
+        def __init__(self, text):
+            self._text = text
+
+        def extract_text(self):
+            return self._text
+
+    class _PyPdfReader:
+        def __init__(self, src):
+            from ragflow_spark.core import pdf_mini as _pm
+
+            blob = src.read() if hasattr(src, "read") else open(
+                src, "rb").read()
+            self.pages = [
+                _PyPdfPage("\n".join(lines))
+                for lines in _pm.extract_text_lines(blob)
+            ]
+            # pypdf's outline is a NESTED list (depth = nesting level,
+            # walked by the reference's dfs) — rebuild the nesting from
+            # extract_outlines' flat (title, depth) pairs
+            self.outline = []
+            stack = [self.outline]
+            for title, depth in _pm.extract_outlines(blob):
+                while len(stack) <= depth:
+                    sub = []
+                    stack[-1].append(sub)
+                    stack.append(sub)
+                del stack[depth + 1:]
+                stack[depth].append({"/Title": title})
+
+    _mod("pypdf", PdfReader=_PyPdfReader)
+    _mod("PyPDF2", PdfReader=_PyPdfReader)
 
     class _DMatrix:
         def __init__(self, rows):

@@ -762,3 +762,28 @@ def test_fuzz_table_csv_ab(ref_apps, seed):
     ours = [c.chunk_text for c in run_template("table", csv.encode(),
                                                "csv", "English")]
     assert ref_chunks == ours, seed
+
+
+# ---------------------------------------- plain-parser (no-layout) fuzz
+
+@pytest.mark.parametrize("parser", ["naive", "book", "paper", "manual",
+                                    "one", "presentation", "laws"])
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_plain_pdf_ab(ref_apps, parser, seed):
+    """layout_recognize=False routes every template to the reference's
+    REAL PlainParser/PlainPdf executing over the functional pypdf facade
+    (refstubs._PyPdfReader, backed by the same pdf_mini primitives our
+    plain_parse uses) — page windowing, kept-empty-line splitting, and
+    each template's own filtering A/B byte-identical."""
+    blob = _fuzz_pdf(seed * 59 + 37)
+    mod = ref_apps[parser]
+    random.seed(seed)
+    docs = mod.chunk(f"pl{seed}.pdf", binary=blob, lang="English",
+                     callback=_noop,
+                     parser_config={"layout_recognize": False})
+    ref_chunks = [_remove_tag(c["content_with_weight"]) for c in docs]
+    random.seed(seed)
+    ours = [c.chunk_text for c in run_template(
+        parser, blob, "pdf", "English",
+        cfg={"layout_recognize": False})]
+    assert ref_chunks == ours, (parser, seed)

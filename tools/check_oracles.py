@@ -113,15 +113,20 @@ def main():
         corr = sorted(f for f in os.listdir(rdir)
                       if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f))
         if corr:
-            with open(os.path.join(rdir, corr[-1])) as f:
-                recorded = set(_json.load(f))
-            missing = sorted(set(qs) - recorded)
-            if missing:
-                print(f"RECORD DRIFT vs {corr[-1]}: registered but "
-                      f"unrecorded: {missing}")
+            # a malformed record must not crash the tool past the summary
+            try:
+                with open(os.path.join(rdir, corr[-1])) as f:
+                    recorded = set(_json.load(f))
+            except Exception as exc:
+                print(f"RECORD UNREADABLE {corr[-1]}: {exc}")
             else:
-                print(f"record complete vs {corr[-1]}: "
-                      f"all {len(qs)} registered queries recorded")
+                missing = sorted(set(qs) - recorded)
+                if missing:
+                    print(f"RECORD DRIFT vs {corr[-1]}: registered but "
+                          f"unrecorded: {missing}")
+                else:
+                    print(f"record complete vs {corr[-1]}: "
+                          f"all {len(qs)} registered queries recorded")
     spark.stop()
     sys.exit(1 if n_bad else 0)
 
