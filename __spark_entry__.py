@@ -724,6 +724,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         meta = decode_media_meta(media, backend="fake")
         return frame_sample_plan(meta, every_n=30)
 
+    def media_det_boxes(spark, sf):
+        """Distributed detector forward-pass plumbing (V1/V3, VERDICT r4
+        #9): deterministic painted-rectangle images -> detector_input
+        preproc -> mini-batched (16) fake det session (same run()
+        contract as onnxruntime, per-worker singleton) -> DBPostProcess
+        -> boxes in source pixels. Oracle: snapshot golden that
+        tools/gen_query_goldens.py refuses to write unless every painted
+        rect center is contained in a returned box and counts match the
+        painted ground truth."""
+        from ragflow_spark.operators.detect import (
+            detect_text_regions,
+            synth_image_rows,
+        )
+
+        rows = [(m, p, w, h) for m, p, w, h, _r in synth_image_rows(24)]
+        df = spark.createDataFrame(
+            rows, "media_id string, pixels binary, width int, height int"
+        ).repartition(4)
+        out = detect_text_regions(
+            df, backend="fake", batch_size=16, box_thresh=0.5
+        )
+        return out.select(
+            "media_id",
+            "n_boxes",
+            F.md5(F.to_json(F.transform(
+                "boxes",
+                lambda b: F.transform(b, lambda v: F.round(v, 1)),
+            ))).alias("boxes_digest"),
+        )
+
     return {
         "doc_filter_stats": doc_filter_stats,
         "doc_fingerprint": doc_fingerprint,
@@ -776,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": media_meta,
         "media_frame_plan": media_frame_plan,
         "media_detector_plan": media_detector_plan,
+        "media_det_boxes": media_det_boxes,
     }
 
 
@@ -1730,6 +1761,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokenize": f"""
             select doc_id, content_ltks, content_sm_ltks
             from '{_GOLDEN_Q}/doc_tokenize.parquet'
+        """,
+        # ground-truth-verified snapshot (gen_query_goldens refuses to
+        # write it unless every painted rect center is inside a returned
+        # det box and per-image counts match the synthetic ground truth)
+        "media_det_boxes": f"""
+            select media_id, n_boxes, boxes_digest
+            from '{_GOLDEN_Q}/media_det_boxes.parquet'
         """,
         # the two invariant queries below additionally oracle-gate the
         # STRUCTURE live (not snapshot): the Spark query materializes the

@@ -27,6 +27,7 @@ EXPECTED = {
         16, ["partition_id", "doc_count", "chunk_count", "bytes",
              "content_hash"]),
     "doc_tokenize": (200, ["doc_id", "content_ltks", "content_sm_ltks"]),
+    "media_det_boxes": (24, ["media_id", "n_boxes", "boxes_digest"]),
 }
 
 

@@ -170,7 +170,53 @@ def main() -> None:
         raise SystemExit(f"doc_tokenize shape unexpected: {tok.shape}")
     _write(tok, "doc_tokenize")
 
+    det = qs["media_det_boxes"](spark, SF_DIR).toPandas()
+    check_det_vs_ground_truth(spark)
+    _write(det, "media_det_boxes")
+
     spark.stop()
+
+
+def check_det_vs_ground_truth(spark) -> None:
+    """Refuse the media_det_boxes golden unless the detector plumbing
+    recovers the PAINTED ground truth: per image, the box count equals
+    the painted rect count and every painted rect center lies inside a
+    returned box (boxes carry full coords here; the golden stores the
+    rounded digest)."""
+    from ragflow_spark.operators.detect import (
+        detect_text_regions,
+        synth_image_rows,
+    )
+
+    synth = synth_image_rows(24)
+    rows = [(m, p, w, h) for m, p, w, h, _r in synth]
+    truth = {m: r for m, _p, _w, _h, r in synth}
+    df = spark.createDataFrame(
+        rows, "media_id string, pixels binary, width int, height int"
+    ).repartition(4)
+    out = detect_text_regions(
+        df, backend="fake", batch_size=16, box_thresh=0.5
+    ).collect()
+    if len(out) != len(rows):
+        raise SystemExit(f"media_det_boxes row count {len(out)} != {len(rows)}")
+    for r in out:
+        rects = truth[r["media_id"]]
+        if r["n_boxes"] != len(rects):
+            raise SystemExit(
+                f"media_det_boxes {r['media_id']}: {r['n_boxes']} boxes "
+                f"vs {len(rects)} painted rects")
+        for x, y, rw, rh in rects:
+            cx, cy = x + rw / 2, y + rh / 2
+            if not any(
+                min(b[0::2]) <= cx <= max(b[0::2])
+                and min(b[1::2]) <= cy <= max(b[1::2])
+                for b in r["boxes"]
+            ):
+                raise SystemExit(
+                    f"media_det_boxes {r['media_id']}: painted rect "
+                    f"{(x, y, rw, rh)} center not inside any det box")
+    print(f"media_det_boxes: {len(out)} images match the painted ground "
+          "truth (counts + center containment)")
 
 
 if __name__ == "__main__":
