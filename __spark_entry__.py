@@ -754,6 +754,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ))).alias("boxes_digest"),
         )
 
+    def media_rec_lines(spark, sf):
+        """Distributed recognizer plumbing (V2): band-encoded line images
+        -> aspect-sorted mini-batches of 16 -> fake rec session (same
+        run() contract as onnxruntime) -> ported CTC label decode. The
+        golden is refused unless every decoded string equals the encoded
+        ground truth exactly (tools/gen_query_goldens.py)."""
+        from ragflow_spark.operators.detect import (
+            recognize_text_lines,
+            synth_line_rows,
+        )
+
+        rows = [(m, p, w, h) for m, p, w, h, _t in synth_line_rows(24)]
+        df = spark.createDataFrame(
+            rows, "line_id string, pixels binary, width int, height int"
+        ).repartition(3)
+        return recognize_text_lines(df, backend="fake", batch_size=16)
+
     return {
         "doc_filter_stats": doc_filter_stats,
         "doc_fingerprint": doc_fingerprint,
@@ -807,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_plan": media_frame_plan,
         "media_detector_plan": media_detector_plan,
         "media_det_boxes": media_det_boxes,
+        "media_rec_lines": media_rec_lines,
     }
 
 
@@ -1768,6 +1786,10 @@ def oracle_sql() -> dict[str, str]:
         "media_det_boxes": f"""
             select media_id, n_boxes, boxes_digest
             from '{_GOLDEN_Q}/media_det_boxes.parquet'
+        """,
+        "media_rec_lines": f"""
+            select line_id, text, conf
+            from '{_GOLDEN_Q}/media_rec_lines.parquet'
         """,
         # the two invariant queries below additionally oracle-gate the
         # STRUCTURE live (not snapshot): the Spark query materializes the

@@ -145,3 +145,28 @@ def detector_input(im: np.ndarray, target_size=800,
     )
     padded = pad_to(standardized, size_div=32)
     return to_chw(padded), im_info
+
+
+def rec_resize_norm(im: np.ndarray, max_wh_ratio: float,
+                    image_shape=(3, 48, 320)) -> np.ndarray:
+    """TextRecognizer.resize_norm_img (deepdoc/vision/ocr.py:97-121):
+    dynamic target width ``imgH * max_wh_ratio`` (the onnx rec model's
+    width axis is dynamic, so the fixed-width override never fires),
+    aspect-kept resize to height ``imgH``, /255 then ±1 normalize, CHW,
+    zero right-pad to the batch width. Bilinear stand-in for cv2.resize
+    as in :func:`detector_input`."""
+    img_c, img_h, img_w = image_shape
+    img_w = int(img_h * max_wh_ratio)
+    h, w = im.shape[:2]
+    ratio = w / float(h)
+    if math.ceil(img_h * ratio) > img_w:
+        resized_w = img_w
+    else:
+        resized_w = int(math.ceil(img_h * ratio))
+    resized = _bilinear(im.astype(np.float32), img_h, resized_w)
+    resized = resized.transpose((2, 0, 1)) / 255.0
+    resized -= 0.5
+    resized /= 0.5
+    out = np.zeros((img_c, img_h, img_w), dtype=np.float32)
+    out[:, :, :resized_w] = resized
+    return out

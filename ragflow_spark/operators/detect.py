@@ -227,3 +227,162 @@ def detect_text_regions(
     return df.select(id_col, pixels_col, width_col, height_col).mapInPandas(
         run, schema=DET_SCHEMA
     )
+
+
+# ---------------------------------------------------------- recognition
+
+REC_SCHEMA = "line_id string, text string, conf double"
+
+
+class _FakeRecSession:
+    """Deterministic rec head with the onnx contract
+    ``run(["logits"], {"x": (N,3,48,W)}) -> [(N, W//4, C)]``.
+
+    Each 4-column timestep window de-normalizes back to [0,1] intensity;
+    an intensity within 0.15 CLASS UNITS of a class center k/(C-1)
+    scores class k one-hot (uint8 painting lands ≤0.08 units off), and
+    anything further (resize-blended band edges) scores CTC blank — so
+    uniform painted bands decode to their class and transitions collapse
+    away, exactly what CTC repeat-collapse expects.
+    """
+
+    def __init__(self, num_classes: int):
+        self.num_classes = num_classes
+
+    def run(self, _output_names, feeds):
+        import numpy as np
+
+        x = feeds["x"]
+        n, _c, _h, w = x.shape
+        t_steps = w // 4
+        c = self.num_classes
+        probs = np.zeros((n, t_steps, c), dtype=np.float32)
+        img01 = x * 0.5 + 0.5
+        for t in range(t_steps):
+            window = img01[:, :, :, 4 * t:4 * t + 4]
+            inten = window.mean(axis=(1, 2, 3))  # (N,)
+            kf = inten * (c - 1)
+            k = np.rint(kf).astype(int)
+            on_center = np.abs(kf - k) <= 0.15
+            k = np.where(on_center, np.clip(k, 0, c - 1), 0)  # off → blank
+            # rec_resize_norm right-pads with NORMALIZED zeros (the
+            # reference pads the same, ocr.py:119-121); exact 0.0 in
+            # x-space de-normalizes to mid-gray 0.5 which would alias to
+            # class (C-1)/2 — a real model learns pad≈nothing, the fake
+            # head detects the exact-zero signature instead (painted
+            # uint8 grays are never exactly 127.5/255)
+            pad_win = np.abs(x[:, :, :, 4 * t:4 * t + 4]).max(
+                axis=(1, 2, 3)) < 1e-6
+            k = np.where(pad_win, 0, k)
+            probs[np.arange(n), t, k] = 1.0
+        return [probs]
+
+
+def recognize_text_lines(
+    df: DataFrame,
+    id_col: str = "line_id",
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+    backend: str = "none",
+    model_path: str | None = None,
+    characters: list[str] | None = None,
+    batch_size: int = 16,
+    intra_op_threads: int = 2,
+) -> DataFrame:
+    """Cropped line images → (text, conf), distributed with the
+    reference TextRecognizer's exact batching discipline
+    (deepdoc/vision/ocr.py:307-352): lines sorted by aspect ratio so a
+    mini-batch shares a width, per-mini-batch ``max_wh_ratio`` sizing,
+    ``rec_resize_norm`` preprocessing, ONE session.run per mini-batch of
+    ``batch_size``, CTC label decode (``core.ocr_decode``, the ported
+    deterministic half), results restored to input order."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_spark.core.ocr_decode import (
+            DEFAULT_CHARSET,
+            CTCLabelDecode,
+        )
+        from ragflow_spark.core.vision_prep import rec_resize_norm
+
+        chars = list(characters) if characters is not None else list(
+            DEFAULT_CHARSET)
+        decoder = CTCLabelDecode(characters=chars)
+        if backend == "fake":
+            sess = _FakeRecSession(num_classes=len(chars) + 1)
+        else:
+            sess = _session(backend, model_path, intra_op_threads)
+
+        for pdf in batches:
+            ids, imgs = [], []
+            bad_ids = []
+            for r in pdf.itertuples():
+                h, w = int(getattr(r, height_col)), int(getattr(r, width_col))
+                raw = getattr(r, pixels_col)
+                if h <= 0 or w <= 0 or raw is None or len(raw) != h * w * 3:
+                    bad_ids.append(getattr(r, id_col))
+                    continue
+                ids.append(getattr(r, id_col))
+                imgs.append(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+            texts = [("", 0.0)] * len(imgs)
+            # aspect-ratio sort: a mini-batch shares one padded width
+            order = np.argsort([im.shape[1] / im.shape[0] for im in imgs]) \
+                if imgs else np.array([], dtype=int)
+            for beg in range(0, len(imgs), batch_size):
+                chunk = order[beg:beg + batch_size]
+                max_wh = max(
+                    [320 / 48.0]
+                    + [imgs[i].shape[1] / imgs[i].shape[0] for i in chunk]
+                )
+                batch = np.stack([
+                    rec_resize_norm(imgs[i], max_wh) for i in chunk
+                ])
+                preds = sess.run(["logits"], {"x": batch})[0]
+                for rno, (txt, conf) in enumerate(decoder(preds)):
+                    texts[chunk[rno]] = (txt, float(conf))
+            out = pd.DataFrame({
+                "line_id": ids + bad_ids,
+                "text": [t for t, _ in texts] + [""] * len(bad_ids),
+                "conf": [c for _, c in texts] + [-1.0] * len(bad_ids),
+            })
+            yield out
+
+    return df.select(id_col, pixels_col, width_col, height_col).mapInPandas(
+        run, schema=REC_SCHEMA
+    )
+
+
+def synth_line_rows(n: int = 24, seed: int = 11):
+    """Deterministic band-encoded text-line images for the rec plumbing:
+    (line_id, pixels, width, height, text) with text drawn from the
+    DEFAULT_CHARSET and painted as 8px class-intensity bands aligned to
+    the 4px timestep grid (see _FakeRecSession)."""
+    import numpy as np
+
+    from ragflow_spark.core.ocr_decode import DEFAULT_CHARSET
+
+    c = len(DEFAULT_CHARSET) + 1
+    idx = {ch: i + 1 for i, ch in enumerate(DEFAULT_CHARSET)}
+    out = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 90_001 + i)
+        text = "".join(
+            DEFAULT_CHARSET[int(j)] for j in
+            rng.integers(0, len(DEFAULT_CHARSET), int(rng.integers(1, 14)))
+        )
+        bands = []
+        for ch in text:
+            bands.append(int(round(255 * idx[ch] / (c - 1))))
+            bands.append(0)
+        w = 8 * len(bands) + 8
+        im = np.zeros((48, w, 3), dtype=np.uint8)
+        x = 4
+        for v in bands:
+            im[:, x:x + 8] = v
+            x += 8
+        out.append((f"rec{i:03d}", im.tobytes(), w, 48, text))
+    return out

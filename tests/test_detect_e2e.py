@@ -113,3 +113,63 @@ def test_fake_session_contract_shapes():
     assert maps.shape == (2, 1, t.shape[1], t.shape[2])
     assert maps.dtype == np.float32
     assert 0.98 <= maps[0, 0, 10, 10] <= 1.0
+
+
+# ------------------------------------------------- recognition plumbing
+
+def _paint_text(text: str, chars: list[str]):
+    """Band-encode `text` at height 48: each char is an 8px-wide uniform
+    band at intensity class_idx/(C-1) (class = 1-based charset position),
+    separated by 8px blank (class 0) bands, all aligned to the 4px
+    timestep grid so no window straddles a transition."""
+    c = len(chars) + 1
+    idx = {ch: i + 1 for i, ch in enumerate(chars)}
+    bands = []
+    for ch in text:
+        bands.append(int(round(255 * idx[ch] / (c - 1))))
+        bands.append(0)
+    w = 8 * len(bands) + 8
+    im = np.zeros((48, w, 3), dtype=np.uint8)
+    x = 4
+    for v in bands:
+        im[:, x:x + 8] = v
+        x += 8
+    return im
+
+
+def test_recognize_e2e_fake_backend(spark):
+    from ragflow_spark.core.ocr_decode import DEFAULT_CHARSET
+    from ragflow_spark.operators.detect import recognize_text_lines
+
+    words = ["spark", "0042", "hello9", "z", "batchsixteen", "abc123",
+             "deduplication", "q7", "warc", "xyz", "minhash", "ctc",
+             "line13", "l14", "l15", "l16", "seventeen", "r18"]
+    rows = []
+    for i, wtext in enumerate(words):
+        im = _paint_text(wtext, DEFAULT_CHARSET)
+        rows.append((f"ln{i:02d}", im.tobytes(), im.shape[1], im.shape[0]))
+    df = spark.createDataFrame(
+        rows, "line_id string, pixels binary, width int, height int"
+    ).repartition(3)
+    out = {r["line_id"]: r for r in recognize_text_lines(
+        df, backend="fake", batch_size=16).collect()}
+    assert len(out) == len(words)
+    for i, wtext in enumerate(words):
+        r = out[f"ln{i:02d}"]
+        assert r["text"] == wtext, (r["line_id"], r["text"], wtext)
+        assert r["conf"] == 1.0
+
+
+def test_recognize_malformed_and_order(spark):
+    from ragflow_spark.core.ocr_decode import DEFAULT_CHARSET
+    from ragflow_spark.operators.detect import recognize_text_lines
+
+    im = _paint_text("ok42", DEFAULT_CHARSET)
+    rows = [("good", im.tobytes(), im.shape[1], im.shape[0]),
+            ("bad", b"\x01\x02", 10, 10)]
+    out = {r["line_id"]: r for r in recognize_text_lines(
+        spark.createDataFrame(
+            rows, "line_id string, pixels binary, width int, height int"),
+        backend="fake").collect()}
+    assert out["good"]["text"] == "ok42"
+    assert out["bad"]["conf"] == -1.0 and out["bad"]["text"] == ""

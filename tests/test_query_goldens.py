@@ -28,6 +28,7 @@ EXPECTED = {
              "content_hash"]),
     "doc_tokenize": (200, ["doc_id", "content_ltks", "content_sm_ltks"]),
     "media_det_boxes": (24, ["media_id", "n_boxes", "boxes_digest"]),
+    "media_rec_lines": (24, ["line_id", "text", "conf"]),
 }
 
 

@@ -174,7 +174,30 @@ def main() -> None:
     check_det_vs_ground_truth(spark)
     _write(det, "media_det_boxes")
 
+    rec = qs["media_rec_lines"](spark, SF_DIR).toPandas()
+    check_rec_vs_ground_truth(rec)
+    _write(rec, "media_rec_lines")
+
     spark.stop()
+
+
+def check_rec_vs_ground_truth(rec) -> None:
+    """Refuse the media_rec_lines golden unless every decoded string
+    equals the band-encoded ground truth exactly (conf 1.0)."""
+    from ragflow_spark.operators.detect import synth_line_rows
+
+    truth = {m: t for m, _p, _w, _h, t in synth_line_rows(24)}
+    got = {r.line_id: (r.text, r.conf) for r in rec.itertuples()}
+    if set(got) != set(truth):
+        raise SystemExit("media_rec_lines id set mismatch")
+    for lid, expect in truth.items():
+        text, conf = got[lid]
+        if text != expect or conf != 1.0:
+            raise SystemExit(
+                f"media_rec_lines {lid}: decoded {text!r} (conf {conf}) "
+                f"!= ground truth {expect!r}")
+    print(f"media_rec_lines: {len(truth)} lines decode to the encoded "
+          "ground truth exactly")
 
 
 def check_det_vs_ground_truth(spark) -> None:
