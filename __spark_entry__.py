@@ -771,6 +771,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).repartition(3)
         return recognize_text_lines(df, backend="fake", batch_size=16)
 
+    def media_ocr_lines(spark, sf):
+        """The composed OCR loop (ocr.py:581-630) distributed: det boxes
+        -> sorted_boxes -> get_rotate_crop_image perspective crops ->
+        aspect-sorted rec batches -> CTC decode -> drop_score filter.
+        Golden refused unless every page's decoded lines equal the
+        encoded ground truth in reading order."""
+        from ragflow_spark.operators.detect import (
+            ocr_images,
+            synth_ocr_pages,
+        )
+
+        rows = [(m, p, w, h) for m, p, w, h, _t in synth_ocr_pages(12)]
+        df = spark.createDataFrame(
+            rows, "media_id string, pixels binary, width int, height int"
+        ).repartition(3)
+        out = ocr_images(df, backend="fake", batch_size=16, box_thresh=0.5)
+        return out.select(
+            "media_id", "line_no", "text", "conf",
+            F.md5(F.to_json(F.transform(
+                "box", lambda v: F.round(v, 1)))).alias("box_digest"),
+        )
+
     return {
         "doc_filter_stats": doc_filter_stats,
         "doc_fingerprint": doc_fingerprint,
@@ -825,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_detector_plan": media_detector_plan,
         "media_det_boxes": media_det_boxes,
         "media_rec_lines": media_rec_lines,
+        "media_ocr_lines": media_ocr_lines,
     }
 
 
@@ -1790,6 +1813,10 @@ def oracle_sql() -> dict[str, str]:
         "media_rec_lines": f"""
             select line_id, text, conf
             from '{_GOLDEN_Q}/media_rec_lines.parquet'
+        """,
+        "media_ocr_lines": f"""
+            select media_id, line_no, text, conf, box_digest
+            from '{_GOLDEN_Q}/media_ocr_lines.parquet'
         """,
         # the two invariant queries below additionally oracle-gate the
         # STRUCTURE live (not snapshot): the Spark query materializes the

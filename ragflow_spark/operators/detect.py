@@ -46,12 +46,14 @@ _SESS_CACHE: dict = {}
 
 
 class _FakeDetSession:
-    """Deterministic det head: maps = clip(mean_c(x * std + mean), 0, 1).
+    """Deterministic det head: maps = clip(red(x * std + mean), 0, 1).
 
     De-standardizes the ``detector_input`` tensor back to [0, 1] pixel
-    space and averages channels — a white region scores ~1.0, black ~0.0.
-    Same output contract as an onnxruntime DB-det session:
-    ``run(["maps"], {"x": (N,3,H,W)}) -> [(N,1,H,W)]``.
+    space and reads the RED channel — a red-saturated region scores ~1.0,
+    dark ~0.0. Channel-split on purpose: the composed OCR fixture paints
+    det signal on red and rec class bands on green/blue, so the two fake
+    heads never confound. Same output contract as an onnxruntime DB-det
+    session: ``run(["maps"], {"x": (N,3,H,W)}) -> [(N,1,H,W)]``.
     """
 
     def run(self, _output_names, feeds):
@@ -63,10 +65,8 @@ class _FakeDetSession:
         )
 
         x = feeds["x"]
-        mean = np.asarray(IMAGENET_MEAN, dtype=np.float32).reshape(1, 3, 1, 1)
-        std = np.asarray(IMAGENET_STD, dtype=np.float32).reshape(1, 3, 1, 1)
-        img01 = x * std + mean
-        maps = np.clip(img01.mean(axis=1, keepdims=True), 0.0, 1.0)
+        red = x[:, 0:1] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
+        maps = np.clip(red, 0.0, 1.0)
         return [maps.astype(np.float32)]
 
 
@@ -135,6 +135,77 @@ def synth_image_rows(n: int, seed: int = 7):
     return out
 
 
+def _det_boxes(sess, post, imgs, batch_size: int, target_size: int):
+    """Worker-side det core shared by detect_text_regions and ocr_images:
+    list of HxWx3 uint8 images → list of (n_i, 4, 2) float box arrays in
+    source pixels. One session.run per mini-batch padded to the group
+    max; each image's map cropped back to its resize region before the
+    DB postprocess so the map→src scaling is geometric."""
+    import numpy as np
+
+    from ragflow_spark.core.vision_prep import (
+        detector_input,
+        generate_scale,
+    )
+
+    results: list = [None] * len(imgs)
+    group: list = []
+
+    def flush():
+        if not group:
+            return
+        max_h = max(t.shape[1] for _i, t, _hw, _rs in group)
+        max_w = max(t.shape[2] for _i, t, _hw, _rs in group)
+        batch = np.zeros((len(group), 3, max_h, max_w), dtype=np.float32)
+        for i, (_idx, t, _hw, _rs) in enumerate(group):
+            batch[i, :, : t.shape[1], : t.shape[2]] = t
+        maps = sess.run(["maps"], {"x": batch})[0]
+        for i, (idx, _t, (src_h, src_w), (rs_h, rs_w)) in enumerate(group):
+            pred = maps[i, 0, :rs_h, :rs_w][None, None]
+            res = post({"maps": pred},
+                       [(src_h, src_w, 0.0, 0.0)])[0]["points"]
+            results[idx] = np.asarray(res, dtype=np.float64).reshape(
+                -1, 4, 2)
+        group.clear()
+
+    for idx, im in enumerate(imgs):
+        h, w = im.shape[:2]
+        tensor, _info = detector_input(im, target_size=target_size)
+        sy, sx = generate_scale((h, w), target_size)
+        group.append((idx, tensor, (h, w),
+                      (int(round(h * sy)), int(round(w * sx)))))
+        if len(group) >= batch_size:
+            flush()
+    flush()
+    return results
+
+
+def _rec_texts(sess, decoder, imgs, batch_size: int):
+    """Worker-side rec core shared by recognize_text_lines and
+    ocr_images: list of line images → list of (text, conf) in input
+    order, with the reference's aspect-ratio-sorted mini-batches and
+    per-batch max_wh_ratio sizing (ocr.py:307-352)."""
+    import numpy as np
+
+    from ragflow_spark.core.vision_prep import rec_resize_norm
+
+    texts: list = [("", 0.0)] * len(imgs)
+    if not imgs:
+        return texts
+    order = np.argsort([im.shape[1] / im.shape[0] for im in imgs])
+    for beg in range(0, len(imgs), batch_size):
+        chunk = order[beg:beg + batch_size]
+        max_wh = max(
+            [320 / 48.0]
+            + [imgs[i].shape[1] / imgs[i].shape[0] for i in chunk]
+        )
+        batch = np.stack([rec_resize_norm(imgs[i], max_wh) for i in chunk])
+        preds = sess.run(["logits"], {"x": batch})[0]
+        for rno, (txt, conf) in enumerate(decoder(preds)):
+            texts[chunk[rno]] = (txt, float(conf))
+    return texts
+
+
 def detect_text_regions(
     df: DataFrame,
     id_col: str = "media_id",
@@ -171,35 +242,9 @@ def detect_text_regions(
         post = DBPostProcess(thresh=thresh, box_thresh=box_thresh,
                              score_mode="fast")
 
-        def flush(group, out):
-            if not group:
-                return
-            max_h = max(t.shape[1] for _mid, t, _hw, _rs in group)
-            max_w = max(t.shape[2] for _mid, t, _hw, _rs in group)
-            batch = np.zeros((len(group), 3, max_h, max_w),
-                             dtype=np.float32)
-            for i, (_mid, t, _hw, _rs) in enumerate(group):
-                batch[i, :, : t.shape[1], : t.shape[2]] = t
-            maps = sess.run(["maps"], {"x": batch})[0]
-            for i, (mid, _t, (src_h, src_w), (rs_h, rs_w)) in enumerate(
-                group
-            ):
-                # crop the padded map back to this image's resize region
-                # so boxes_from_bitmap's map→src scaling is geometric
-                pred = maps[i, 0, :rs_h, :rs_w][None, None]
-                res = post({"maps": pred},
-                           [(src_h, src_w, 0.0, 0.0)])[0]["points"]
-                out["media_id"].append(mid)
-                out["n_boxes"].append(len(res))
-                out["boxes"].append([
-                    [float(v) for v in np.asarray(b).reshape(-1)]
-                    for b in res
-                ])
-            group.clear()
-
         for pdf in batches:
             out = {"media_id": [], "n_boxes": [], "boxes": []}
-            group: list = []
+            ids, imgs = [], []
             for r in pdf.itertuples():
                 h, w = int(getattr(r, height_col)), int(getattr(r, width_col))
                 raw = getattr(r, pixels_col)
@@ -208,20 +253,17 @@ def detect_text_regions(
                     out["n_boxes"].append(-1)  # malformed row marker
                     out["boxes"].append([])
                     continue
-                im = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
-                tensor, _info = detector_input(im, target_size=target_size)
-                # resized (pre-pad) region of the tensor: scale the source
-                # dims exactly as generate_scale did
-                from ragflow_spark.core.vision_prep import generate_scale
-
-                sy, sx = generate_scale((h, w), target_size)
-                rs_h, rs_w = int(round(h * sy)), int(round(w * sx))
-                group.append(
-                    (getattr(r, id_col), tensor, (h, w), (rs_h, rs_w))
-                )
-                if len(group) >= batch_size:
-                    flush(group, out)
-            flush(group, out)
+                ids.append(getattr(r, id_col))
+                imgs.append(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+            for mid, boxes in zip(
+                ids, _det_boxes(sess, post, imgs, batch_size, target_size)
+            ):
+                out["media_id"].append(mid)
+                out["n_boxes"].append(len(boxes))
+                out["boxes"].append([
+                    [float(v) for v in b.reshape(-1)] for b in boxes
+                ])
             yield pd.DataFrame(out)
 
     return df.select(id_col, pixels_col, width_col, height_col).mapInPandas(
@@ -238,12 +280,15 @@ class _FakeRecSession:
     """Deterministic rec head with the onnx contract
     ``run(["logits"], {"x": (N,3,48,W)}) -> [(N, W//4, C)]``.
 
-    Each 4-column timestep window de-normalizes back to [0,1] intensity;
-    an intensity within 0.15 CLASS UNITS of a class center k/(C-1)
-    scores class k one-hot (uint8 painting lands ≤0.08 units off), and
-    anything further (resize-blended band edges) scores CTC blank — so
-    uniform painted bands decode to their class and transitions collapse
-    away, exactly what CTC repeat-collapse expects.
+    Channel protocol (see _FakeDetSession for why channels are split):
+    the GREEN channel carries the class intensity k/(C-1) and the BLUE
+    channel carries a validity beacon at 200/255. A 4-column timestep
+    scores class k one-hot only when blue is within 2/255 of the beacon
+    (≥98.9% of the window inside one painted band — rules out
+    crop/resize blends) AND green is within 0.15 class units of center
+    k; everything else (band edges, margins, the normalized-zero pad
+    that de-normalizes to mid-gray) scores CTC blank, which the
+    repeat-collapse then removes.
     """
 
     def __init__(self, num_classes: int):
@@ -257,23 +302,21 @@ class _FakeRecSession:
         t_steps = w // 4
         c = self.num_classes
         probs = np.zeros((n, t_steps, c), dtype=np.float32)
-        img01 = x * 0.5 + 0.5
+        # read the CENTER THIRD of rows: det crops carry the unclip
+        # margin above/below the painted text row, and full-height means
+        # would dilute both channels; the det box is centered on the row,
+        # so the middle rows are pure band signal
+        r0, r1 = _h // 3, max(_h // 3 + 1, 2 * _h // 3)
+        green = x[:, 1, r0:r1] * 0.5 + 0.5
+        blue = x[:, 2, r0:r1] * 0.5 + 0.5
         for t in range(t_steps):
-            window = img01[:, :, :, 4 * t:4 * t + 4]
-            inten = window.mean(axis=(1, 2, 3))  # (N,)
-            kf = inten * (c - 1)
+            g = green[:, :, 4 * t:4 * t + 4].mean(axis=(1, 2))
+            b = blue[:, :, 4 * t:4 * t + 4].mean(axis=(1, 2))
+            valid = np.abs(b - 200.0 / 255.0) <= 2.0 / 255.0
+            kf = g * (c - 1)
             k = np.rint(kf).astype(int)
             on_center = np.abs(kf - k) <= 0.15
-            k = np.where(on_center, np.clip(k, 0, c - 1), 0)  # off → blank
-            # rec_resize_norm right-pads with NORMALIZED zeros (the
-            # reference pads the same, ocr.py:119-121); exact 0.0 in
-            # x-space de-normalizes to mid-gray 0.5 which would alias to
-            # class (C-1)/2 — a real model learns pad≈nothing, the fake
-            # head detects the exact-zero signature instead (painted
-            # uint8 grays are never exactly 127.5/255)
-            pad_win = np.abs(x[:, :, :, 4 * t:4 * t + 4]).max(
-                axis=(1, 2, 3)) < 1e-6
-            k = np.where(pad_win, 0, k)
+            k = np.where(valid & on_center, np.clip(k, 0, c - 1), 0)
             probs[np.arange(n), t, k] = 1.0
         return [probs]
 
@@ -328,22 +371,7 @@ def recognize_text_lines(
                 ids.append(getattr(r, id_col))
                 imgs.append(
                     np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
-            texts = [("", 0.0)] * len(imgs)
-            # aspect-ratio sort: a mini-batch shares one padded width
-            order = np.argsort([im.shape[1] / im.shape[0] for im in imgs]) \
-                if imgs else np.array([], dtype=int)
-            for beg in range(0, len(imgs), batch_size):
-                chunk = order[beg:beg + batch_size]
-                max_wh = max(
-                    [320 / 48.0]
-                    + [imgs[i].shape[1] / imgs[i].shape[0] for i in chunk]
-                )
-                batch = np.stack([
-                    rec_resize_norm(imgs[i], max_wh) for i in chunk
-                ])
-                preds = sess.run(["logits"], {"x": batch})[0]
-                for rno, (txt, conf) in enumerate(decoder(preds)):
-                    texts[chunk[rno]] = (txt, float(conf))
+            texts = _rec_texts(sess, decoder, imgs, batch_size)
             out = pd.DataFrame({
                 "line_id": ids + bad_ids,
                 "text": [t for t, _ in texts] + [""] * len(bad_ids),
@@ -376,8 +404,10 @@ def synth_line_rows(n: int = 24, seed: int = 11):
         )
         bands = []
         for ch in text:
-            bands.append(int(round(255 * idx[ch] / (c - 1))))
-            bands.append(0)
+            # channel protocol: green = class intensity, blue = the 200
+            # validity beacon; separators all-zero (see _FakeRecSession)
+            bands.append((0, int(round(255 * idx[ch] / (c - 1))), 200))
+            bands.append((0, 0, 0))
         w = 8 * len(bands) + 8
         im = np.zeros((48, w, 3), dtype=np.uint8)
         x = 4
@@ -385,4 +415,164 @@ def synth_line_rows(n: int = 24, seed: int = 11):
             im[:, x:x + 8] = v
             x += 8
         out.append((f"rec{i:03d}", im.tobytes(), w, 48, text))
+    return out
+
+
+# ------------------------------------------------------- composed OCR
+
+OCR_SCHEMA = ("media_id string, line_no int, box array<double>, "
+              "text string, conf double")
+
+
+def ocr_images(
+    df: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    width_col: str = "width",
+    height_col: str = "height",
+    backend: str = "none",
+    det_model_path: str | None = None,
+    rec_model_path: str | None = None,
+    characters: list[str] | None = None,
+    batch_size: int = 16,
+    target_size: int = 800,
+    thresh: float = 0.3,
+    box_thresh: float = 0.6,
+    unclip_ratio: float = 1.5,
+    drop_score: float = 0.5,
+    intra_op_threads: int = 2,
+) -> DataFrame:
+    """The reference's full OCR loop (deepdoc/vision/ocr.py:581-630
+    ``OCR.__call__``) distributed: det boxes → ``sorted_boxes`` ordering →
+    ``get_rotate_crop_image`` perspective rectification per box →
+    aspect-sorted rec mini-batches → CTC decode → ``drop_score`` filter.
+    Both forward passes share the per-worker session pattern; crops from
+    EVERY image in an Arrow batch pool into common rec mini-batches, so
+    small images don't run underfull batches.
+
+    Output: one row per kept line — (media_id, line_no in reading order,
+    box [x0,y0,…,x3,y3], text, conf)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ragflow_spark.core.db_postprocess import DBPostProcess
+        from ragflow_spark.core.ocr_decode import (
+            DEFAULT_CHARSET,
+            CTCLabelDecode,
+        )
+        from ragflow_spark.core.ocr_geom import (
+            get_rotate_crop_image,
+            sorted_boxes,
+        )
+
+        chars = list(characters) if characters is not None else list(
+            DEFAULT_CHARSET)
+        decoder = CTCLabelDecode(characters=chars)
+        if backend == "fake":
+            det_sess = _FakeDetSession()
+            rec_sess = _FakeRecSession(num_classes=len(chars) + 1)
+        else:
+            det_sess = _session(backend, det_model_path, intra_op_threads)
+            rec_sess = _session(backend, rec_model_path, intra_op_threads)
+        post = DBPostProcess(thresh=thresh, box_thresh=box_thresh,
+                             unclip_ratio=unclip_ratio, score_mode="fast")
+
+        for pdf in batches:
+            ids, imgs = [], []
+            for r in pdf.itertuples():
+                h, w = int(getattr(r, height_col)), int(getattr(r, width_col))
+                raw = getattr(r, pixels_col)
+                if h <= 0 or w <= 0 or raw is None or len(raw) != h * w * 3:
+                    continue  # malformed rows contribute no lines
+                ids.append(getattr(r, id_col))
+                imgs.append(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+            per_img_boxes = _det_boxes(det_sess, post, imgs, batch_size,
+                                       target_size)
+            # pool crops across the whole Arrow batch → full rec batches
+            crops, crop_src = [], []
+            ordered_boxes: list[list] = []
+            for i, boxes in enumerate(per_img_boxes):
+                obs = sorted_boxes(boxes) if len(boxes) else []
+                ordered_boxes.append(obs)
+                for ln, b in enumerate(obs):
+                    crops.append(get_rotate_crop_image(imgs[i], b.copy()))
+                    crop_src.append((i, ln))
+            texts = _rec_texts(rec_sess, decoder, crops, batch_size)
+            out = {"media_id": [], "line_no": [], "box": [],
+                   "text": [], "conf": []}
+            for (i, ln), (txt, conf) in zip(crop_src, texts):
+                if conf < drop_score:  # OCR.__call__'s filter_boxes rule
+                    continue
+                out["media_id"].append(ids[i])
+                out["line_no"].append(ln)
+                out["box"].append([
+                    float(v) for v in ordered_boxes[i][ln].reshape(-1)])
+                out["text"].append(txt)
+                out["conf"].append(conf)
+            # explicit object dtype: an empty partition would otherwise
+            # infer float64 for the list column and break Arrow conversion
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype=object),
+                "line_no": pd.Series(out["line_no"], dtype="int64"),
+                "box": pd.Series(out["box"], dtype=object),
+                "text": pd.Series(out["text"], dtype=object),
+                "conf": pd.Series(out["conf"], dtype="float64"),
+            })
+
+    return df.select(id_col, pixels_col, width_col, height_col).mapInPandas(
+        run, schema=OCR_SCHEMA
+    )
+
+
+def synth_ocr_pages(n: int = 12, seed: int = 13):
+    """Deterministic full-OCR fixture pages: dark background with 1-3
+    text ROWS per page; each row is red-saturated (the det signal) and
+    carries wide green/blue class bands (the rec signal) so the composed
+    det → sorted_boxes → crop → rec loop must recover the exact encoded
+    strings in top-to-bottom order. Bands are 32px with 32px separators —
+    wide enough that det's unclip margin + crop resize still leaves
+    on-center timesteps per band (see _FakeRecSession's validity rule).
+
+    Returns (media_id, pixels, width, height, texts_top_to_bottom)."""
+    import numpy as np
+
+    from ragflow_spark.core.ocr_decode import DEFAULT_CHARSET
+
+    c = len(DEFAULT_CHARSET) + 1
+    idx = {ch: i + 1 for i, ch in enumerate(DEFAULT_CHARSET)}
+    out = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 70_001 + i)
+        n_rows = int(rng.integers(1, 4))
+        row_h, band_w = 64, 32
+        texts = []
+        row_imgs = []
+        for _ in range(n_rows):
+            text = "".join(
+                DEFAULT_CHARSET[int(j)] for j in
+                rng.integers(0, len(DEFAULT_CHARSET),
+                             int(rng.integers(2, 7)))
+            )
+            texts.append(text)
+            w_row = band_w * (2 * len(text) + 1)
+            row = np.zeros((row_h, w_row, 3), dtype=np.uint8)
+            row[:, :, 0] = 255  # det signal: red across the whole row
+            x = band_w // 2
+            for ch in text:
+                row[:, x:x + band_w, 1] = int(
+                    round(255 * idx[ch] / (c - 1)))
+                row[:, x:x + band_w, 2] = 200
+                x += 2 * band_w
+            row_imgs.append(row)
+        pg_w = max(r.shape[1] for r in row_imgs) + 80
+        pg_h = n_rows * (row_h + 56) + 56
+        page = np.full((pg_h, pg_w, 3), 8, dtype=np.uint8)
+        y = 40
+        for row in row_imgs:
+            page[y:y + row_h, 40:40 + row.shape[1]] = row
+            y += row_h + 56
+        out.append((f"ocr{i:03d}", page.tobytes(), pg_w, pg_h, texts))
     return out

@@ -118,16 +118,16 @@ def test_fake_session_contract_shapes():
 # ------------------------------------------------- recognition plumbing
 
 def _paint_text(text: str, chars: list[str]):
-    """Band-encode `text` at height 48: each char is an 8px-wide uniform
-    band at intensity class_idx/(C-1) (class = 1-based charset position),
-    separated by 8px blank (class 0) bands, all aligned to the 4px
-    timestep grid so no window straddles a transition."""
+    """Band-encode `text` at height 48 in the fake-rec channel protocol:
+    each char is an 8px-wide band with GREEN = class_idx/(C-1) intensity
+    and BLUE = the 200 validity beacon, separated by 8px all-zero bands,
+    aligned to the 4px timestep grid."""
     c = len(chars) + 1
     idx = {ch: i + 1 for i, ch in enumerate(chars)}
     bands = []
     for ch in text:
-        bands.append(int(round(255 * idx[ch] / (c - 1))))
-        bands.append(0)
+        bands.append((0, int(round(255 * idx[ch] / (c - 1))), 200))
+        bands.append((0, 0, 0))
     w = 8 * len(bands) + 8
     im = np.zeros((48, w, 3), dtype=np.uint8)
     x = 4
@@ -173,3 +173,29 @@ def test_recognize_malformed_and_order(spark):
         backend="fake").collect()}
     assert out["good"]["text"] == "ok42"
     assert out["bad"]["conf"] == -1.0 and out["bad"]["text"] == ""
+
+
+# ------------------------------------------------------- composed OCR
+
+def test_ocr_compose_e2e(spark):
+    """The full det → sorted_boxes → get_rotate_crop_image → rec loop
+    distributed: pages with red-signal text rows carrying band-encoded
+    strings must come back as exactly those strings in top-to-bottom
+    reading order."""
+    from ragflow_spark.operators.detect import ocr_images, synth_ocr_pages
+
+    pages = synth_ocr_pages(12)
+    rows = [(m, p, w, h) for m, p, w, h, _t in pages]
+    truth = {m: t for m, _p, _w, _h, t in pages}
+    df = spark.createDataFrame(
+        rows, "media_id string, pixels binary, width int, height int"
+    ).repartition(3)
+    out = ocr_images(df, backend="fake", batch_size=16,
+                     box_thresh=0.5).collect()
+    got: dict[str, list] = {}
+    for r in out:
+        got.setdefault(r["media_id"], []).append((r["line_no"], r["text"]))
+    assert set(got) == set(truth)
+    for mid, expect in truth.items():
+        lines = [t for _ln, t in sorted(got[mid])]
+        assert lines == expect, (mid, lines, expect)

@@ -29,6 +29,8 @@ EXPECTED = {
     "doc_tokenize": (200, ["doc_id", "content_ltks", "content_sm_ltks"]),
     "media_det_boxes": (24, ["media_id", "n_boxes", "boxes_digest"]),
     "media_rec_lines": (24, ["line_id", "text", "conf"]),
+    "media_ocr_lines": (None, ["media_id", "line_no", "text", "conf",
+                               "box_digest"]),
 }
 
 
@@ -38,7 +40,10 @@ def test_golden_parquet_shape(name):
     path = os.path.join(GOLD, f"{name}.parquet")
     assert os.path.exists(path), f"missing golden {path}"
     t = pq.read_table(path)
-    assert t.num_rows == rows
+    if rows is not None:
+        assert t.num_rows == rows
+    else:
+        assert t.num_rows > 0
     assert sorted(t.column_names) == sorted(cols)
 
 

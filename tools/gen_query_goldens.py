@@ -178,7 +178,32 @@ def main() -> None:
     check_rec_vs_ground_truth(rec)
     _write(rec, "media_rec_lines")
 
+    ocr = qs["media_ocr_lines"](spark, SF_DIR).toPandas()
+    check_ocr_vs_ground_truth(ocr)
+    _write(ocr, "media_ocr_lines")
+
     spark.stop()
+
+
+def check_ocr_vs_ground_truth(ocr) -> None:
+    """Refuse the media_ocr_lines golden unless every page's decoded
+    lines equal the band-encoded ground truth in reading order."""
+    from ragflow_spark.operators.detect import synth_ocr_pages
+
+    truth = {m: t for m, _p, _w, _h, t in synth_ocr_pages(12)}
+    got: dict[str, list] = {}
+    for r in ocr.itertuples():
+        got.setdefault(r.media_id, []).append((r.line_no, r.text))
+    if set(got) != set(truth):
+        raise SystemExit("media_ocr_lines page set mismatch")
+    for mid, expect in truth.items():
+        lines = [t for _ln, t in sorted(got[mid])]
+        if lines != expect:
+            raise SystemExit(
+                f"media_ocr_lines {mid}: decoded {lines!r} != ground "
+                f"truth {expect!r}")
+    print(f"media_ocr_lines: {len(truth)} pages decode to the encoded "
+          "ground truth in reading order")
 
 
 def check_rec_vs_ground_truth(rec) -> None:
