@@ -45,37 +45,80 @@ def find_contours(bitmap: np.ndarray) -> list[np.ndarray]:
     enumerated in raster-scan order of their first pixel."""
     h, w = bitmap.shape
     fg = bitmap > 0
-    labels = np.zeros((h, w), dtype=np.int32)
+    if not fg.any():
+        return []
     # boundary test: 4-neighbour background (cv2 border definition)
     pad = np.zeros((h + 2, w + 2), dtype=bool)
     pad[1:-1, 1:-1] = fg
     interior = (pad[:-2, 1:-1] & pad[2:, 1:-1]
                 & pad[1:-1, :-2] & pad[1:-1, 2:])
     is_boundary = fg & ~interior
-    contours: list[np.ndarray] = []
-    nxt = 1
-    for y0 in range(h):
-        for x0 in range(w):
-            if not fg[y0, x0] or labels[y0, x0]:
-                continue
-            stack = [(y0, x0)]
-            labels[y0, x0] = nxt
-            pix = []
-            while stack:
-                y, x = stack.pop()
-                if is_boundary[y, x]:
-                    pix.append((x, y))
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        ny, nx_ = y + dy, x + dx
-                        if 0 <= ny < h and 0 <= nx_ < w and \
-                                fg[ny, nx_] and not labels[ny, nx_]:
-                            labels[ny, nx_] = nxt
-                            stack.append((ny, nx_))
-            pix.sort(key=lambda p: (p[1], p[0]))
-            contours.append(np.array(pix, dtype=np.int32))
-            nxt += 1
-    return contours
+
+    # 8-connected components via row-run union-find (output identical to
+    # the previous per-pixel BFS — same component partition, components
+    # in raster order of their first pixel, boundary pixels in (y, x)
+    # raster order — but ~50× faster: the Python work is per RUN, not
+    # per pixel; r5 profile had the pixel walk at 0.8 s per 800×600 map)
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    run_label = np.zeros((h, w), dtype=np.int32)  # run id + 1 per pixel
+    prev_runs: list[tuple[int, int, int]] = []  # (x_start, x_end, run_id)
+    for y in range(h):
+        xs = np.flatnonzero(fg[y])
+        if xs.size == 0:
+            prev_runs = []
+            continue
+        breaks = np.flatnonzero(np.diff(xs) > 1)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [xs.size - 1]))
+        cur_runs = []
+        j = 0  # both rows' runs are x-sorted → two-pointer overlap scan
+        for s, e in zip(starts, ends):
+            x0, x1 = int(xs[s]), int(xs[e])
+            rid = len(parent)
+            parent.append(rid)
+            run_label[y, x0:x1 + 1] = rid + 1
+            # 8-connectivity: overlap with prev-row runs extended by 1
+            while j < len(prev_runs) and prev_runs[j][1] < x0 - 1:
+                j += 1
+            jj = j
+            while jj < len(prev_runs) and prev_runs[jj][0] <= x1 + 1:
+                union(rid, prev_runs[jj][2])
+                jj += 1
+            cur_runs.append((x0, x1, rid))
+        prev_runs = cur_runs
+
+    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
+    # canonical component order = raster order of each root's first run
+    # (runs were created in raster order, so the first run id with a
+    # given root IS the component's first pixel's run)
+    first_run_of_root: dict[int, int] = {}
+    order: list[int] = []
+    for rid, root in enumerate(roots):
+        if root not in first_run_of_root:
+            first_run_of_root[root] = len(order)
+            order.append(root)
+    comp_of_run = np.array(
+        [first_run_of_root[r] for r in roots], dtype=np.int64)
+
+    ys, bxs = np.nonzero(is_boundary)  # raster (y, x) order
+    comp = comp_of_run[run_label[ys, bxs] - 1]
+    sort = np.argsort(comp, kind="stable")
+    comp_s = comp[sort]
+    pts = np.stack([bxs[sort], ys[sort]], axis=1).astype(np.int32)
+    cuts = np.flatnonzero(np.diff(comp_s)) + 1
+    return [np.ascontiguousarray(g) for g in np.split(pts, cuts)]
 
 
 # --------------------------------------------------------- min-area rect
@@ -89,11 +132,20 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
         return p
 
     def half(points):
+        # scalar 2D cross — the same a0*b1 - a1*b0 float64 expression
+        # np.cross computes, minus its ~30 µs/call axis machinery (r5
+        # profile: 11k np.cross calls = 0.3 s per det map)
         out = []
         for q in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             q - out[-2]) <= 0:
-                out.pop()
+            while len(out) >= 2:
+                ax = out[-1][0] - out[-2][0]
+                ay = out[-1][1] - out[-2][1]
+                bx = q[0] - out[-2][0]
+                by = q[1] - out[-2][1]
+                if ax * by - ay * bx <= 0:
+                    out.pop()
+                else:
+                    break
             out.append(q)
         return out
 

@@ -97,7 +97,12 @@ def generate_scale(shape_hw: tuple[int, int], target_size,
 
 def _bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Numpy bilinear resize with cv2's half-pixel centers:
-    src = (dst + 0.5) * (in/out) - 0.5, edges clamped."""
+    src = (dst + 0.5) * (in/out) - 0.5, edges clamped.
+
+    Weights and arithmetic are float32 — cv2's INTER_LINEAR computes in
+    single precision too, and float64 elementwise is pathologically slow
+    on this host (measured ~100× a float32 multiply; a 660×460→800
+    resize took 4 s with f64 weights, ~40 ms in f32)."""
     in_h, in_w = im.shape[:2]
     ys = (np.arange(out_h) + 0.5) * (in_h / out_h) - 0.5
     xs = (np.arange(out_w) + 0.5) * (in_w / out_w) - 0.5
@@ -105,14 +110,16 @@ def _bilinear(im: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x0 = np.clip(np.floor(xs).astype(int), 0, in_w - 1)
     y1 = np.clip(y0 + 1, 0, in_h - 1)
     x1 = np.clip(x0 + 1, 0, in_w - 1)
-    wy = np.clip(ys - y0, 0, 1)[:, None, None]
-    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    wy = np.clip(ys - y0, 0, 1).astype(np.float32)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1).astype(np.float32)[None, :, None]
     im = im.astype(np.float32)
     if im.ndim == 2:
         im = im[:, :, None]
-    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
-    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
-    out = top * (1 - wy) + bot * wy
+    imy0, imy1 = im[y0], im[y1]
+    one = np.float32(1)
+    top = imy0[:, x0] * (one - wx) + imy0[:, x1] * wx
+    bot = imy1[:, x0] * (one - wx) + imy1[:, x1] * wx
+    out = top * (one - wy) + bot * wy
     return out
 
 
