@@ -817,6 +817,54 @@ def chunk_table(blob: bytes, fmt: str, lang: str = "English",
     return _finish(rows)
 
 
+def chunk_picture(blob: bytes, fmt: str, lang: str = "English",
+                  cfg: dict | None = None) -> list[ChunkOut]:
+    """rag/app/picture.py:26-50 — OCR the image; when the joined OCR text
+    clears the length gate (>32 English words or >32 chars), the text IS
+    the single chunk. Below the gate the reference falls through to a
+    vision-LLM caption (LLMBundle IMAGE2TEXT) — out of scope per SURVEY
+    §2.9; mirroring the reference's LLM-failure path (callback(-1),
+    return []), this returns [] and the caller sees zero chunks.
+
+    Pixels come from the real BMP codec (core/bmp.py) for .bmp bytes, or
+    raw (h·w·3) RGB via ``cfg["width"]/cfg["height"]`` for pre-decoded
+    input (the multimodal contract — compressed codecs stay stubbed).
+    ``cfg["ocr_backend"]`` selects the detector/recognizer backend
+    ("none" honest default / "fake" deterministic / "onnx" + model
+    paths)."""
+    import numpy as np
+
+    cfg = dict(cfg or {})
+    if fmt == "bmp":
+        from ragflow_spark.core.bmp import decode_bmp
+
+        im = decode_bmp(blob)
+    elif fmt in ("raw", "rgb"):
+        h, w = int(cfg.get("height", 0)), int(cfg.get("width", 0))
+        if h * w * 3 != len(blob):
+            raise ValueError("raw pixel blob does not match width/height")
+        im = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+    else:
+        raise NotImplementedError(
+            f"picture template: no codec for format {fmt!r} (bmp or "
+            "pre-decoded raw supported; compressed codecs are stubbed "
+            "per the multimodal contract)"
+        )
+    from ragflow_spark.operators.detect import ocr_image_array
+
+    lines = ocr_image_array(
+        im,
+        backend=cfg.get("ocr_backend", "none"),
+        det_model_path=cfg.get("det_model_path"),
+        rec_model_path=cfg.get("rec_model_path"),
+    )
+    txt = "\n".join(t for t, _conf in lines if t)
+    eng = lang.lower() == "english"
+    if (eng and len(txt.split(" ")) > 32) or len(txt) > 32:
+        return _finish([txt])
+    return []
+
+
 TEMPLATES = {
     "naive": chunk_naive,
     "general": chunk_naive,   # FACTORY alias (rag/svr/task_executor.py:67)
@@ -829,6 +877,7 @@ TEMPLATES = {
     "email": chunk_email,
     "manual": chunk_manual,
     "table": chunk_table,
+    "picture": chunk_picture,
 }
 
 

@@ -576,3 +576,51 @@ def synth_ocr_pages(n: int = 12, seed: int = 13):
             y += row_h + 56
         out.append((f"ocr{i:03d}", page.tobytes(), pg_w, pg_h, texts))
     return out
+
+
+def ocr_image_array(
+    im,
+    backend: str = "none",
+    det_model_path: str | None = None,
+    rec_model_path: str | None = None,
+    characters: list[str] | None = None,
+    batch_size: int = 16,
+    target_size: int = 800,
+    box_thresh: float = 0.5,
+    unclip_ratio: float = 1.5,
+    drop_score: float = 0.5,
+) -> list[tuple[str, float]]:
+    """Single-image OCR through the same det→sort→crop→rec cores the
+    distributed ``ocr_images`` uses — the per-doc entry the picture
+    template calls inside its extraction task (rag/app/picture.py:31-33
+    ``ocr(np.array(img))``). Returns [(text, conf), …] in reading
+    order after the drop_score filter."""
+    from ragflow_spark.core.db_postprocess import DBPostProcess
+    from ragflow_spark.core.ocr_decode import (
+        DEFAULT_CHARSET,
+        CTCLabelDecode,
+    )
+    from ragflow_spark.core.ocr_geom import (
+        get_rotate_crop_image,
+        sorted_boxes,
+    )
+
+    chars = list(characters) if characters is not None else list(
+        DEFAULT_CHARSET)
+    decoder = CTCLabelDecode(characters=chars)
+    if backend == "fake":
+        det_sess = _FakeDetSession()
+        rec_sess = _FakeRecSession(num_classes=len(chars) + 1)
+    else:
+        det_sess = _session(backend, det_model_path, 2)
+        rec_sess = _session(backend, rec_model_path, 2)
+    post = DBPostProcess(thresh=0.3, box_thresh=box_thresh,
+                         unclip_ratio=unclip_ratio, score_mode="fast")
+    boxes = _det_boxes(det_sess, post, [im], batch_size, target_size)[0]
+    obs = sorted_boxes(boxes) if len(boxes) else []
+    crops = [get_rotate_crop_image(im, b.copy()) for b in obs]
+    return [
+        (txt, conf)
+        for txt, conf in _rec_texts(rec_sess, decoder, crops, batch_size)
+        if conf >= drop_score
+    ]

@@ -199,3 +199,56 @@ def test_ocr_compose_e2e(spark):
     for mid, expect in truth.items():
         lines = [t for _ln, t in sorted(got[mid])]
         assert lines == expect, (mid, lines, expect)
+
+
+# ------------------------------------------------ picture template (bmp)
+
+def test_bmp_roundtrip():
+    from ragflow_spark.core.bmp import BmpError, decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (3, 5), (48, 31), (60, 60)):
+        im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(im)), im), (h, w)
+    with pytest.raises(BmpError):
+        decode_bmp(b"not a bmp at all....")
+    with pytest.raises(BmpError):
+        decode_bmp(encode_bmp(rng.integers(0, 255, (4, 4, 3),
+                                           dtype=np.uint8))[:30])
+
+
+def test_picture_template_bmp_ocr():
+    """picture.py's OCR branch end-to-end on real BMP bytes: the joined
+    OCR text becomes the single chunk when it clears the >32 length
+    gate; below the gate the LLM branch is out of scope and the
+    reference's failure path (return []) applies."""
+    from ragflow_spark.core.bmp import encode_bmp
+    from ragflow_spark.core.templates import run_template
+    from ragflow_spark.operators.detect import synth_ocr_pages
+
+    # stack a fixture page 3x vertically so the joined OCR text clears
+    # the template's >32-char gate (single pages encode ~6-20 chars)
+    _m, p, w, h, texts = synth_ocr_pages(1)[0]
+    one = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+    im = np.concatenate([one] * 6, axis=0)
+    texts = texts * 6
+    assert len("\n".join(texts)) > 32
+    blob = encode_bmp(im)
+    cks = run_template("picture", blob, "bmp", "English",
+                       cfg={"ocr_backend": "fake"})
+    assert len(cks) == 1
+    assert cks[0].chunk_text == "\n".join(texts)
+
+    # short text → the reference's LLM fallback (out of scope) → []
+    short = np.full((80, 120, 3), 8, dtype=np.uint8)
+    assert run_template("picture", encode_bmp(short), "bmp", "English",
+                        cfg={"ocr_backend": "fake"}) == []
+
+    # honest default: no backend configured raises, not silently empty
+    with pytest.raises(NotImplementedError, match="backend"):
+        run_template("picture", blob, "bmp", "English")
+
+    # unsupported codec stays honest
+    with pytest.raises(NotImplementedError, match="codec"):
+        run_template("picture", b"\x89PNG....", "png", "English",
+                     cfg={"ocr_backend": "fake"})
