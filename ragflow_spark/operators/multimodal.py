@@ -65,13 +65,27 @@ def decode_media_meta(
                 try:
                     if backend == "fake":
                         meta = _fake_decode(blob, kind)
+                    elif backend == "bmp" and kind == "image" \
+                            and blob[:2] == b"BM":
+                        # one REAL codec path: the zero-dependency BMP
+                        # decoder (core/bmp.py) — metadata from actual
+                        # pixels; everything else stays honestly stubbed
+                        from ragflow_spark.core.bmp import decode_bmp
+
+                        im = decode_bmp(blob)
+                        meta = {"width": im.shape[1],
+                                "height": im.shape[0], "n_frames": 1}
                     else:
                         raise NotImplementedError(
                             "media codecs unavailable in this environment; "
-                            "plug a decode backend (PIL/cv2/onnx) here"
+                            "plug a decode backend (PIL/cv2/onnx) here — "
+                            "uncompressed BMP decodes for real via "
+                            "backend='bmp'"
                         )
                     err = None
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError) as exc:
+                    # per-row isolation: a truncated/corrupt BMP (BmpError
+                    # is a ValueError) marks the row, not the task
                     meta = {"width": -1, "height": -1, "n_frames": -1}
                     err = str(exc)
                 for k, v in {**base, **meta, "error": err}.items():

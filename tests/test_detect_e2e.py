@@ -252,3 +252,25 @@ def test_picture_template_bmp_ocr():
     with pytest.raises(NotImplementedError, match="codec"):
         run_template("picture", b"\x89PNG....", "png", "English",
                      cfg={"ocr_backend": "fake"})
+
+
+def test_media_meta_bmp_backend(spark):
+    """decode_media_meta gains one REAL codec path: uncompressed BMP
+    metadata from actual pixels; corrupt BMPs mark their row, other
+    formats stay honestly stubbed."""
+    from ragflow_spark.core.bmp import encode_bmp
+    from ragflow_spark.operators.multimodal import decode_media_meta
+
+    im = np.zeros((37, 53, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_bmp(im), "image"),
+        (2, b"BM" + b"\x00" * 20, "image"),
+        (3, b"\x89PNG fake bytes", "image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, blob binary, kind string")
+    out = {r["media_id"]: r for r in decode_media_meta(
+        df, backend="bmp").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (53, 37, 1)
+    assert out[1]["error"] is None
+    assert out[2]["width"] == -1 and out[2]["error"]
+    assert out[3]["width"] == -1 and "BMP" in out[3]["error"]
