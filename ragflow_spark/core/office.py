@@ -170,6 +170,11 @@ def _pptx_extract(el) -> str | None:
              for tc in tr.findall(f"{_PPTX_A}tc")]
             for tr in trs
         ]
+        # rows shorter than tblGrid declares are out-of-spec (python-pptx
+        # would raise on cell(i, j)); treat missing cells as empty rather
+        # than failing the whole document
+        for row in grid:
+            row.extend([""] * (ncols - len(row)))
         rows = []
         for i in range(1, len(grid)):
             rows.append("; ".join(

@@ -490,32 +490,46 @@ _MEDIABOX_RE = re.compile(
 )
 
 
-def _page_ybox(dct: bytes, objects: dict) -> tuple[float, float]:
+def _page_ybox(dct: bytes, objects: dict,
+               page_num: int | None = None) -> tuple[float, float]:
     """(y0, y1) of a page's MediaBox. MediaBox is an INHERITABLE page
-    attribute — when the page dict lacks one, the first /Pages node
-    carrying a MediaBox supplies it; US-Letter (0, 792) as last resort.
-    Height is y1 - y0 and the content y-flip reference is y1 (top edge),
-    which only coincide when the origin sits at 0."""
+    attribute — when the page dict lacks one, the page's ACTUAL /Pages
+    ancestors supply it (nearest first, via the /Kids child→parent map —
+    a document can hold subtrees with different MediaBoxes); US-Letter
+    (0, 792) as last resort. Height is y1 - y0 and the content y-flip
+    reference is y1 (top edge), which only coincide when the origin sits
+    at 0."""
     mb = _MEDIABOX_RE.search(dct)
-    if mb is None:
-        for _num, (pdct, _pd) in sorted(objects.items()):
+    if mb is None and page_num is not None:
+        parent_of: dict[int, int] = {}
+        for num, (pdct, _pd) in objects.items():
             if b"/Type /Pages" in pdct or b"/Type/Pages" in pdct:
-                mb = _MEDIABOX_RE.search(pdct)
-                if mb is not None:
-                    break
+                for m in re.finditer(
+                    rb"(\d+)\s+0\s+R", pdct.split(b"/Kids", 1)[-1]
+                ):
+                    parent_of.setdefault(int(m.group(1)), num)
+        seen: set[int] = set()
+        node = parent_of.get(page_num)
+        while node is not None and node not in seen:
+            seen.add(node)
+            pdct, _pd = objects.get(node, (b"", None))
+            mb = _MEDIABOX_RE.search(pdct)
+            if mb is not None:
+                break
+            node = parent_of.get(node)
     if mb is None:
         return 0.0, 792.0
     return float(mb.group(2)), float(mb.group(4))
 
 
 def _page_dicts(objects: dict):
-    """Page dicts in document order — THE shared walk both the box
-    extractor and the height scan use, so their lists stay aligned
-    index-for-index by construction."""
+    """(object number, page dict) in document order — THE shared walk
+    both the box extractor and the height scan use, so their lists stay
+    aligned index-for-index by construction."""
     for pn in _page_order(objects):
         dct, _d = objects.get(pn, (b"", None))
         if b"/Type /Page" in dct or b"/Type/Page" in dct:
-            yield dct
+            yield pn, dct
 
 
 def page_heights(blob: bytes) -> list[float]:
@@ -530,7 +544,8 @@ def page_heights(blob: bytes) -> list[float]:
     objects = _parse_objects(blob)
     return [
         y1 - y0 for y0, y1 in
-        (_page_ybox(dct, objects) for dct in _page_dicts(objects))
+        (_page_ybox(dct, objects, num)
+         for num, dct in _page_dicts(objects))
     ]
 
 
@@ -541,9 +556,9 @@ def extract_boxes(blob: bytes) -> list[list[dict]]:
         raise UnsupportedPdfError("not a PDF")
     objects = _parse_objects(blob)
     pages: list[list[dict]] = []
-    for dct in _page_dicts(objects):
+    for num, dct in _page_dicts(objects):
         # y-flip reference is the MediaBox TOP edge (y1): top = y1 - y
-        _y0, page_h = _page_ybox(dct, objects)
+        _y0, page_h = _page_ybox(dct, objects, num)
         m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", dct)
         if not m:
             pages.append([])

@@ -364,12 +364,11 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
         slides = office.parse_pptx(blob)
     elif fmt == "pdf" and not cfg.get("layout_recognize", True):
         # presentation.py:79-88 PlainPdf: ONE chunk per page, the raw
-        # per-page extract_text (blank lines kept, no __garbage filter),
-        # and every page kept even when empty (presentation.py:121-133
-        # has no empty check)
+        # per-page extract_text (blank lines kept, no __garbage filter);
+        # empty pages keep their chunk via the shared finisher below
         fp, tp = _page_range(cfg)
         pages = pdf_mini.extract_text_lines(blob)[fp:tp]
-        return _finish(["\n".join(lines) for lines in pages])
+        slides = ["\n".join(lines) for lines in pages]
     elif fmt == "pdf":
         # per-line garbage filter (presentation.py:52-57 __garbage):
         # numeric/punct-only lines and stubs under 3 chars drop
@@ -398,7 +397,22 @@ def chunk_presentation(blob: bytes, fmt: str, lang: str = "English",
         raise NotImplementedError(
             f"presentation template: unsupported format {fmt}"
         )
-    return _finish([s for s in slides if s.strip()])
+    # EVERY slide/page yields a chunk, empty ones included: presentation
+    # bypasses tokenize_chunks and calls tokenize(d, txt) per page
+    # unconditionally (presentation.py:105-116 pptx, :121-133 pdf), so a
+    # blank page keeps its chunk slot — _finish's empty filter would
+    # shift every later page's index (probed against the reference on a
+    # blank-middle-page PDF, both layout and plain branches)
+    out: list[ChunkOut] = []
+    for s in slides:
+        out.append(ChunkOut(
+            chunk_idx=len(out),
+            chunk_text=remove_tag(s),
+            tag_text=s,
+            spans=parse_spans(s),
+            title="",
+        ))
+    return out
 
 
 _QA_PREFIX = re.compile(

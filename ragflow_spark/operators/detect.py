@@ -71,35 +71,36 @@ class _FakeDetSession:
 
 
 def _session(backend: str, model_path: str | None, intra_op_threads: int):
+    """onnx sessions only — fake heads are constructed at the call site
+    (they are role-specific: a det map head handed to a rec consumer
+    would decode garbage with no error, so the cache never holds them)."""
     if backend == "none":
         raise NotImplementedError(
             "detector backend not configured — pass backend='onnx' with a "
             "model_path (requires onnxruntime) or backend='fake' for the "
             "deterministic plumbing stand-in"
         )
-    if backend == "fake":
-        key = ("fake", None, 0)
-    elif backend == "onnx":
-        st = os.stat(model_path)
-        key = ("onnx", model_path, st.st_mtime_ns)
-    else:
+    if backend != "onnx":
         raise NotImplementedError(f"unknown detector backend {backend!r}")
+    st = os.stat(model_path)
+    key = ("onnx", model_path, st.st_mtime_ns)
     sess = _SESS_CACHE.get(key)
     if sess is None:
-        if backend == "fake":
-            sess = _FakeDetSession()
-        else:
-            import onnxruntime as ort  # raises if not installed — honest
+        import onnxruntime as ort  # raises if not installed — honest
 
-            opts = ort.SessionOptions()
-            # don't oversubscribe: spark.task.cpus cores are already
-            # claimed by the task; ORT gets a small fixed intra-op pool
-            opts.intra_op_num_threads = intra_op_threads
-            sess = ort.InferenceSession(
-                model_path, sess_options=opts,
-                providers=["CPUExecutionProvider"],
-            )
-        _SESS_CACHE.clear()  # one model at a time — bound worker memory
+        opts = ort.SessionOptions()
+        # don't oversubscribe: spark.task.cpus cores are already
+        # claimed by the task; ORT gets a small fixed intra-op pool
+        opts.intra_op_num_threads = intra_op_threads
+        sess = ort.InferenceSession(
+            model_path, sess_options=opts,
+            providers=["CPUExecutionProvider"],
+        )
+        # bound worker memory at one det + one rec model — clearing on
+        # EVERY insert would evict the partner model each task and
+        # re-deserialize both per task in the composed OCR path
+        if len(_SESS_CACHE) >= 2:
+            _SESS_CACHE.clear()
         _SESS_CACHE[key] = sess
     return sess
 
@@ -217,7 +218,8 @@ def detect_text_regions(
     batch_size: int = 16,
     target_size: int = 800,
     thresh: float = 0.3,
-    box_thresh: float = 0.6,
+    box_thresh: float = 0.5,
+    unclip_ratio: float = 1.5,
     intra_op_threads: int = 2,
 ) -> DataFrame:
     """Image rows → det boxes, distributed: preprocess each image through
@@ -236,11 +238,11 @@ def detect_text_regions(
         import pandas as pd
 
         from ragflow_spark.core.db_postprocess import DBPostProcess
-        from ragflow_spark.core.vision_prep import detector_input
 
-        sess = _session(backend, model_path, intra_op_threads)
+        sess = _FakeDetSession() if backend == "fake" \
+            else _session(backend, model_path, intra_op_threads)
         post = DBPostProcess(thresh=thresh, box_thresh=box_thresh,
-                             score_mode="fast")
+                             unclip_ratio=unclip_ratio, score_mode="fast")
 
         for pdf in batches:
             out = {"media_id": [], "n_boxes": [], "boxes": []}
@@ -349,7 +351,6 @@ def recognize_text_lines(
             DEFAULT_CHARSET,
             CTCLabelDecode,
         )
-        from ragflow_spark.core.vision_prep import rec_resize_norm
 
         chars = list(characters) if characters is not None else list(
             DEFAULT_CHARSET)
@@ -437,7 +438,7 @@ def ocr_images(
     batch_size: int = 16,
     target_size: int = 800,
     thresh: float = 0.3,
-    box_thresh: float = 0.6,
+    box_thresh: float = 0.5,   # the reference OCR det config (ocr.py:376)
     unclip_ratio: float = 1.5,
     drop_score: float = 0.5,
     intra_op_threads: int = 2,
@@ -498,7 +499,14 @@ def ocr_images(
                 obs = sorted_boxes(boxes) if len(boxes) else []
                 ordered_boxes.append(obs)
                 for ln, b in enumerate(obs):
-                    crops.append(get_rotate_crop_image(imgs[i], b.copy()))
+                    try:
+                        crops.append(
+                            get_rotate_crop_image(imgs[i], b.copy()))
+                    except Exception:
+                        # degenerate quad (coords collapsed by rounding →
+                        # singular homography): skip the box, keep the
+                        # task — cv2 degrades instead of raising here
+                        continue
                     crop_src.append((i, ln))
             texts = _rec_texts(rec_sess, decoder, crops, batch_size)
             out = {"media_id": [], "line_no": [], "box": [],
@@ -614,11 +622,18 @@ def ocr_image_array(
     else:
         det_sess = _session(backend, det_model_path, 2)
         rec_sess = _session(backend, rec_model_path, 2)
+    # reference OCR det config (ocr.py:376-377): thresh 0.3 / box 0.5 /
+    # unclip 1.5 — the same defaults every entry point shares
     post = DBPostProcess(thresh=0.3, box_thresh=box_thresh,
                          unclip_ratio=unclip_ratio, score_mode="fast")
     boxes = _det_boxes(det_sess, post, [im], batch_size, target_size)[0]
     obs = sorted_boxes(boxes) if len(boxes) else []
-    crops = [get_rotate_crop_image(im, b.copy()) for b in obs]
+    crops = []
+    for b in obs:
+        try:
+            crops.append(get_rotate_crop_image(im, b.copy()))
+        except Exception:
+            continue  # degenerate quad — skip the box, keep the doc
     return [
         (txt, conf)
         for txt, conf in _rec_texts(rec_sess, decoder, crops, batch_size)

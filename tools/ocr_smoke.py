@@ -54,7 +54,10 @@ def main() -> None:
 
     pages = spark.range(n_pages).repartition(parts).mapInPandas(
         gen, schema=("media_id string, pixels binary, width int, "
-                     "height int, truth string"))
+                     "height int, truth string")).persist()
+    pages.count()  # materialize BEFORE timing: the OCR branch and the
+    # truth join would otherwise each regenerate the corpus, folding 2×
+    # synthesis cost into the reported pages/s
 
     def run():
         out = ocr_images(pages, backend="fake", batch_size=16,
