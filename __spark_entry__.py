@@ -221,24 +221,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # -------- dedup family
-    def doc_minhash_sig(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id",
-            F.concat_ws(
-                ",",
-                F.transform(
-                    minhash_signature(F.col("text"), 16, 3),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias("sig"),
-        )
-
-    def doc_minhash_bands(spark, sf):
+    def doc_minhash_stages(spark, sf):
+        """Both MinHash pipeline stages — per-doc signature AND the LSH
+        band keys — in one tagged union (r5→r6: the driver records only
+        the FIRST 50 registry entries, so stage-checks of one operator
+        share a query slot; the union oracle still gates each stage
+        row-for-row)."""
+        d = _docs(spark, sf)
         sig = minhash_signature(F.col("text"), 16, 3)
-        return _docs(spark, sf).select(
+        sig_rows = d.select(
             "doc_id",
-            F.posexplode(lsh_bands(sig, 4, 4)),
-        ).select("doc_id", F.col("pos").alias("band_no"), F.col("col").alias("band"))
+            F.lit("sig").alias("stage"),
+            F.lit(-1).cast("int").alias("band_no"),
+            F.concat_ws(
+                ",", F.transform(sig, lambda x: x.cast("string"))
+            ).alias("value"),
+        )
+        band_rows = d.select(
+            "doc_id", F.posexplode(lsh_bands(sig, 4, 4)),
+        ).select(
+            "doc_id",
+            F.lit("band").alias("stage"),
+            F.col("pos").cast("int").alias("band_no"),
+            F.col("col").alias("value"),
+        )
+        return sig_rows.unionByName(band_rows)
 
     def doc_minhash_pairs(spark, sf):
         return dedup.minhash_pairs(
@@ -305,26 +312,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             indexed, "embedding", "vec_id", cents, qv, k=10, nprobe=2
         )
 
-    def emb_cluster_sizes(spark, sf):
+    def emb_kmeans_stages(spark, sf):
+        """IVF assignment sizes at the seed centroids ('assign') and after
+        one native Lloyd iteration ('refined') — the former emb_cluster_sizes
+        + emb_kmeans_step_sizes merged into one tagged union (driver
+        records only the first 50 registry entries; both stages stay
+        oracle-gated row-for-row)."""
         e = _emb(spark, sf)
         cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
         indexed = similarity.ivf_build(e, "embedding", "vec_id", cents)
-        return indexed.groupBy("cluster_id").agg(
+        assign = indexed.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n_vecs")
-        )
-
-    def emb_kmeans_step_sizes(spark, sf):
-        """One native Lloyd iteration: seed centroids → assign → per-cluster
-        element-wise mean → REASSIGN against the refined centroids →
-        cluster sizes. Gates kmeans_refine end-to-end."""
-        e = _emb(spark, sf)
-        cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
-        indexed = similarity.ivf_build(e, "embedding", "vec_id", cents)
+        ).select(F.lit("assign").alias("stage"), "cluster_id", "n_vecs")
         refined = similarity.kmeans_refine(indexed, "embedding", "vec_id")
         indexed2 = similarity.ivf_build(e, "embedding", "vec_id", refined)
-        return indexed2.groupBy("cluster_id").agg(
+        step = indexed2.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n_vecs")
-        )
+        ).select(F.lit("refined").alias("stage"), "cluster_id", "n_vecs")
+        return assign.unionByName(step)
 
     # -------- product quantization (ANN at billion scale: 64 floats → m
     # codes; encode + asymmetric-distance search, both oracle-gated)
@@ -364,6 +369,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_pq_topk(
             enc, "embedding", "vec_id", cents, books, qv,
             k=10, nprobe=4, rerank=200,
+        )
+
+    def emb_ivf_pq_recall(spark, sf):
+        """recall@10 of the composed IVF→PQ→re-rank path vs brute force,
+        computed INSIDE Spark (no collect of either result set): each
+        brute-force top-10 row carries a found flag from a broadcast-sized
+        join against the IVF-PQ top-10. The oracle is brute force with
+        found=1 on every row, so any quantizer/probe change that silently
+        trades recall for speed at this sf turns the row red (VERDICT r5
+        #7)."""
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        brute = similarity.cosine_topk(e, "embedding", qv, k=10,
+                                       id_col="vec_id")
+        cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
+        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        indexed = similarity.ivf_build(e, "embedding", "vec_id", cents)
+        enc = similarity.pq_encode(indexed, "embedding", "vec_id", books,
+                                   keep_cols=("cluster_id", "embedding"))
+        approx = similarity.ivf_pq_topk(
+            enc, "embedding", "vec_id", cents, books, qv,
+            k=10, nprobe=4, rerank=200,
+        ).select("vec_id", F.lit(1).cast("int").alias("found"))
+        return (
+            brute.join(F.broadcast(approx), "vec_id", "left")
+            .select(
+                "vec_id", "cos",
+                F.coalesce("found", F.lit(0)).cast("int").alias("found"),
+            )
         )
 
     # -------- table typing (SURVEY §2.6 C6 as native DataFrame ops)
@@ -448,26 +482,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return op(docs, "doc_no", "blob")
 
     # -------- hyperplane LSH bucketing (similarity scale path)
-    def emb_hyperplane_lsh(spark, sf):
+    def emb_lsh_stages(spark, sf):
+        """Hyperplane-LSH bucket histogram ('bucket' rows, 6 planes seed
+        42) plus the LSH-blocked near-dup pairs ('pair' rows, 4 planes
+        seed 7) — former emb_hyperplane_lsh + emb_near_dup_lsh in one
+        tagged union (driver records only the first 50 registry
+        entries)."""
         from ragflow_spark.operators.similarity import (
             deterministic_hyperplanes,
             hyperplane_lsh_bucket,
         )
 
-        planes = deterministic_hyperplanes(64, 6, seed=42)
-        return (
-            hyperplane_lsh_bucket(_emb(spark, sf), "embedding", planes)
+        planes6 = deterministic_hyperplanes(64, 6, seed=42)
+        buckets = (
+            hyperplane_lsh_bucket(_emb(spark, sf), "embedding", planes6)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .select(
+                F.lit("bucket").alias("part"), "bucket",
+                F.lit(None).cast("long").alias("id_a"),
+                F.lit(None).cast("long").alias("id_b"),
+                F.col("n_vecs").cast("long").alias("n_vecs"),
+                F.lit(None).cast("double").alias("cos"),
+            )
         )
-
-    def emb_near_dup_lsh(spark, sf):
-        from ragflow_spark.operators.similarity import deterministic_hyperplanes
-
-        planes = deterministic_hyperplanes(64, 4, seed=7)
-        return dedup.embedding_near_dup_lsh(
-            _emb(spark, sf), "vec_id", "embedding", planes, threshold=0.3
+        planes4 = deterministic_hyperplanes(64, 4, seed=7)
+        pairs = dedup.embedding_near_dup_lsh(
+            _emb(spark, sf), "vec_id", "embedding", planes4, threshold=0.3
+        ).select(
+            F.lit("pair").alias("part"), "bucket",
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.lit(None).cast("long").alias("n_vecs"),
+            "cos",
         )
+        return buckets.unionByName(pairs)
 
     # -------- events
     def events_hourly(spark, sf):
@@ -613,16 +662,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "overwrite").parquet(out)
         return out, spark.read.parquet(out)
 
-    def extract_chunks_invariants(spark, sf):
-        """Per-url structural invariants of the extraction output, computed
-        by Spark AND (via oracle_sql) DuckDB over the same materialized
-        parquet: row/chunk counts, distinct chunk ids, span first-page
-        monotonicity violations. The driver's hash compare cross-checks
-        the engines; pytest asserts the invariant VALUES (no violations,
-        ids unique) in tests/test_pipeline.py::test_extract_invariants."""
+    def extract_invariants(spark, sf):
+        """Structural invariants of the extraction output — per-url chunk
+        tier AND per-partition manifest tier — computed by Spark AND (via
+        oracle_sql) DuckDB over the same materialized parquet: row/chunk
+        counts, distinct chunk ids, span first-page monotonicity
+        violations, manifest doc/chunk/byte recounts. Former
+        extract_chunks_invariants + extract_manifest_invariants in one
+        tagged union (driver records only the first 50 registry entries).
+        pytest asserts the invariant VALUES in
+        tests/test_pipeline.py::test_extract_invariants."""
         from pyspark.sql import Window
+        from ragflow_spark.plans.manifest import build_manifest
 
-        _, t = _materialize_chunks(spark, "oracle_chunks")
+        _, t = _materialize_chunks(spark, "oracle_invariants")
         # table chunks are emitted BEFORE the merged text chunks (the
         # tokenize_table-first contract, rag/app/naive.py:214-231) and
         # carry positions from anywhere in the doc — page monotonicity is
@@ -640,28 +693,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("prev_page",
                         F.last("first_page", ignorenulls=True).over(w))
         )
-        return per_chunk.groupBy("url").agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        chunks_tier = per_chunk.groupBy("url").agg(
+            F.count(F.lit(1)).cast("long").alias("m1"),
             F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_chunks"),
-            F.countDistinct("content_hash").cast("long").alias("n_chunk_ids"),
+            .cast("long").alias("m2"),
+            F.countDistinct("content_hash").cast("long").alias("m3"),
             F.sum(F.when(F.col("first_page") < F.col("prev_page"), 1)
-                  .otherwise(0)).cast("long").alias("span_page_violations"),
+                  .otherwise(0)).cast("long").alias("m4"),
+        ).select(
+            F.lit("chunks").alias("tier"), F.col("url").alias("key"),
+            "m1", "m2", "m3", "m4",
         )
-
-    def extract_manifest_invariants(spark, sf):
-        """The manifest (A7) vs an independent DuckDB recount over the same
-        chunk parquet: per-partition doc_count / chunk_count / bytes must
-        agree across engines."""
-        from ragflow_spark.plans.manifest import build_manifest
-
-        _, t = _materialize_chunks(spark, "oracle_manifest")
-        return build_manifest(t, num_partitions=16).select(
-            "partition_id",
-            F.col("doc_count").cast("long").alias("doc_count"),
-            F.col("chunk_count").cast("long").alias("chunk_count"),
-            F.col("bytes").cast("long").alias("bytes"),
+        manifest_tier = build_manifest(t, num_partitions=16).select(
+            F.lit("manifest").alias("tier"),
+            F.col("partition_id").cast("string").alias("key"),
+            F.col("doc_count").cast("long").alias("m1"),
+            F.col("chunk_count").cast("long").alias("m2"),
+            F.col("bytes").cast("long").alias("m3"),
+            F.lit(0).cast("long").alias("m4"),
         )
+        return chunks_tier.unionByName(manifest_tier)
 
     def doc_winnow_fp(spark, sf):
         out = textstats.winnow_fingerprints(_docs(spark, sf), "doc_id", "text")
@@ -674,8 +725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ))).alias("fp_digest"),
         )
 
-    def media_meta(spark, sf):
-        from ragflow_spark.operators.multimodal import decode_media_meta
+    def media_meta_frames(spark, sf):
+        """Media metadata decode ('meta' rows) plus the every-30th-frame
+        sampling plan ('frame' rows) — former media_meta +
+        media_frame_plan in one tagged union (driver records only the
+        first 50 registry entries; both tiers stay oracle-gated)."""
+        from ragflow_spark.operators.multimodal import (
+            decode_media_meta,
+            frame_sample_plan,
+        )
 
         media = _docs(spark, sf).select(
             F.col("doc_id").alias("media_id"),
@@ -684,9 +742,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(F.col("doc_id") % 3 == 1, "audio")
             .otherwise("video").alias("kind"),
         )
-        return decode_media_meta(
-            media, backend="fake"
-        ).select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+        meta = decode_media_meta(media, backend="fake")
+        meta_rows = meta.select(
+            F.lit("meta").alias("part"), "media_id", "kind",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "width", "height", "n_frames",
+            F.lit(-1).cast("int").alias("frame_no"),
+        )
+        frame_rows = frame_sample_plan(meta, every_n=30).select(
+            F.lit("frame").alias("part"), "media_id",
+            F.lit(None).cast("string").alias("kind"),
+            F.lit(None).cast("long").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.col("frame_no").cast("int").alias("frame_no"),
+        )
+        return meta_rows.unionByName(frame_rows)
 
     def media_detector_plan(spark, sf):
         """Distributed V-tier preprocessing: fake-decoded image dims →
@@ -704,25 +776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         meta = decode_media_meta(media, backend="fake")
         return prep_detector_inputs(meta.filter(F.col("error").isNull()))
-
-    def media_frame_plan(spark, sf):
-        """Frame-sampling plan over the (fake-decoded) media metadata: one
-        row per frame to decode, every 30th frame — a pure explode off the
-        deterministic metadata, so the oracle reconstructs it exactly."""
-        from ragflow_spark.operators.multimodal import (
-            decode_media_meta,
-            frame_sample_plan,
-        )
-
-        media = _docs(spark, sf).select(
-            F.col("doc_id").alias("media_id"),
-            F.encode("text", "utf-8").alias("blob"),
-            F.when(F.col("doc_id") % 3 == 0, "image")
-            .when(F.col("doc_id") % 3 == 1, "audio")
-            .otherwise("video").alias("kind"),
-        )
-        meta = decode_media_meta(media, backend="fake")
-        return frame_sample_plan(meta, every_n=30)
 
     def media_det_boxes(spark, sf):
         """Distributed detector forward-pass plumbing (V1/V3, VERDICT r4
@@ -809,8 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": doc_decontam,
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
-        "doc_minhash_sig": doc_minhash_sig,
-        "doc_minhash_bands": doc_minhash_bands,
+        "doc_minhash_stages": doc_minhash_stages,
         "doc_minhash_pairs": doc_minhash_pairs,
         "dup_clusters": dup_clusters,
         "doc_seg_dedup": doc_seg_dedup,
@@ -820,16 +872,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
-        "emb_cluster_sizes": emb_cluster_sizes,
-        "emb_kmeans_step_sizes": emb_kmeans_step_sizes,
+        "emb_kmeans_stages": emb_kmeans_stages,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_topk": emb_pq_topk,
         "emb_ivf_pq_topk": emb_ivf_pq_topk,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_ivf_pq_recall": emb_ivf_pq_recall,
+        "emb_lsh_stages": emb_lsh_stages,
         "table_typing": table_typing,
         "pdf_table_cells": pdf_table_cells,
         "table_row_chunks": table_row_chunks,
-        "emb_hyperplane_lsh": emb_hyperplane_lsh,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_stream_hourly": events_stream_hourly,
@@ -839,11 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_chunks_docs": extract_chunks_docs,
         "extract_pipeline_pages": extract_pipeline_pages,
         "extract_manifest": extract_manifest,
-        "extract_chunks_invariants": extract_chunks_invariants,
-        "extract_manifest_invariants": extract_manifest_invariants,
+        "extract_invariants": extract_invariants,
         "doc_winnow_fp": doc_winnow_fp,
-        "media_meta": media_meta,
-        "media_frame_plan": media_frame_plan,
+        "media_meta_frames": media_meta_frames,
         "media_detector_plan": media_detector_plan,
         "media_det_boxes": media_det_boxes,
         "media_rec_lines": media_rec_lines,
@@ -1300,19 +1349,18 @@ def oracle_sql() -> dict[str, str]:
                   from t)
             select lang, term, n, cast(rank as int) as rank from r where rank <= 5
         """,
-        "doc_minhash_sig": f"""
-            with d as (select doc_id, {_toks_sql('text')} as toks from documents),
-            s as (select doc_id, {_SHINGLES3} as sh from d),
-            p as (select doc_id, {_ab_sql()} as ab from s)
-            select doc_id, array_to_string({_minhash_sig_sql(16)}, ',') as sig from p
-        """,
-        "doc_minhash_bands": f"""
+        "doc_minhash_stages": f"""
             with d as (select doc_id, {_toks_sql('text')} as toks from documents),
             s as (select doc_id, {_SHINGLES3} as sh from d),
             p as (select doc_id, {_ab_sql()} as ab from s),
             g as (select doc_id, {_minhash_sig_sql(16)} as sig from p),
             b as (select doc_id, {_bands_sql(4, 4)} as bands from g)
-            select doc_id, cast(r.i as int) as band_no, b.bands[r.i + 1] as band
+            select doc_id, 'sig' as stage, cast(-1 as int) as band_no,
+                   array_to_string(sig, ',') as value
+            from g
+            union all
+            select b.doc_id, 'band' as stage, cast(r.i as int) as band_no,
+                   b.bands[r.i + 1] as value
             from b cross join (values (0), (1), (2), (3)) as r(i)
         """,
         "doc_minhash_pairs": _minhash_pairs_oracle(),
@@ -1463,8 +1511,8 @@ def oracle_sql() -> dict[str, str]:
                    round(s, 6) as scale_y, round(s, 6) as scale_x
             from rs
         """,
-        "media_meta": f"""
-            select doc_id as media_id,
+        "media_meta_frames": f"""
+            select 'meta' as part, doc_id as media_id,
                    case when doc_id % 3 = 0 then 'image'
                         when doc_id % 3 = 1 then 'audio'
                         else 'video' end as kind,
@@ -1473,18 +1521,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(64 + {_md5_byte_sql('text', 1)} * 4 as int) as height,
                    cast(case when doc_id % 3 = 0 then 1
                              else 1 + {_md5_byte_sql('text', 2)} % 300 end as int)
-                     as n_frames
+                     as n_frames,
+                   cast(-1 as int) as frame_no
             from documents
-        """,
-        "media_frame_plan": f"""
-            with m as (
+            union all
+            select 'frame' as part, m.media_id,
+                   cast(null as varchar) as kind,
+                   cast(null as bigint) as n_bytes,
+                   cast(null as int) as width,
+                   cast(null as int) as height,
+                   cast(null as int) as n_frames,
+                   cast(u.f as int) as frame_no
+            from (
               select doc_id as media_id,
                      case when doc_id % 3 = 0 then 1
                           else 1 + {_md5_byte_sql('text', 2)} % 300 end as n_frames
-              from documents)
-            select media_id, cast(u.f as int) as frame_no
-            from m, unnest(range(0, n_frames, 30)) u(f)
-            where n_frames > 0
+              from documents) m, unnest(range(0, m.n_frames, 30)) u(f)
+            where m.n_frames > 0
         """,
         "emb_cosine_topk": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
@@ -1532,22 +1585,7 @@ def oracle_sql() -> dict[str, str]:
             from idx i join probe p on i.cluster_id = p.cluster_id, q
             order by cos desc, i.vec_id limit 10
         """,
-        "emb_cluster_sizes": """
-            with cents as (
-              select row_number() over (order by vec_id) as cluster_id,
-                     embedding as centroid
-              from (select * from embeddings order by vec_id limit 8)),
-            assigned as (
-              select e.vec_id, c.cluster_id,
-                     row_number() over (partition by e.vec_id
-                        order by list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) desc,
-                                 c.cluster_id) as rn
-              from embeddings e cross join cents c)
-            select cast(cluster_id as int) as cluster_id,
-                   cast(count(*) as bigint) as n_vecs
-            from assigned where rn = 1 group by cluster_id
-        """,
-        "emb_kmeans_step_sizes": """
+        "emb_kmeans_stages": """
             with cents as (
               select row_number() over (order by vec_id) as cluster_id,
                      embedding::DOUBLE[] as centroid
@@ -1572,7 +1610,11 @@ def oracle_sql() -> dict[str, str]:
                         order by list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) desc,
                                  c.cluster_id) as rn
               from embeddings e cross join refined c)
-            select cast(cluster_id as int) as cluster_id,
+            select 'assign' as stage, cast(cluster_id as int) as cluster_id,
+                   cast(count(*) as bigint) as n_vecs
+            from idx0 where 1 = 1 group by cluster_id
+            union all
+            select 'refined' as stage, cast(cluster_id as int) as cluster_id,
                    cast(count(*) as bigint) as n_vecs
             from a1 where rn = 1 group by cluster_id
         """,
@@ -1595,6 +1637,14 @@ def oracle_sql() -> dict[str, str]:
                            round(list_sum(list(dist order by j)), 6) as adc
                     from sel group by vec_id)
             select vec_id, adc from adc order by adc, vec_id limit 10
+        """,
+        "emb_ivf_pq_recall": """
+            with q as (select embedding as qv from embeddings where vec_id = 0)
+            select vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) as cos,
+                   cast(1 as int) as found
+            from embeddings e, q
+            order by cos desc, vec_id limit 10
         """,
         "table_typing": _table_typing_oracle(),
         "table_row_chunks": """
@@ -1648,8 +1698,16 @@ def oracle_sql() -> dict[str, str]:
             select doc_no, table_no, caption, rn, cast(cn as int) as cn, cell
             from (select * from hdr union all select * from cells)
         """,
-        "emb_hyperplane_lsh": _hyperplane_oracle(),
-        "emb_near_dup_lsh": _near_dup_lsh_oracle(),
+        "emb_lsh_stages": f"""
+            select 'bucket' as part, h.bucket,
+                   cast(null as bigint) as id_a, cast(null as bigint) as id_b,
+                   h.n_vecs, cast(null as double) as cos
+            from ({_hyperplane_oracle()}) h
+            union all
+            select 'pair' as part, p.bucket, p.id_a, p.id_b,
+                   cast(null as bigint) as n_vecs, p.cos
+            from ({_near_dup_lsh_oracle()}) p
+        """,
         "events_hourly": """
             select date_trunc('hour', ts) as window_start, event_type,
                    cast(count(*) as bigint) as n_events,
@@ -1822,9 +1880,9 @@ def oracle_sql() -> dict[str, str]:
         # STRUCTURE live (not snapshot): the Spark query materializes the
         # chunk table to .cache and DuckDB independently recomputes the
         # invariants from the same parquet.
-        "extract_chunks_invariants": f"""
+        "extract_invariants": f"""
             with t as (
-              select * from '{_ORACLE_CACHE}/oracle_chunks/*.parquet'
+              select * from '{_ORACLE_CACHE}/oracle_invariants/*.parquet'
             ),
             pc as (
               select url, chunk_idx, content_hash, error,
@@ -1841,23 +1899,22 @@ def oracle_sql() -> dict[str, str]:
               ) as prev_page
               from pc
             )
-            select url,
-                   cast(count(*) as bigint) as n_rows,
+            select 'chunks' as tier, url as key,
+                   cast(count(*) as bigint) as m1,
                    cast(sum(case when error is null then 1 else 0 end)
-                        as bigint) as n_chunks,
-                   cast(count(distinct content_hash) as bigint)
-                        as n_chunk_ids,
+                        as bigint) as m2,
+                   cast(count(distinct content_hash) as bigint) as m3,
                    cast(sum(case when first_page < prev_page then 1
-                            else 0 end) as bigint) as span_page_violations
+                            else 0 end) as bigint) as m4
             from lagd
             group by url
-        """,
-        "extract_manifest_invariants": f"""
-            select partition_id,
-                   cast(count(distinct url) as bigint) as doc_count,
-                   cast(count(*) as bigint) as chunk_count,
-                   cast(sum(length(chunk_text)) as bigint) as bytes
-            from '{_ORACLE_CACHE}/oracle_manifest/*.parquet'
+            union all
+            select 'manifest' as tier, cast(partition_id as varchar) as key,
+                   cast(count(distinct url) as bigint) as m1,
+                   cast(count(*) as bigint) as m2,
+                   cast(sum(length(chunk_text)) as bigint) as m3,
+                   cast(0 as bigint) as m4
+            from '{_ORACLE_CACHE}/oracle_invariants/*.parquet'
             group by partition_id
         """,
     }

@@ -166,10 +166,23 @@ def main() -> None:
     REG_FACTOR = float(os.environ.get("SPARK_GRAFT_REG_FACTOR", "1.3"))
     if prior_files:
         try:
-            with open(os.path.join(rdir, prior_files[-1])) as f:
-                prior = json.load(f).get("parsed", {})
-            if prior.get("sf") == sf and prior.get("cpus") == cpus:
-                prior_round = prior_files[-1]
+            # scan BACKWARDS to the newest PARSEABLE prior (VERDICT r5 #1:
+            # BENCH_r05's driver record carried "parsed": null because the
+            # printed line overflowed the driver's 2,000-char tail capture;
+            # a literal null must be skipped, not .get()'d — that crashed
+            # the gate with 'NoneType' object has no attribute 'get')
+            prior = None
+            for pf in reversed(prior_files):
+                try:
+                    with open(os.path.join(rdir, pf)) as f:
+                        cand = json.load(f).get("parsed") or {}
+                except Exception:
+                    continue
+                if cand.get("sf") == sf and cand.get("cpus") == cpus \
+                        and cand.get("queries"):
+                    prior, prior_round = cand, pf
+                    break
+            if prior is not None:
                 # flag only ratio AND absolute regressions: sub-second
                 # walls swing ±50% run-to-run on this box (two idle HEAD
                 # runs put doc_curation_summary at 1.0s and 2.2s with zero
@@ -214,44 +227,76 @@ def main() -> None:
         except Exception as exc:
             record_drift["_check_error"] = [str(exc)]
 
-    print(json.dumps({
+    loadavg = {
+        "pre_spark": load_pre,
+        "start": load_samples[0],
+        "max": max(load_samples),
+        "mean": round(sum(load_samples) / len(load_samples), 2),
+    }
+    gate = {
+        "vs": prior_round, "factor": REG_FACTOR,
+        "regressions": regressions,
+        "pass": not regressions,
+        # flags raised while EXTERNAL load was already present before
+        # Spark started are suspect — measured: mean load ≈ 4 inflates
+        # untouched pure-SQL queries 2.5-2.9× uniformly (BENCH/
+        # BASELINE.md round-5 caveat). Post-start samples would count
+        # our own executors, so only the pre-Spark sample judges this.
+        "load_suspect": bool(regressions) and load_pre > 0.5,
+    }
+    registry_summary = {
+        "n_queries": len(registry_names),
+        "n_oracles": len(oracle_names),
+        "n_rows_only": len(set(registry_names) - oracle_names),
+        "record_drift": record_drift,
+        "complete": "registered_but_unrecorded" not in record_drift,
+        # the driver's CORRECTNESS record keeps only the FIRST 50 registry
+        # entries (measured: r4 51→50, r5 54→50, both truncated exactly at
+        # index 50 in registry order) — a registry past the cap silently
+        # loses its tail from the record, so flag it here
+        "over_driver_cap": max(0, len(registry_names) - 50),
+    }
+    # bulky evidence (per-rep walls, per-query rates, full registry names)
+    # goes to BENCH_DETAIL_r{N}.json in the repo (VERDICT r5 #1): the
+    # driver keeps only a ~2,000-char tail of stdout, and r5's inflated
+    # line truncated mid-JSON → "parsed": null → broken regression gate.
+    next_round = 1 + max(
+        (int(re.search(r"\d+", f).group()) for f in prior_files), default=0
+    )
+    detail_path = os.path.join(rdir, f"BENCH_DETAIL_r{next_round:02d}.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({
+                "query_reps": rep_timings,
+                "bench_reps": reps,
+                "docs_per_sec_by_query": rates,
+                "registry_names": registry_names,
+                "rows_only": sorted(set(registry_names) - oracle_names),
+                "loadavg_samples": load_samples,
+            }, f, indent=1, sort_keys=True)
+    except Exception:
+        pass  # detail is evidence, not the record — never kill the line
+    # the ONE compact line the driver records — keep it well under 2,000
+    # chars so the tail capture always holds a full JSON document
+    line = json.dumps({
         "metric": "extraction+dedup+similarity+stats wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "query_reps": rep_timings,
-        "bench_reps": reps,
-        "docs_per_sec_by_query": rates,
         "sf": sf,
         "pages_docs": n_pages,
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
-        "loadavg_1min": {
-            "pre_spark": load_pre,
-            "start": load_samples[0],
-            "max": max(load_samples),
-            "mean": round(sum(load_samples) / len(load_samples), 2),
-        },
-        "regression_gate": {
-            "vs": prior_round, "factor": REG_FACTOR,
-            "regressions": regressions,
-            "pass": not regressions,
-            # flags raised while EXTERNAL load was already present before
-            # Spark started are suspect — measured: mean load ≈ 4 inflates
-            # untouched pure-SQL queries 2.5-2.9× uniformly (BENCH/
-            # BASELINE.md round-5 caveat). Post-start samples would count
-            # our own executors, so only the pre-Spark sample judges this.
-            "load_suspect": bool(regressions) and load_pre > 0.5,
-        },
-        "registry": {
-            "n_queries": len(registry_names),
-            "n_oracles": len(oracle_names),
-            "rows_only": sorted(set(registry_names) - oracle_names),
-            "names": registry_names,
-            "record_drift": record_drift,
-            "complete": "registered_but_unrecorded" not in record_drift,
-        },
-    }))
+        "loadavg_1min": loadavg,
+        "regression_gate": gate,
+        "registry": registry_summary,
+        "detail": os.path.basename(detail_path),
+    })
+    if len(line) > 1900:
+        # loud-but-nonfatal; printed BEFORE the record so the driver's
+        # end-of-stdout tail still holds the full record as the LAST line
+        print(json.dumps({"_warn": "bench line > 1900 chars", "len": len(line)}))
+    print(line)
     spark.stop()
     # ledger freshness (VERDICT r4 #10): the per-round bench run is the
     # end-of-round hook, so refresh COVERAGE.md's generated tally block

@@ -181,13 +181,16 @@ def test_extract_invariants_hold(spark):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    inv = qs["extract_chunks_invariants"](spark, "unused").toPandas()
+    both = qs["extract_invariants"](spark, "unused").toPandas()
+    # chunks tier: m1=n_rows m2=n_chunks m3=n_chunk_ids m4=span violations
+    inv = both[both["tier"] == "chunks"]
     assert len(inv) == 256  # every staged doc has >=1 row (even errors)
-    assert int(inv["span_page_violations"].sum()) == 0
-    ok = inv[inv["n_chunks"] > 0]
+    assert int(inv["m4"].sum()) == 0
+    ok = inv[inv["m2"] > 0]
     # within a doc every chunk id is distinct (+1 allowed for an error row
     # whose content_hash is empty)
-    assert ((ok["n_chunk_ids"] - ok["n_chunks"]).abs() <= 1).all()
-    man = qs["extract_manifest_invariants"](spark, "unused").toPandas()
-    assert int(man["doc_count"].sum()) == 256
-    assert int(man["chunk_count"].sum()) == int(inv["n_rows"].sum())
+    assert ((ok["m3"] - ok["m2"]).abs() <= 1).all()
+    # manifest tier: m1=doc_count m2=chunk_count m3=bytes
+    man = both[both["tier"] == "manifest"]
+    assert int(man["m1"].sum()) == 256
+    assert int(man["m2"].sum()) == int(inv["m1"].sum())

@@ -20,7 +20,7 @@ cross-checked:
 - extract_manifest: doc_count / chunk_count / bytes are recomputed by
   DuckDB from the materialized chunk table and must agree (content_hash
   is Spark xxhash64 — no DuckDB twin — carried from the snapshot; its
-  integrity is separately gated by extract_manifest_invariants and the
+  integrity is separately gated by extract_invariants (manifest tier) and the
   resume smokes).
 - doc_tokenize: the DP segmentation has no SQL twin; the algorithm is
   pinned by tests/test_tokenizer.py (36 cases). The golden freezes the
