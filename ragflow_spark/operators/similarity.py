@@ -54,15 +54,32 @@ def ivf_build(
         (int(r["cluster_id"]), [float(x) for x in r["centroid"]])
         for r in centroids.select("cluster_id", "centroid").collect()
     ]
-    best = F.array_min(F.array(*[
-        F.struct(
-            (-cosine(F.col(vec_col), F.array(*[F.lit(x) for x in vec]))).alias("nc"),
-            F.lit(cid).alias("cid"),
+    # one expr string instead of ~1,500 py4j Column calls (same tree —
+    # see _sql_sq_l2 on why construction cost matters); Catalyst constant-
+    # folds the literal-centroid norm subtrees at optimization time
+    norm_vec = (
+        f"sqrt(aggregate(`{vec_col}`, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    entries = []
+    for cid, vec in cents:
+        lit = "array(" + ", ".join(_dlit(x) for x in vec) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {lit}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        for cid, vec in cents
-    ]))
+        norm_lit = (
+            f"sqrt(aggregate({lit}, CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        entries.append(
+            f"named_struct('nc', -(({dot}) / (({norm_vec}) * ({norm_lit}))), "
+            f"'cid', {cid})"
+        )
+    best = F.expr(f"array_min(array({', '.join(entries)})).cid")
     return df.select(
-        F.col(id_col), best["cid"].alias("cluster_id"), F.col(vec_col)
+        F.col(id_col), best.alias("cluster_id"), F.col(vec_col)
     )
 
 
@@ -229,17 +246,27 @@ def pq_codebooks_from_rows(df: DataFrame, vec_col: str, id_col: str,
     ]
 
 
-def _sq_l2_lit(slice_col, centroid: list):
+def _dlit(x) -> str:
+    """SQL double literal (``repr`` round-trips IEEE doubles exactly; the
+    ``D`` suffix keeps Spark's parser from reading it as DECIMAL)."""
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal {v!r} in codebook/centroid")
+    return repr(v) + "D"
+
+
+def _sql_sq_l2(slice_sql: str, centroid: list) -> str:
     """Squared L2 between an array slice and a literal centroid — summed
-    left-to-right (matches DuckDB list_sum order for bit-equal oracles)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(
-            slice_col, lit,
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    left-to-right (matches DuckDB list_sum order for bit-equal oracles).
+    Emitted as SQL text: plan CONSTRUCTION was the dominant cost of the
+    PQ queries (2-5 s of py4j round trips per call building ~1,600 Column
+    nodes, vs ~0.5 s of actual execution at sf0.1 — the r5→r6 regression
+    chase); one expr string is a single JVM parse of the same tree."""
+    lit = "array(" + ", ".join(_dlit(x) for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({slice_sql}, {lit}, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
@@ -250,23 +277,22 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list,
     exact vs the DuckDB oracle) but higher-order functions run interpreted —
     use ``pq_encode_arrow`` for bulk encoding (~50× faster measured). Output
     is m·log2(k) bits per vector — the 64-float embedding becomes a few
-    bytes, which is what makes billion-scale ANN shippable."""
+    bytes, which is what makes billion-scale ANN shippable. The whole codes
+    projection is ONE ``F.expr`` string (see ``_sql_sq_l2`` on why)."""
     m = len(books)
     k = len(books[0])
     sub = len(books[0][0])
-    codes = []
+    code_exprs = []
     for j in range(m):
-        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
-        best = F.array_min(F.array(*[
-            F.struct(
-                F.round(_sq_l2_lit(sl, books[j][c]), 9).alias("d"),
-                F.lit(c).alias("c"),
-            )
+        sl = f"slice(`{vec_col}`, {j * sub + 1}, {sub})"
+        entries = [
+            f"named_struct('d', round({_sql_sq_l2(sl, books[j][c])}, 9), "
+            f"'c', {c})"
             for c in range(k)
-        ]))
-        codes.append(best["c"])
-    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols],
-                     F.array(*codes).alias("codes"))
+        ]
+        code_exprs.append(f"array_min(array({', '.join(entries)})).c")
+    codes = F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes")
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], codes)
 
 
 def pq_train_codebooks(df: DataFrame, vec_col: str, id_col: str,
