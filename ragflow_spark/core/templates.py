@@ -474,9 +474,10 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
         # qa ignores the task page window: rag/app/qa.py:294 takes no
         # from_page/to_page (they land in **kwargs) and qa.py:355-357
         # hardcodes to_page=10000 — every production task re-parses the
-        # WHOLE document
+        # whole document up to that cap (a >10000-page PDF is silently
+        # truncated there; mirror the cap exactly, ADVICE r5)
         secs, tbls = layout_parse(blob, lang, from_page=0,
-                                  to_page=10 ** 9,
+                                  to_page=10000,
                                   return_tables=True, merge_mode="none",
                                   pages=cfg.get("_pdf_pages"))
         # full-document heights, NOT window-sliced: position tags carry

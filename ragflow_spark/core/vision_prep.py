@@ -154,6 +154,57 @@ def detector_input(im: np.ndarray, target_size=800,
     return to_chw(padded), im_info
 
 
+def det_resize_for_test(im: np.ndarray, limit_side_len: int = 960,
+                        limit_type: str = "max"
+                        ) -> tuple[np.ndarray, tuple[int, int]]:
+    """DetResizeForTest port (deepdoc/vision/operators.py:306-410,
+    resize_image_type0 branch): the TEXT detector's resize — no
+    upscaling under ``limit_type='max'`` (ratio 1.0 unless a side
+    exceeds the cap), then EACH side independently rounded to the
+    nearest /32 multiple via resize (not zero-pad), floor 32. Images
+    with h+w < 64 are zero-padded to at least 32×32 first, exactly like
+    the reference's image_padding. Returns (resized image, (out_h,
+    out_w)); the caller maps boxes back to SOURCE dims directly (the
+    DBPostProcess contract), so no ratio metadata is needed here."""
+    h, w = im.shape[:2]
+    if h + w < 64:
+        pad = np.zeros((max(32, h), max(32, w)) + im.shape[2:], im.dtype)
+        pad[:h, :w] = im
+        im = pad
+        h, w = im.shape[:2]
+    if limit_type == "max":
+        ratio = float(limit_side_len) / max(h, w) \
+            if max(h, w) > limit_side_len else 1.0
+    elif limit_type == "min":
+        ratio = float(limit_side_len) / min(h, w) \
+            if min(h, w) < limit_side_len else 1.0
+    elif limit_type == "resize_long":
+        ratio = float(limit_side_len) / max(h, w)
+    else:
+        raise ValueError(f"unsupported limit_type {limit_type!r}")
+    resize_h = int(h * ratio)
+    resize_w = int(w * ratio)
+    # python round() = banker's rounding, as the reference uses
+    resize_h = max(int(round(resize_h / 32) * 32), 32)
+    resize_w = max(int(round(resize_w / 32) * 32), 32)
+    out = _bilinear(im, resize_h, resize_w)
+    return out, (resize_h, resize_w)
+
+
+def text_det_input(im: np.ndarray, limit_side_len: int = 960,
+                   limit_type: str = "max"
+                   ) -> tuple[np.ndarray, tuple[int, int]]:
+    """The TEXT detector's full preprocessing chain (TextDetector
+    pre_process_list, deepdoc/vision/ocr.py:355-391): DetResizeForTest →
+    NormalizeImage (1/255 + ImageNet mean/std, HWC) → ToCHW. Unlike the
+    layout chain (:func:`detector_input`) there is NO PadStride — both
+    sides are already /32 multiples — and no upscaling of small pages.
+    Returns (CHW float32 tensor, (map_h, map_w))."""
+    resized, hw = det_resize_for_test(im, limit_side_len, limit_type)
+    standardized = standardize_image(resized, IMAGENET_MEAN, IMAGENET_STD)
+    return to_chw(standardized), hw
+
+
 def rec_resize_norm(im: np.ndarray, max_wh_ratio: float,
                     image_shape=(3, 48, 320)) -> np.ndarray:
     """TextRecognizer.resize_norm_img (deepdoc/vision/ocr.py:97-121):

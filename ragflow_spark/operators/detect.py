@@ -17,7 +17,9 @@ This module is that plumbing, end-to-end real EXCEPT the weights:
   ``run(["maps"], {"x": batch})`` contract: the probability map is the
   de-standardized channel mean of the input tensor, so bright painted
   regions come back as det boxes. Everything around it — preprocessing
-  (``core.vision_prep.detector_input``), mini-batch padding, the
+  (``core.vision_prep.text_det_input``, the reference TextDetector's
+  DetResizeForTest chain; layout uses ``detector_input``), mini-batch
+  padding, the
   singleton, DB postprocess (``core.db_postprocess``, ported and A/B'd
   byte-identical), geometry mapping back to source pixels — is the real
   code the onnx branch uses.
@@ -96,11 +98,13 @@ def _session(backend: str, model_path: str | None, intra_op_threads: int):
             model_path, sess_options=opts,
             providers=["CPUExecutionProvider"],
         )
-        # bound worker memory at one det + one rec model — clearing on
-        # EVERY insert would evict the partner model each task and
-        # re-deserialize both per task in the composed OCR path
-        if len(_SESS_CACHE) >= 2:
-            _SESS_CACHE.clear()
+        # bound worker memory at ~one det + one rec model. Evict the
+        # OLDEST entry only (dict preserves insertion order): clearing
+        # the whole cache on a third insert also dropped the in-use
+        # partner of a composed det+rec pipeline, re-deserializing both
+        # models every task when model sets alternate (ADVICE r5)
+        while len(_SESS_CACHE) >= 2:
+            _SESS_CACHE.pop(next(iter(_SESS_CACHE)))
         _SESS_CACHE[key] = sess
     return sess
 
@@ -136,18 +140,23 @@ def synth_image_rows(n: int, seed: int = 7):
     return out
 
 
-def _det_boxes(sess, post, imgs, batch_size: int, target_size: int):
+def _det_boxes(sess, post, imgs, batch_size: int,
+               limit_side_len: int = 960, limit_type: str = "max"):
     """Worker-side det core shared by detect_text_regions and ocr_images:
     list of HxWx3 uint8 images → list of (n_i, 4, 2) float box arrays in
-    source pixels. One session.run per mini-batch padded to the group
-    max; each image's map cropped back to its resize region before the
-    DB postprocess so the map→src scaling is geometric."""
+    source pixels. Preprocessing is the reference TextDetector's
+    DetResizeForTest chain (max-side cap 960, each side resized to a /32
+    multiple, NO upscaling — deepdoc/vision/ocr.py:355-391), not the
+    layout detector's LinearResize, so with real DB weights the input
+    tensors match the reference. One session.run per mini-batch padded to
+    the group max (the reference runs det one image at a time; batching
+    is our throughput concession — the zero-pad region is cropped off the
+    map before postprocess, leaving only conv edge effects as deviation);
+    each image's map is cropped back to its resize region before the DB
+    postprocess so the map→src scaling is geometric."""
     import numpy as np
 
-    from ragflow_spark.core.vision_prep import (
-        detector_input,
-        generate_scale,
-    )
+    from ragflow_spark.core.vision_prep import text_det_input
 
     results: list = [None] * len(imgs)
     group: list = []
@@ -171,10 +180,9 @@ def _det_boxes(sess, post, imgs, batch_size: int, target_size: int):
 
     for idx, im in enumerate(imgs):
         h, w = im.shape[:2]
-        tensor, _info = detector_input(im, target_size=target_size)
-        sy, sx = generate_scale((h, w), target_size)
-        group.append((idx, tensor, (h, w),
-                      (int(round(h * sy)), int(round(w * sx)))))
+        tensor, (rs_h, rs_w) = text_det_input(
+            im, limit_side_len=limit_side_len, limit_type=limit_type)
+        group.append((idx, tensor, (h, w), (rs_h, rs_w)))
         if len(group) >= batch_size:
             flush()
     flush()
@@ -216,14 +224,16 @@ def detect_text_regions(
     backend: str = "none",
     model_path: str | None = None,
     batch_size: int = 16,
-    target_size: int = 800,
+    limit_side_len: int = 960,
+    limit_type: str = "max",
     thresh: float = 0.3,
     box_thresh: float = 0.5,
     unclip_ratio: float = 1.5,
     intra_op_threads: int = 2,
 ) -> DataFrame:
     """Image rows → det boxes, distributed: preprocess each image through
-    the real ``detector_input`` chain, assemble mini-batches of
+    the reference TextDetector's ``text_det_input`` chain
+    (DetResizeForTest 960/max — no upscaling, /32 per-side resize), assemble mini-batches of
     ``batch_size`` padded to the group max (the det forward runs ONE
     ``session.run`` per mini-batch, not per row), crop each image's map
     back to its unpadded resize region, and run the ported DBPostProcess
@@ -259,7 +269,8 @@ def detect_text_regions(
                 imgs.append(
                     np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
             for mid, boxes in zip(
-                ids, _det_boxes(sess, post, imgs, batch_size, target_size)
+                ids, _det_boxes(sess, post, imgs, batch_size,
+                                limit_side_len, limit_type)
             ):
                 out["media_id"].append(mid)
                 out["n_boxes"].append(len(boxes))
@@ -436,7 +447,8 @@ def ocr_images(
     rec_model_path: str | None = None,
     characters: list[str] | None = None,
     batch_size: int = 16,
-    target_size: int = 800,
+    limit_side_len: int = 960,
+    limit_type: str = "max",
     thresh: float = 0.3,
     box_thresh: float = 0.5,   # the reference OCR det config (ocr.py:376)
     unclip_ratio: float = 1.5,
@@ -491,7 +503,7 @@ def ocr_images(
                 imgs.append(
                     np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
             per_img_boxes = _det_boxes(det_sess, post, imgs, batch_size,
-                                       target_size)
+                                       limit_side_len, limit_type)
             # pool crops across the whole Arrow batch → full rec batches
             crops, crop_src = [], []
             ordered_boxes: list[list] = []
@@ -511,11 +523,18 @@ def ocr_images(
             texts = _rec_texts(rec_sess, decoder, crops, batch_size)
             out = {"media_id": [], "line_no": [], "box": [],
                    "text": [], "conf": []}
+            # line_no is renumbered CONTIGUOUSLY per image over the KEPT
+            # lines (reading order preserved — crop_src is (i, ln)
+            # ascending): both the drop_score filter and a skipped
+            # degenerate quad would otherwise leave gaps that mis-join
+            # consumers assuming dense numbering per media_id (ADVICE r5)
+            next_no: dict = {}
             for (i, ln), (txt, conf) in zip(crop_src, texts):
                 if conf < drop_score:  # OCR.__call__'s filter_boxes rule
                     continue
                 out["media_id"].append(ids[i])
-                out["line_no"].append(ln)
+                out["line_no"].append(next_no.setdefault(i, 0))
+                next_no[i] += 1
                 out["box"].append([
                     float(v) for v in ordered_boxes[i][ln].reshape(-1)])
                 out["text"].append(txt)
@@ -593,7 +612,8 @@ def ocr_image_array(
     rec_model_path: str | None = None,
     characters: list[str] | None = None,
     batch_size: int = 16,
-    target_size: int = 800,
+    limit_side_len: int = 960,
+    limit_type: str = "max",
     box_thresh: float = 0.5,
     unclip_ratio: float = 1.5,
     drop_score: float = 0.5,
@@ -626,7 +646,8 @@ def ocr_image_array(
     # unclip 1.5 — the same defaults every entry point shares
     post = DBPostProcess(thresh=0.3, box_thresh=box_thresh,
                          unclip_ratio=unclip_ratio, score_mode="fast")
-    boxes = _det_boxes(det_sess, post, [im], batch_size, target_size)[0]
+    boxes = _det_boxes(det_sess, post, [im], batch_size,
+                       limit_side_len, limit_type)[0]
     obs = sorted_boxes(boxes) if len(boxes) else []
     crops = []
     for b in obs:
