@@ -1,87 +1,132 @@
 """HTML main-content extraction (boilerplate strip).
 
-The reference's HTML path (deepdoc/parser/html_parser.py:37-46) is:
-``readability.Document(txt).title()`` + ``html_text.extract_text(
-doc.summary(html_partial=True))`` → ``f"{title}\n{content}".split("\n")``.
+The reference's HTML path (deepdoc/parser/html_parser.py:26-46) is::
 
-readability-lxml / html-text / lxml are not installed in this environment,
-so this module implements the same published algorithm family from scratch
-on the stdlib ``html.parser``:
+    html_doc = readability.Document(txt)
+    title = html_doc.title()
+    content = html_text.extract_text(html_doc.summary(html_partial=True))
+    return f"{title}\\n{content}".split("\\n")
 
-- Arc90-readability content scoring: paragraph-level points from text
-  length and comma count, propagated to parent (100%) and grandparent (50%);
-  tag-based base scores; class/id weight via the classic *unlikely* /
-  *positive* / *negative* regexes; final score scaled by (1 - link density).
-- html_text-style rendering: block-level elements and <br> become newlines,
-  inline text is whitespace-collapsed, lines are stripped.
+readability-lxml 0.8.1 / html-text / lxml are not installed in this
+environment (nor obtainable — no network), so this module is a faithful
+RE-IMPLEMENTATION of both published algorithms from their public sources,
+over a stdlib ``html.parser`` DOM:
 
-The public surface mirrors the reference:
-``parser_txt(html) -> list[str]`` returns ``title\ncontent`` split on
-newlines, and ``parse_html_bytes`` adds the find_codec decode step
-(html_parser.py:26-34).
+- ``Document.summary()``: the ruthless/retry loop, unlikely-candidate
+  removal (class+id vs the classic regex banks), div→p transformation
+  (``divToPElementsRe`` over the serialized children), paragraph scoring
+  (content_score = 1 + commas+1 + min(len/100, 3) onto parent and
+  grandparent/2, seeded by ``score_node`` tag weights and ±25 class/id
+  weights), link-density scaling, ``select_best_candidate`` (stable sort,
+  insertion order breaks ties), sibling joining in ``get_article``
+  (threshold max(10, best*0.2), the <p> length-80/density-0.25 rules) and
+  the full ``sanitize`` conditional cleaner (header/form/textarea/iframe
+  drops, the comma<10 counts table for table/ul/div/aside, the
+  1000-char-sibling allowance) — readability/readability.py @0.8.1.
+- ``Document.title()`` → ``get_title`` (``"[no-title]"`` default,
+  ``normalize_spaces`` + ``normalize_entities``) — readability/htmls.py.
+- ``html_text.extract_text``: ``etree_to_text`` with NEWLINE_TAGS /
+  DOUBLE_NEWLINE_TAGS, punctuation-aware space guessing
+  (``_has_punct_after`` / ``_has_open_bracket_before``) and the
+  cleaner config that keeps frames/forms/embedded — html_text 0.5.x.
+
+Known divergence classes (each pinned by tests/test_html_readability.py;
+everything else follows the published arithmetic exactly):
+
+1. PARSER-RECOVERY: stdlib html.parser vs libxml2 recovery on misnested
+   markup (unclosed inline tags, stray </div>, table hoisting). Trees can
+   differ on pathological markup; well-formed and mildly-broken pages
+   agree.
+2. SERIALIZE-REPARSE: the reference serializes the article and re-parses
+   it in html_text (dropping attrs via clean_attributes); we hand the
+   tree over directly. Text-identical unless re-parsing restructures
+   invalid fragments (e.g. <td> appended directly under the article div).
+3. ENCODING: Document gets a str here (decode happens in find_codec
+   upstream, as in the reference), so lxml's encoding re-detection branch
+   never runs on either side.
 """
 
 from __future__ import annotations
 
 import re
 
-# hot path: collapsed per-node subtree text runs ~20k times per document
-_WS_RUN = re.compile(r"\s+")
-from html import unescape
-from html.parser import HTMLParser
-
 from ragflow_spark.core.codec import decode_bytes
 
-# ---------------------------------------------------------------- DOM-lite
+# hot path: collapsed per-node subtree text runs ~20k times per document
+_WS_RUN = re.compile(r"\s+")
+
+from html import escape
+from html.parser import HTMLParser
+
+# --------------------------------------------------------------- regexes
+# readability/readability.py REGEXES @0.8.1 — byte-for-byte
+
+REGEXES = {
+    "unlikelyCandidatesRe": re.compile(
+        r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|"
+        r"shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|popup|"
+        r"tweet|twitter",
+        re.I,
+    ),
+    "okMaybeItsACandidateRe": re.compile(
+        r"and|article|body|column|main|shadow", re.I),
+    "positiveRe": re.compile(
+        r"article|body|content|entry|hentry|main|page|pagination|post|text|"
+        r"blog|story",
+        re.I,
+    ),
+    "negativeRe": re.compile(
+        r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|"
+        r"meta|outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|"
+        r"shopping|tags|tool|widget",
+        re.I,
+    ),
+    "divToPElementsRe": re.compile(
+        r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)", re.I),
+    "videoRe": re.compile(r"https?:\/\/(www\.)?(youtube|vimeo)\.com", re.I),
+}
+
+MIN_TEXT_LENGTH = 25   # Document default min_text_length
+RETRY_LENGTH = 250     # Document default retry_length
 
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr",
 }
-_DROP = {
-    "script", "style", "noscript", "template", "iframe", "object", "svg",
-    "canvas", "audio", "video", "head",
-}
-_BLOCK = {
-    "address", "article", "aside", "blockquote", "details", "dialog", "dd",
-    "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer", "form",
-    "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr", "li",
-    "main", "nav", "ol", "p", "pre", "section", "table", "tr", "td", "th",
-    "ul", "body", "html", "caption", "thead", "tbody", "tfoot", "option",
-    "select", "textarea", "button",
-}
-
-_UNLIKELY = re.compile(
-    r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|"
-    r"shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|popup|"
-    r"tweet|twitter|banner|breadcrumb|cookie|share|social|promo",
-    re.I,
-)
-_MAYBE = re.compile(r"and|article|body|column|main|shadow", re.I)
-_POSITIVE = re.compile(
-    r"article|body|content|entry|hentry|main|page|pagination|post|text|"
-    r"blog|story",
-    re.I,
-)
-_NEGATIVE = re.compile(
-    r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
-    r"outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|"
-    r"tool|widget",
-    re.I,
-)
+# readability's parse-time cleaner (htmls.py html_cleaner): scripts,
+# style, comments (parser drops them), links=True → <link> killed. Other
+# embedded/frames/forms are KEPT for scoring.
+_PARSE_DROP = {"script", "style", "link"}
+# html.parser treats these as CDATA — their raw content must never leak
+# into text
+_CDATA = {"script", "style"}
 
 
 class Node:
     __slots__ = ("tag", "attrs", "children", "parent", "order")
 
-    def __init__(self, tag: str, attrs: dict, parent: "Node | None", order: int):
+    def __init__(self, tag: str, attrs: dict, parent: "Node | None",
+                 order: int):
         self.tag = tag
         self.attrs = attrs
-        self.children: list = []  # Node | str
+        self.children: list = []  # Node | str (strings = text runs)
         self.parent = parent
         self.order = order
 
-    # -- text helpers -------------------------------------------------
+    # -- lxml-equivalent accessors ------------------------------------
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def set(self, key: str, value: str) -> None:
+        self.attrs[key] = value
+
+    @property
+    def text(self) -> "str | None":
+        """lxml ``.text``: the text run before the first element child."""
+        if self.children and isinstance(self.children[0], str):
+            return self.children[0]
+        return None
+
     def itertext(self):
         for c in self.children:
             if isinstance(c, str):
@@ -89,8 +134,8 @@ class Node:
             else:
                 yield from c.itertext()
 
-    def text(self) -> str:
-        return _WS_RUN.sub(" ", "".join(self.itertext())).strip()
+    def text_content(self) -> str:
+        return "".join(self.itertext())
 
     def iter_nodes(self):
         yield self
@@ -98,8 +143,52 @@ class Node:
             if isinstance(c, Node):
                 yield from c.iter_nodes()
 
-    def class_id(self) -> str:
-        return f"{self.attrs.get('class', '')} {self.attrs.get('id', '')}"
+    def findall(self, tag: str) -> "list[Node]":
+        """``.//tag`` — descendants in document order, self excluded."""
+        out = []
+        for c in self.children:
+            if isinstance(c, Node):
+                if c.tag == tag:
+                    out.append(c)
+                out.extend(c.findall(tag))
+        return out
+
+    def find_first(self, tag: str) -> "Node | None":
+        for n in self.iter_nodes():
+            if n is not self and n.tag == tag:
+                return n
+        return None
+
+    def element_children(self) -> "list[Node]":
+        return [c for c in self.children if isinstance(c, Node)]
+
+    def itersiblings(self, preceding: bool = False):
+        """Element siblings after (or before, reversed) this node."""
+        if self.parent is None:
+            return
+        sibs = self.parent.element_children()
+        i = sibs.index(self)
+        if preceding:
+            yield from reversed(sibs[:i])
+        else:
+            yield from sibs[i + 1:]
+
+    def drop_tree(self) -> None:
+        """lxml ``drop_tree``: remove the element and its subtree; the
+        tail (our following sibling string) stays with the parent."""
+        if self.parent is not None and self in self.parent.children:
+            self.parent.children.remove(self)
+
+    def tail_run(self) -> "str | None":
+        """The text run immediately following this node in its parent
+        (lxml ``.tail``)."""
+        if self.parent is None:
+            return None
+        ch = self.parent.children
+        i = ch.index(self)
+        if i + 1 < len(ch) and isinstance(ch[i + 1], str):
+            return ch[i + 1]
+        return None
 
 
 class _TreeBuilder(HTMLParser):
@@ -107,11 +196,15 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]", {}, None, 0)
         self.stack = [self.root]
-        self.title_parts: list[str] = []
-        self._in_title = False
         self._order = 0
+        self._cdata_depth = 0
 
     def handle_starttag(self, tag, attrs):
+        if tag in _CDATA:
+            self._cdata_depth += 1
+            return
+        if self._cdata_depth:
+            return
         if tag in _VOID:
             self.handle_startendtag(tag, attrs)
             return
@@ -119,19 +212,20 @@ class _TreeBuilder(HTMLParser):
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)
         self.stack.append(node)
-        if tag == "title":
-            self._in_title = True
 
     def handle_startendtag(self, tag, attrs):
+        if self._cdata_depth or tag in _CDATA:
+            return
         self._order += 1
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
-        if tag in _VOID:
+        if tag in _CDATA:
+            self._cdata_depth = max(0, self._cdata_depth - 1)
             return
-        if tag == "title":
-            self._in_title = False
+        if self._cdata_depth or tag in _VOID:
+            return
         # pop to the nearest matching open tag; tolerate misnesting
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -139,190 +233,575 @@ class _TreeBuilder(HTMLParser):
                 return
 
     def handle_data(self, data):
-        if self._in_title:
-            self.title_parts.append(data)
+        if self._cdata_depth:
+            return
         if data:
-            self.stack[-1].children.append(data)
+            # merge adjacent runs so .text/.tail semantics match lxml's
+            # single-string model (charref boundaries split handle_data)
+            ch = self.stack[-1].children
+            if ch and isinstance(ch[-1], str):
+                ch[-1] += data
+            else:
+                ch.append(data)
 
 
-def build_tree(html: str) -> tuple[Node, str]:
+def build_tree(html: str) -> Node:
     builder = _TreeBuilder()
     try:
         builder.feed(html)
         builder.close()
     except Exception:
         pass
-    title = _WS_RUN.sub(" ", unescape("".join(builder.title_parts))).strip()
-    return builder.root, title
-
-
-# ------------------------------------------------------------- readability
-
-
-def _clean(root: Node) -> None:
-    """Drop non-content subtrees and unlikely candidates, in place."""
-
-    def keep(node: Node) -> bool:
-        if node.tag in _DROP:
-            return False
-        cid = node.class_id()
-        if (
-            cid.strip()
-            and _UNLIKELY.search(cid)
-            and not _MAYBE.search(cid)
-            and node.tag not in ("body", "html", "a")
-        ):
-            return False
-        return True
-
-    def walk(node: Node) -> None:
-        node.children = [
-            c for c in node.children if isinstance(c, str) or keep(c)
+    root = builder.root
+    # parse-time cleaner: drop script/style/link subtrees (htmls.py
+    # html_cleaner; comments never enter — no handle_comment)
+    def strip(n: Node) -> None:
+        n.children = [
+            c for c in n.children
+            if isinstance(c, str) or c.tag not in _PARSE_DROP
         ]
-        for c in node.children:
+        for c in n.children:
             if isinstance(c, Node):
+                strip(c)
+    strip(root)
+    _ensure_body(root)
+    return root
+
+
+def _ensure_body(root: Node) -> None:
+    """lxml ``document_fromstring`` always yields an html>body skeleton;
+    mirror it so fragment-ish pages score identically (the body element
+    gets id=readabilityBody and is the <p> parent in both engines)."""
+    html = next((c for c in root.children
+                 if isinstance(c, Node) and c.tag == "html"), None)
+    if html is None:
+        html = Node("html", {}, root, 0)
+        html.children = root.children
+        for c in html.children:
+            if isinstance(c, Node):
+                c.parent = html
+        root.children = [html]
+    body = next((c for c in html.children
+                 if isinstance(c, Node) and c.tag == "body"), None)
+    if body is None:
+        head_tags = {"head", "title", "meta", "base"}
+        head_part: list = []
+        body_part: list = []
+        for c in html.children:
+            if isinstance(c, Node) and c.tag in head_tags:
+                head_part.append(c)
+            else:
+                body_part.append(c)
+        body = Node("body", {}, html, 0)
+        body.children = body_part
+        for c in body_part:
+            if isinstance(c, Node):
+                c.parent = body
+        html.children = head_part + [body]
+
+
+def _serialize(node: Node) -> str:
+    """Minimal html serializer (lxml ``tostring(method='html')`` shape):
+    used for the divToPElementsRe check and the retry-length measurement,
+    both of which the reference performs on serialized markup."""
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        attrs = "".join(
+            f' {k}="{escape(v or "", quote=True)}"'
+            for k, v in n.attrs.items()
+        )
+        if n.tag in _VOID:
+            parts.append(f"<{n.tag}{attrs}>")
+            return
+        parts.append(f"<{n.tag}{attrs}>")
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(escape(c, quote=False))
+            else:
                 walk(c)
+        parts.append(f"</{n.tag}>")
 
-    walk(root)
+    if node.tag == "[document]":
+        for c in node.children:
+            if isinstance(c, str):
+                parts.append(escape(c, quote=False))
+            else:
+                walk(c)
+    else:
+        walk(node)
+    return "".join(parts)
 
 
-_TAG_BASE_SCORE = {
-    "div": 5, "article": 5, "section": 5, "main": 5,
-    "pre": 3, "td": 3, "blockquote": 3,
-    "address": -3, "ol": -3, "ul": -3, "dl": -3, "dd": -3, "dt": -3,
-    "li": -3, "form": -3,
-    "h1": -5, "h2": -5, "h3": -5, "h4": -5, "h5": -5, "h6": -5, "th": -5,
-}
+def _serialize_with_tail(node: Node) -> str:
+    out = _serialize(node)
+    tail = node.tail_run()
+    if tail:
+        out += escape(tail, quote=False)
+    return out
+
+
+# ---------------------------------------------------- readability helpers
+# readability/readability.py text helpers — exact arithmetic
+
+
+def _clean(text: str) -> str:
+    # "Many spaces make the following regexes run forever"
+    text = re.sub(r"\s{255,}", " " * 255, text)
+    text = re.sub(r"\s*\n\s*", "\n", text)
+    text = re.sub(r"\t|[ \t]{2,}", " ", text)
+    return text.strip()
+
+
+def _text_length(node: Node) -> int:
+    return len(_clean(node.text_content() or ""))
 
 
 def _class_weight(node: Node) -> int:
+    """±25 for class and ±25 for id, SEPARATELY (up to ±50 total)."""
     weight = 0
-    cid = node.class_id()
-    if _NEGATIVE.search(cid):
-        weight -= 25
-    if _POSITIVE.search(cid):
-        weight += 25
+    for feature in [node.get("class", None), node.get("id", None)]:
+        if feature:
+            if REGEXES["negativeRe"].search(feature):
+                weight -= 25
+            if REGEXES["positiveRe"].search(feature):
+                weight += 25
     return weight
 
 
-def _link_density(node: Node) -> float:
-    total = len(node.text())
-    if total == 0:
-        return 0.0
-    link_len = sum(
-        len(n.text()) for n in node.iter_nodes() if n.tag == "a"
-    )
-    return min(1.0, link_len / total)
+def _score_node(node: Node) -> dict:
+    content_score = _class_weight(node)
+    name = node.tag.lower()
+    if name in ["div", "article"]:
+        content_score += 5
+    elif name in ["pre", "td", "blockquote"]:
+        content_score += 3
+    elif name in ["address", "ol", "ul", "dl", "dd", "dt", "li", "form",
+                  "aside"]:
+        content_score -= 3
+    elif name in ["h1", "h2", "h3", "h4", "h5", "h6", "th", "header",
+                  "footer", "nav"]:
+        content_score -= 5
+    return {"content_score": content_score, "elem": node}
 
 
-def _subtree_stats(root: Node) -> "dict[int, tuple[str, int]]":
-    """One post-order pass: id(node) → (collapsed text, link text length).
-    Replaces per-candidate re-walks (text() and link density were otherwise
-    recomputed per paragraph — quadratic in practice)."""
-    stats: dict[int, tuple[str, int]] = {}
-
-    def walk(n: Node) -> tuple[str, int]:
-        parts: list[str] = []
-        link_len = 0
-        for c in n.children:
-            if isinstance(c, str):
-                parts.append(c)
-            else:
-                t, ll = walk(c)
-                parts.append(t)
-                link_len += ll
-        text = _WS_RUN.sub(" ", "".join(parts)).strip()
-        if n.tag == "a":
-            link_len = len(text)
-        stats[id(n)] = (text, link_len)
-        return text, link_len
-
-    walk(root)
-    return stats
+def _get_link_density(node: Node) -> float:
+    link_length = 0
+    for a in node.findall("a"):
+        link_length += _text_length(a)
+    total_length = _text_length(node)
+    return float(link_length) / max(total_length, 1)
 
 
-def score_candidates(root: Node) -> "dict[Node, float]":
-    """Paragraph-driven candidate scoring (the Arc90 core loop)."""
-    scores: dict[Node, float] = {}
-    stats = _subtree_stats(root)
+def _tags(node: Node, *tag_names: str):
+    """readability ``tags``: ALL of tag 1 (document order), then all of
+    tag 2, … — the iteration order feeds candidate insertion order, which
+    is the tie-break in select_best_candidate."""
+    for tag_name in tag_names:
+        yield from node.findall(tag_name)
 
-    def init(node: Node) -> float:
-        return _TAG_BASE_SCORE.get(node.tag, 0) + _class_weight(node)
 
-    for para in root.iter_nodes():
-        if para.tag not in ("p", "td", "pre", "blockquote"):
+def _reverse_tags(node: Node, *tag_names: str):
+    for tag_name in tag_names:
+        yield from reversed(node.findall(tag_name))
+
+
+# ------------------------------------------------------ readability core
+
+
+def _remove_unlikely_candidates(root: Node) -> None:
+    for elem in list(root.iter_nodes()):
+        if elem.tag == "[document]":
             continue
-        text = stats[id(para)][0]
-        if len(text) < 25:
+        s = "%s %s" % (elem.get("class", ""), elem.get("id", ""))
+        if len(s) < 2:
             continue
-        points = 1.0
-        points += text.count(",") + text.count("，")
-        points += min(len(text) / 100.0, 3.0)
-        parent = para.parent
-        grand = parent.parent if parent else None
-        if parent is not None:
-            scores.setdefault(parent, init(parent))
-            scores[parent] += points
-        if grand is not None:
-            scores.setdefault(grand, init(grand))
-            scores[grand] += points / 2.0
-    for node in scores:
-        text, link_len = stats[id(node)]
-        density = min(1.0, link_len / len(text)) if text else 0.0
-        scores[node] *= 1.0 - density
-    return scores
+        if (
+            REGEXES["unlikelyCandidatesRe"].search(s)
+            and (not REGEXES["okMaybeItsACandidateRe"].search(s))
+            and elem.tag not in ["html", "body"]
+        ):
+            elem.drop_tree()
 
 
-def best_candidate(root: Node) -> Node | None:
-    scores = score_candidates(root)
-    if not scores:
+def _transform_misused_divs(root: Node) -> None:
+    # divs with no block-ish markup in their serialized children become p
+    for elem in _tags(root, "div"):
+        inner = "".join(
+            _serialize_with_tail(c) for c in elem.element_children()
+        )
+        if not REGEXES["divToPElementsRe"].search(inner):
+            elem.tag = "p"
+    # wrap remaining divs' bare text/tails into explicit <p>s; drop <br>s
+    for elem in _tags(root, "div"):
+        ch = elem.children
+        if ch and isinstance(ch[0], str) and ch[0].strip():
+            p = Node("p", {}, elem, -1)
+            p.children.append(ch[0])
+            ch[0] = p
+        for pos in range(len(ch) - 1, -1, -1):
+            child = ch[pos]
+            if not isinstance(child, Node):
+                continue
+            tail = child.tail_run()
+            if tail is not None and tail.strip():
+                p = Node("p", {}, elem, -1)
+                p.children.append(tail)
+                ch[pos + 1] = p
+            if child.tag == "br":
+                ch.pop(pos)
+
+
+def _score_paragraphs(root: Node) -> "dict[Node, dict]":
+    candidates: dict[Node, dict] = {}
+    ordered: list[Node] = []
+    for elem in _tags(root, "p", "pre", "td"):
+        parent_node = elem.parent
+        if parent_node is None or parent_node.tag == "[document]":
+            continue
+        grand_parent_node = parent_node.parent
+        if grand_parent_node is not None and \
+                grand_parent_node.tag == "[document]":
+            grand_parent_node = None
+
+        inner_text = _clean(elem.text_content() or "")
+        inner_text_len = len(inner_text)
+        if inner_text_len < MIN_TEXT_LENGTH:
+            continue
+
+        if parent_node not in candidates:
+            candidates[parent_node] = _score_node(parent_node)
+            ordered.append(parent_node)
+        if grand_parent_node is not None and \
+                grand_parent_node not in candidates:
+            candidates[grand_parent_node] = _score_node(grand_parent_node)
+            ordered.append(grand_parent_node)
+
+        content_score = 1
+        content_score += len(inner_text.split(","))
+        content_score += min((inner_text_len / 100), 3)
+
+        candidates[parent_node]["content_score"] += content_score
+        if grand_parent_node is not None:
+            candidates[grand_parent_node]["content_score"] += \
+                content_score / 2.0
+
+    for elem in ordered:
+        candidate = candidates[elem]
+        ld = _get_link_density(elem)
+        candidate["content_score"] *= 1 - ld
+    return candidates
+
+
+def _select_best_candidate(candidates: "dict[Node, dict]") -> "dict | None":
+    if not candidates:
         return None
-    # deterministic: max score, ties broken by document order
-    return max(scores.items(), key=lambda kv: (kv[1], -kv[0].order))[0]
+    sorted_candidates = sorted(
+        candidates.values(), key=lambda x: x["content_score"], reverse=True
+    )
+    return sorted_candidates[0]
 
 
-# ------------------------------------------------------------ text render
+def _get_article(candidates: "dict[Node, dict]", best_candidate: dict
+                 ) -> Node:
+    """Sibling joining — readability get_article(html_partial=True). The
+    appended sibling MOVES with its tail (lxml append semantics)."""
+    sibling_score_threshold = max(
+        [10, best_candidate["content_score"] * 0.2])
+    output = Node("div", {}, None, -1)
+    best_elem = best_candidate["elem"]
+    parent = best_elem.parent
+    siblings = parent.element_children() if parent is not None \
+        else [best_elem]
+    for sibling in siblings:
+        append = False
+        if sibling is best_elem:
+            append = True
+        if sibling in candidates and \
+                candidates[sibling]["content_score"] >= \
+                sibling_score_threshold:
+            append = True
+        if sibling.tag == "p":
+            link_density = _get_link_density(sibling)
+            node_content = sibling.text or ""
+            node_length = len(node_content)
+            if node_length > 80 and link_density < 0.25:
+                append = True
+            elif (node_length <= 80 and link_density == 0
+                  and re.search(r"\.( |$)", node_content)):
+                append = True
+        if append:
+            tail = sibling.tail_run()
+            sibling.drop_tree()
+            sibling.parent = output
+            output.children.append(sibling)
+            if tail is not None:
+                output.children.append(tail)
+    return output
 
 
-def render_text(node: Node) -> str:
-    """html_text-style rendering: blocks/<br> are line breaks, inline text
-    whitespace-collapsed, lines stripped, empties dropped."""
-    pieces: list[str] = []
+def _sanitize(node: Node, candidates: "dict[Node, dict]") -> Node:
+    """The conditional cleaner — readability sanitize, tree-in/tree-out
+    (the reference serializes here; html_text re-parses — divergence
+    class 2 in the module docstring)."""
+    for header in _tags(node, "h1", "h2", "h3", "h4", "h5", "h6"):
+        if _class_weight(header) < 0 or _get_link_density(header) > 0.33:
+            header.drop_tree()
 
-    def walk(n: Node) -> None:
-        if n.tag in _BLOCK:
-            pieces.append("\n")
-        if n.tag == "br":
-            pieces.append("\n")
+    for elem in _tags(node, "form", "textarea"):
+        elem.drop_tree()
+
+    for elem in _tags(node, "iframe"):
+        if "src" in elem.attrs and \
+                REGEXES["videoRe"].search(elem.attrs["src"] or ""):
+            elem.children = ["VIDEO"]
+        else:
+            elem.drop_tree()
+
+    allowed: dict = {}
+    for el in _reverse_tags(node, "table", "ul", "div", "aside"):
+        if el in allowed:
+            continue
+        if el.parent is None and el is not node:
+            continue  # already dropped with an ancestor
+        weight = _class_weight(el)
+        content_score = candidates[el]["content_score"] \
+            if el in candidates else 0
+        tag = el.tag
+
+        if weight + content_score < 0:
+            el.drop_tree()
+        elif el.text_content().count(",") < 10:
+            counts = {}
+            for kind in ["p", "img", "li", "a", "embed", "input"]:
+                counts[kind] = len(el.findall(kind))
+            counts["li"] -= 100
+            counts["input"] -= len([
+                i for i in el.findall("input")
+                if (i.get("type") or "") == "hidden"
+            ])
+
+            content_length = _text_length(el)
+            link_density = _get_link_density(el)
+            parent_node = el.parent
+            if parent_node is not None and parent_node.tag != "[document]":
+                content_score = candidates[parent_node]["content_score"] \
+                    if parent_node in candidates else 0
+
+            to_remove = False
+            if counts["p"] and counts["img"] > 1 + counts["p"] * 1.3:
+                to_remove = True       # too many images
+            elif counts["li"] > counts["p"] and tag not in ("ol", "ul"):
+                to_remove = True       # more <li>s than <p>s
+            elif counts["input"] > (counts["p"] / 3):
+                to_remove = True       # too many inputs
+            elif content_length < MIN_TEXT_LENGTH and counts["img"] == 0:
+                to_remove = True       # too short, no image
+            elif content_length < MIN_TEXT_LENGTH and counts["img"] > 2:
+                to_remove = True       # too short, too many images
+            elif weight < 25 and link_density > 0.2:
+                to_remove = True       # too many links for weight
+            elif weight >= 25 and link_density > 0.5:
+                to_remove = True       # too many links for high weight
+            elif (counts["embed"] == 1 and content_length < 75) \
+                    or counts["embed"] > 1:
+                to_remove = True       # embed-dominated
+
+            if to_remove:
+                # the 1000-char sibling allowance: one non-empty sibling
+                # on each side; if together they carry real content, keep
+                # this block and whitelist its container descendants
+                i, j = 0, 0
+                x = 1
+                siblings_len = []
+                for sib in el.itersiblings():
+                    sib_content_length = _text_length(sib)
+                    if sib_content_length:
+                        i += 1
+                        siblings_len.append(sib_content_length)
+                        if i == x:
+                            break
+                for sib in el.itersiblings(preceding=True):
+                    sib_content_length = _text_length(sib)
+                    if sib_content_length:
+                        j += 1
+                        siblings_len.append(sib_content_length)
+                        if j == x:
+                            break
+                if siblings_len and sum(siblings_len) > 1000:
+                    to_remove = False
+                    allowed[el] = True
+                    for desnode in _tags(el, "table", "ul", "div",
+                                         "section"):
+                        allowed[desnode] = True
+
+            if to_remove:
+                el.drop_tree()
+    return node
+
+
+def summary_tree(source_html: str) -> Node:
+    """``Document(txt).summary(html_partial=True)`` as a TREE (the
+    reference returns serialized markup and html_text re-parses it —
+    divergence class 2). Implements the full ruthless/retry loop
+    (readability.py summary): re-parse fresh each attempt, retry without
+    unlikely-candidate removal when the cleaned article serializes under
+    RETRY_LENGTH chars."""
+    ruthless = True
+    while True:
+        root = build_tree(source_html)
+        for b in _tags(root, "body"):
+            b.set("id", "readabilityBody")
+        if ruthless:
+            _remove_unlikely_candidates(root)
+        _transform_misused_divs(root)
+        candidates = _score_paragraphs(root)
+
+        best_candidate = _select_best_candidate(candidates)
+        if best_candidate:
+            article = _get_article(candidates, best_candidate)
+        else:
+            if ruthless:
+                ruthless = False
+                continue
+            article = root.find_first("body")
+            if article is None:
+                article = root
+
+        cleaned = _sanitize(article, candidates)
+        article_length = len(_serialize(cleaned) or "")
+        if ruthless and article_length < RETRY_LENGTH:
+            ruthless = False
+            continue
+        return cleaned
+
+
+# -------------------------------------------------------------- title
+# readability/htmls.py — get_title / norm_title, exact
+
+
+def _normalize_spaces(s: str) -> str:
+    if not s:
+        return ""
+    return " ".join(s.split())
+
+
+_TITLE_ENTITIES = {
+    "—": "-",
+    "–": "-",
+    "&mdash;": "-",
+    "&ndash;": "-",
+    " ": " ",
+    "«": '"',
+    "»": '"',
+    "&quot;": '"',
+}
+
+
+def _norm_title(title: str) -> str:
+    title = _normalize_spaces(title)
+    for c, r in _TITLE_ENTITIES.items():
+        if c in title:
+            title = title.replace(c, r)
+    return title
+
+
+def get_title(root: Node) -> str:
+    title = root.find_first("title")
+    if title is None or title.text is None or len(title.text) == 0:
+        return "[no-title]"
+    return _norm_title(title.text)
+
+
+# ------------------------------------------------------- html_text port
+# html_text etree_to_text — exact constants and space/newline logic
+
+NEWLINE_TAGS = frozenset([
+    "article", "aside", "br", "dd", "details", "div", "dt", "fieldset",
+    "figcaption", "footer", "form", "header", "hr", "legend", "li", "main",
+    "nav", "table", "tr",
+])
+DOUBLE_NEWLINE_TAGS = frozenset([
+    "blockquote", "dl", "figure", "h1", "h2", "h3", "h4", "h5", "h6", "ol",
+    "p", "pre", "title", "ul",
+])
+
+_has_trailing_whitespace = re.compile(r"\s$").search
+_has_punct_after = re.compile(r'^[,:;.!?")]').search
+_has_open_bracket_before = re.compile(r"\($").search
+
+# html_text's cleaner: scripts/style/comments already gone at our parse;
+# links=True and meta=True additionally kill <link>/<meta> (void tags —
+# no text anyway). frames/forms/embedded are KEPT ("keep frames",
+# "keep forms" in html_text's own config comments).
+
+
+def etree_to_text(tree: Node, guess_punct_space: bool = True,
+                  guess_layout: bool = True) -> str:
+    chunks: list[str] = []
+    _NEWLINE = object()
+    _DOUBLE_NEWLINE = object()
+    prev_holder = {"prev": _DOUBLE_NEWLINE}
+
+    def should_add_space(text, prev) -> bool:
+        if prev in (_NEWLINE, _DOUBLE_NEWLINE):
+            return False
+        if not _has_trailing_whitespace(prev):
+            if _has_punct_after(text) or _has_open_bracket_before(prev):
+                return False
+        return True
+
+    def get_space_between(text, prev) -> str:
+        if not text or not guess_punct_space:
+            return " "
+        return " " if should_add_space(text, prev) else ""
+
+    def add_newlines(tag) -> None:
+        if not guess_layout:
+            return
+        prev = prev_holder["prev"]
+        if prev is _DOUBLE_NEWLINE:  # never more than one blank line
+            return
+        if tag in DOUBLE_NEWLINE_TAGS:
+            chunks.append("\n" if prev is _NEWLINE else "\n\n")
+            prev_holder["prev"] = _DOUBLE_NEWLINE
+        elif tag in NEWLINE_TAGS:
+            if prev is not _NEWLINE:
+                chunks.append("\n")
+            prev_holder["prev"] = _NEWLINE
+
+    def add_text(text_content) -> None:
+        text = _WS_RUN.sub(" ", (text_content or "").strip())
+        if not text:
+            return
+        space = get_space_between(text, prev_holder["prev"])
+        chunks.extend([space, text])
+        prev_holder["prev"] = text_content
+
+    def traverse(n: Node) -> None:
+        add_newlines(n.tag)
         for c in n.children:
             if isinstance(c, str):
-                pieces.append(c)
+                add_text(c)
             else:
-                walk(c)
-        if n.tag in _BLOCK:
-            pieces.append("\n")
+                traverse(c)
+        add_newlines(n.tag)
 
-    walk(node)
-    raw = "".join(pieces)
-    lines = [_WS_RUN.sub(" ", ln).strip() for ln in raw.split("\n")]
-    return "\n".join(ln for ln in lines if ln)
+    # root handled with handle_tail=False in html_text; our tree-root has
+    # no tail by construction
+    traverse(tree)
+    return "".join(chunks).strip()
 
 
 # ---------------------------------------------------------------- surface
 
 
 def extract(html: str) -> tuple[str, str]:
-    """Return (title, main_content_text)."""
-    root, title = build_tree(html)
-    _clean(root)
-    candidate = best_candidate(root)
-    if candidate is None:
-        # fall back to whole-document text (readability's body fallback)
-        return title, render_text(root)
-    # include high-scoring siblings? The classic algorithm appends siblings
-    # above a threshold; the dominant-candidate subtree covers our corpus
-    # and keeps the result deterministic.
-    return title, render_text(candidate)
+    """Return (title, main_content_text) — ``Document.title()`` +
+    ``html_text.extract_text(Document.summary(html_partial=True))``."""
+    title = get_title(build_tree(html))
+    article = summary_tree(html)
+    return title, etree_to_text(article)
 
 
 def parser_txt(txt: str) -> list[str]:

@@ -639,12 +639,14 @@ def chunk_email(blob: bytes, fmt: str, lang: str = "English",
 
     _add_content(msg, msg.get_content_type())
     sections = txt.parse_txt("\n".join(text_txt), 128, txt.DEFAULT_DELIMITER)
-    if html_txt:
-        sections += [
-            (ln, "")
-            for ln in html_extract.parse_html_bytes("\n".join(html_txt).encode())
-            if ln
-        ]
+    # email.py:77-79 parses the html side UNCONDITIONALLY: with no
+    # text/html part, parser_txt("") still yields ["[no-title]"] which
+    # rides into the merge — quirk kept.
+    sections += [
+        (ln, "")
+        for ln in html_extract.parser_txt("\n".join(html_txt))
+        if ln
+    ]
     chunks = naive_merge(
         sections, int(cfg["chunk_token_num"]), cfg.get("delimiter", "\n!?。；！？")
     )
