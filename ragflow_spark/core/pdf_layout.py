@@ -283,6 +283,65 @@ def layout_parse(
     return out
 
 
+def scanned_pdf_pages(blob: bytes, cfg: dict | None = None
+                      ) -> list[list[dict]] | None:
+    """OCR fallback for image-only ("scanned") PDFs: extract each page's
+    embedded raster (pdf_mini.extract_page_images), OCR it, and return
+    per-page LAYOUT boxes shaped exactly like ``pdf_mini.extract_boxes``
+    output — so ``layout_parse(pages=…)`` runs the identical downstream
+    the text layer uses (mirroring the reference, whose OCR boxes and
+    char boxes share one pipeline: pdf_parser.py ``__ocr`` feeding
+    ``_layouts_rec``). Returns None when no page has a decodable image
+    (nothing to OCR — the caller keeps its empty text-layer result).
+
+    ``cfg["ocr_backend"]`` selects the detector/recognizer backend; the
+    default "none" raises NotImplementedError (honest: this sandbox has
+    no ONNX runtime/weights; "fake" exercises the full plumbing)."""
+    cfg = cfg or {}
+    import numpy as np
+
+    from ragflow_spark.operators.detect import ocr_image_boxes
+
+    img_pages = pdf_mini.extract_page_images(blob)
+    all_imgs = [im for page in img_pages for im in page]
+    if not any(im["pixels"] is not None for im in all_imgs):
+        if all_imgs:
+            # images exist but none decodes (e.g. DCTDecode = embedded
+            # JPEG): silently returning nothing would look like an empty
+            # doc — the reference OCRs these via its rasterizer
+            codecs = sorted({im["format"] for im in all_imgs})
+            raise NotImplementedError(
+                "scanned-PDF fallback: page images use codec(s) "
+                f"{codecs} with no decoder in this sandbox"
+            )
+        return None
+    pages: list[list[dict]] = []
+    for page_no, imgs in enumerate(img_pages, start=1):
+        boxes: list[dict] = []
+        # one full-page scan per page is the scanned-doc shape; OCR the
+        # first decodable raster (documented simplification)
+        im_meta = next((m for m in imgs if m["pixels"] is not None), None)
+        if im_meta is not None:
+            arr = np.frombuffer(im_meta["pixels"], dtype=np.uint8).reshape(
+                im_meta["height"], im_meta["width"], 3)
+            for quad, text, _conf in ocr_image_boxes(
+                    arr,
+                    backend=cfg.get("ocr_backend", "none"),
+                    det_model_path=cfg.get("det_model_path"),
+                    rec_model_path=cfg.get("rec_model_path")):
+                if not text:
+                    continue
+                xs, ys = quad[:, 0], quad[:, 1]
+                boxes.append({
+                    "text": text,
+                    "x0": float(xs.min()), "x1": float(xs.max()),
+                    "top": float(ys.min()), "bottom": float(ys.max()),
+                    "page_number": page_no,
+                })
+        pages.append(boxes)
+    return pages
+
+
 def parse_pdf_general(blob: bytes, lang: str = "English") -> str:
     """The base parser's generic ``__call__`` surface
     (pdf_parser.py:1031-1040): text merge → W5 up-down concat → TOC filter

@@ -411,6 +411,63 @@ def build_objstm_pdf(pages: list[list[str]]) -> bytes:
     return bytes(out)
 
 
+def build_scanned_pdf(pages: list[tuple[int, int, bytes]]) -> bytes:
+    """Deterministic image-only ("scanned") PDF: each page is one
+    Flate-compressed 8-bit /DeviceRGB image XObject painted full-page via
+    ``cm … Do``, with NO text layer — the shape a scanner/print-driver
+    emits. ``pages`` entries are (width, height, rgb_bytes h·w·3)."""
+    objects: list[bytes] = []
+
+    def add(obj: bytes) -> int:
+        objects.append(obj)
+        return len(objects)
+
+    img_nums = []
+    for w, h, rgb in pages:
+        if len(rgb) != w * h * 3:
+            raise ValueError("rgb byte count does not match width/height")
+        comp = zlib.compress(rgb, 9)
+        img_nums.append(add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode()
+            + b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            + b" /Length " + str(len(comp)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + comp
+            + b"\nendstream"))
+    content_nums = []
+    for (w, h, _rgb), _inum in zip(pages, img_nums):
+        data = f"q\n{w} 0 0 {h} 0 0 cm\n/Im0 Do\nQ".encode()
+        content_nums.append(add(
+            b"<< /Length " + str(len(data)).encode() + b" >>\nstream\n"
+            + data + b"\nendstream"))
+    pages_num_placeholder = len(objects) + len(pages) + 1
+    page_nums = []
+    for (w, h, _rgb), inum, cn in zip(pages, img_nums, content_nums):
+        page_nums.append(add((
+            f"<< /Type /Page /Parent {pages_num_placeholder} 0 R"
+            f" /MediaBox [0 0 {w} {h}]"
+            f" /Resources << /XObject << /Im0 {inum} 0 R >> >>"
+            f" /Contents {cn} 0 R >>").encode()))
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    pages_num = add(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>".encode())
+    assert pages_num == pages_num_placeholder
+    catalog = add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, obj in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objects) + 1} /Root {catalog} 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 # --------------------------------------------------------------- extractor
 
 _HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
@@ -756,22 +813,27 @@ def _parents_map(objects: dict) -> dict[int, int]:
     return parent_of
 
 
-def _page_fonts(page_num: int, page_dct: bytes, objects: dict):
-    """{font resource name → decoder} for a page, honoring /Resources
-    inheritance from the /Pages ancestors (ISO 32000 §7.7.3.4)."""
+def _page_resources(page_num: int, page_dct: bytes, objects: dict
+                    ) -> bytes | None:
+    """The page's /Resources dict, honoring inheritance from the /Pages
+    ancestors (ISO 32000 §7.7.3.4)."""
     parent_of = _parents_map(objects)
     dct, node = page_dct, page_num
-    res = None
     seen: set[int] = set()
     while True:
         res = _deref(objects, _dict_value(dct, b"Resources"))
         if res:
-            break
+            return res
         node = parent_of.get(node)
         if node is None or node in seen:
-            break
+            return None
         seen.add(node)
         dct = objects.get(node, (b"", None))[0]
+
+
+def _page_fonts(page_num: int, page_dct: bytes, objects: dict):
+    """{font resource name → decoder} for a page."""
+    res = _page_resources(page_num, page_dct, objects)
     fonts: dict[bytes, object] = {}
     if res:
         fdict = _deref(objects, _dict_value(res, b"Font"))
@@ -781,6 +843,71 @@ def _page_fonts(page_num: int, page_dct: bytes, objects: dict):
                 fobj = objects.get(int(nm.group(2)), (b"", None))[0]
                 fonts[nm.group(1)] = _font_decoder(fobj, objects)
     return fonts
+
+
+def extract_page_images(blob: bytes) -> list[list[dict]]:
+    """Per-page embedded image XObjects — the raster layer of a SCANNED
+    page (the reference rasterizes via pdfplumber then OCRs,
+    pdf_parser.py ``__images__``; for image-only PDFs the page raster IS
+    the single embedded scan, so extracting the XObject recovers the
+    same pixels without a renderer).
+
+    Each entry: ``{page_number, name, width, height, pixels, format}``.
+    ``pixels`` is decoded RGB bytes (h·w·3, row-major) when the stream is
+    losslessly reachable — Flate/AHx chains over 8-bit /DeviceRGB or
+    /DeviceGray — else ``None`` with ``format`` naming the codec that
+    blocked it (e.g. ``DCTDecode`` = embedded JPEG: no JPEG codec in this
+    sandbox; the multimodal tier's contract stubs lossy codecs)."""
+    if not blob.startswith(b"%PDF"):
+        raise UnsupportedPdfError("not a PDF")
+    objects = _parse_objects(blob)
+    pages: list[list[dict]] = []
+    for num, dct in _page_dicts(objects):
+        page_no = len(pages) + 1
+        imgs: list[dict] = []
+        res = _page_resources(num, dct, objects)
+        xdict = _deref(objects, _dict_value(res, b"XObject")) if res else None
+        if xdict:
+            for nm in re.finditer(
+                    rb"/([^\s/\[\]<>()]+)\s+(\d+)\s+\d+\s+R", xdict):
+                xdct, xdata = objects.get(int(nm.group(2)), (b"", None))
+                if not re.search(rb"/Subtype\s*/Image\b", xdct or b""):
+                    continue
+                w = int((re.search(rb"/Width\s+(\d+)", xdct)
+                         or [None, b"0"])[1])
+                h = int((re.search(rb"/Height\s+(\d+)", xdct)
+                         or [None, b"0"])[1])
+                bpc = int((re.search(rb"/BitsPerComponent\s+(\d+)", xdct)
+                           or [None, b"8"])[1])
+                cs = (re.search(rb"/ColorSpace\s*/([A-Za-z0-9]+)", xdct)
+                      or [None, b""])[1]
+                pixels = None
+                fmt = "raw"
+                try:
+                    data = _decode_stream(xdct, xdata)
+                except UnsupportedPdfError as exc:
+                    data = None
+                    fmt = str(exc).rsplit("/", 1)[-1] or "unknown"
+                if data is not None and bpc == 8:
+                    if cs == b"DeviceRGB" and len(data) >= w * h * 3:
+                        pixels = data[: w * h * 3]
+                    elif cs == b"DeviceGray" and len(data) >= w * h:
+                        g = data[: w * h]
+                        pixels = bytes(
+                            b for px in g for b in (px, px, px))
+                if data is not None and pixels is None:
+                    fmt = f"undecodable:{cs.decode('ascii', 'replace')}" \
+                          f"/{bpc}bpc"
+                imgs.append({
+                    "page_number": page_no,
+                    "name": nm.group(1).decode("ascii", "replace"),
+                    "width": w, "height": h,
+                    "pixels": pixels, "format": fmt,
+                })
+        pages.append(imgs)
+    if not pages:
+        raise UnsupportedPdfError("no extractable pages")
+    return pages
 
 
 def _page_content_data(page_dct: bytes, objects: dict) -> bytes | None:

@@ -122,6 +122,24 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
                 same_bullet=pdf_merge_mode == "book",
                 pages=cfg.get("_pdf_pages"),
             )
+            if not secs and not tbls:
+                # scanned (image-only) PDF: no text layer at all → OCR the
+                # embedded page rasters and rerun the SAME pipeline over
+                # the OCR boxes (the reference's char/OCR boxes share one
+                # downstream, pdf_parser.py __ocr → _layouts_rec)
+                from ragflow_spark.core.pdf_layout import scanned_pdf_pages
+
+                ocr_pages = scanned_pdf_pages(blob, cfg)
+                if ocr_pages is not None:
+                    secs, tbls = layout_parse(
+                        blob, lang, from_page=fp, to_page=tp,
+                        return_tables=True,
+                        merge_mode=("naive" if pdf_merge_mode == "book"
+                                    else pdf_merge_mode),
+                        toc_filter=pdf_merge_mode == "book",
+                        same_bullet=pdf_merge_mode == "book",
+                        pages=ocr_pages,
+                    )
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
             return secs, [html + tag for html, tag in tbls], ""

@@ -623,6 +623,32 @@ def ocr_image_array(
     template calls inside its extraction task (rag/app/picture.py:31-33
     ``ocr(np.array(img))``). Returns [(text, conf), …] in reading
     order after the drop_score filter."""
+    return [(txt, conf) for _b, txt, conf in ocr_image_boxes(
+        im, backend=backend, det_model_path=det_model_path,
+        rec_model_path=rec_model_path, characters=characters,
+        batch_size=batch_size, limit_side_len=limit_side_len,
+        limit_type=limit_type, box_thresh=box_thresh,
+        unclip_ratio=unclip_ratio, drop_score=drop_score)]
+
+
+def ocr_image_boxes(
+    im,
+    backend: str = "none",
+    det_model_path: str | None = None,
+    rec_model_path: str | None = None,
+    characters: list[str] | None = None,
+    batch_size: int = 16,
+    limit_side_len: int = 960,
+    limit_type: str = "max",
+    box_thresh: float = 0.5,
+    unclip_ratio: float = 1.5,
+    drop_score: float = 0.5,
+) -> list:
+    """``ocr_image_array`` with geometry: [(quad (4,2) ndarray in image
+    pixel coords, text, conf), …] in reading order — what the scanned-PDF
+    fallback needs to synthesize LAYOUT boxes that ride the same merge
+    pipeline text-layer boxes do (the reference feeds OCR output into the
+    identical downstream, pdf_parser.py ``__ocr``)."""
     from ragflow_spark.core.db_postprocess import DBPostProcess
     from ragflow_spark.core.ocr_decode import (
         DEFAULT_CHARSET,
@@ -649,14 +675,16 @@ def ocr_image_array(
     boxes = _det_boxes(det_sess, post, [im], batch_size,
                        limit_side_len, limit_type)[0]
     obs = sorted_boxes(boxes) if len(boxes) else []
-    crops = []
+    crops, kept = [], []
     for b in obs:
         try:
             crops.append(get_rotate_crop_image(im, b.copy()))
+            kept.append(b)
         except Exception:
             continue  # degenerate quad — skip the box, keep the doc
     return [
-        (txt, conf)
-        for txt, conf in _rec_texts(rec_sess, decoder, crops, batch_size)
+        (b, txt, conf)
+        for b, (txt, conf) in zip(
+            kept, _rec_texts(rec_sess, decoder, crops, batch_size))
         if conf >= drop_score
     ]

@@ -57,7 +57,9 @@ def column_type_votes(df: DataFrame, cols: list[str] | None = None) -> DataFrame
 
 def apply_inferred_types(df: DataFrame, votes: DataFrame) -> DataFrame:
     """Cast each column to its inferred type. ``votes`` is tiny (one row per
-    column) and is collected — the casts themselves stay lazy/Catalyst."""
+    column) and is collected — a driver-side collect bounded by the table's
+    COLUMN count (tens), never its row count; the casts themselves stay
+    lazy/Catalyst."""
     mapping = {r["column"]: r["inferred_type"] for r in votes.collect()}
     out = df
     for c, t in mapping.items():

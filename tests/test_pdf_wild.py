@@ -214,6 +214,118 @@ def test_inherited_resources_from_pages_node():
     assert pdf_mini.extract_text_lines(bytes(out)) == [["inherited"]]
 
 
+# ------------------------------------------------- scanned-page fallback
+
+
+def _scanned_fixture():
+    import numpy as np
+
+    from ragflow_spark.operators.detect import synth_ocr_pages
+
+    pages, truths = [], []
+    for _m, p, w, h, texts in synth_ocr_pages(2):
+        one = np.frombuffer(p, dtype=np.uint8).reshape(h, w, 3)
+        im = np.concatenate([one] * 3, axis=0)
+        pages.append((im.shape[1], im.shape[0], im.tobytes()))
+        truths.append(texts * 3)
+    return pdf_mini.build_scanned_pdf(pages), truths
+
+
+def test_scanned_pdf_has_no_text_layer_but_images():
+    blob, _truths = _scanned_fixture()
+    assert pdf_mini.extract_text_lines(blob) == [[], []]
+    imgs = pdf_mini.extract_page_images(blob)
+    assert [m["page_number"] for pg in imgs for m in pg] == [1, 2]
+    assert all(m["pixels"] is not None for pg in imgs for m in pg)
+    # decoded pixels really round-trip the written raster
+    w, h = imgs[0][0]["width"], imgs[0][0]["height"]
+    assert len(imgs[0][0]["pixels"]) == w * h * 3
+
+
+def test_scanned_pdf_gray_images_replicate_channels():
+    import zlib as _z
+
+    gray = bytes(range(16)) * 4  # 8x8 gray page
+    comp = _z.compress(gray)
+    objs = [
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+        + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + comp + b"\nendstream",
+        b"<< /Length 20 >>\nstream\nq 8 0 0 8 0 0 cm /Im0 Do Q"
+        b"\nendstream",
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 8 8]"
+        b" /Resources << /XObject << /Im0 1 0 R >> >> /Contents 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 5 0 R >>\n%%EOF\n"
+    imgs = pdf_mini.extract_page_images(bytes(out))
+    px = imgs[0][0]["pixels"]
+    assert len(px) == 8 * 8 * 3
+    assert px[0:3] == bytes([0, 0, 0]) and px[3:6] == bytes([1, 1, 1])
+
+
+def test_scanned_template_fallback_fake_backend():
+    from ragflow_spark.core.templates import run_template
+
+    blob, truths = _scanned_fixture()
+    cks = run_template("naive", blob, "pdf", "English",
+                       cfg={"ocr_backend": "fake"})
+    joined = "\n".join(c.chunk_text for c in cks)
+    assert all(t in joined for page in truths for t in page)
+    # position spans carry real page numbers from the OCR boxes
+    assert cks and cks[0].spans
+
+
+def test_scanned_template_honest_default_raises():
+    from ragflow_spark.core.templates import run_template
+
+    blob, _ = _scanned_fixture()
+    with pytest.raises(NotImplementedError, match="backend"):
+        run_template("naive", blob, "pdf", "English")
+
+
+def test_scanned_undecodable_codec_raises_not_empty():
+    from ragflow_spark.core.pdf_layout import scanned_pdf_pages
+
+    jpeg = b"\xff\xd8\xff\xe0fakejpegbytes"
+    objs = [
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4"
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Length "
+        + str(len(jpeg)).encode() + b" /Filter /DCTDecode >>\nstream\n"
+        + jpeg + b"\nendstream",
+        b"<< /Length 20 >>\nstream\nq 4 0 0 4 0 0 cm /Im0 Do Q"
+        b"\nendstream",
+        b"<< /Type /Page /Parent 4 0 R /MediaBox [0 0 4 4]"
+        b" /Resources << /XObject << /Im0 1 0 R >> >> /Contents 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 5 0 R >>\n%%EOF\n"
+    imgs = pdf_mini.extract_page_images(bytes(out))
+    assert imgs[0][0]["pixels"] is None
+    assert imgs[0][0]["format"] == "DCTDecode"
+    with pytest.raises(NotImplementedError, match="DCTDecode"):
+        scanned_pdf_pages(bytes(out), {"ocr_backend": "fake"})
+
+
+def test_text_layer_pdf_never_enters_fallback():
+    # a normal text PDF with no images: extract_page_images returns empty
+    # per-page lists and scanned_pdf_pages says None
+    from ragflow_spark.core.pdf_layout import scanned_pdf_pages
+
+    blob = pdf_mini.build_simple_pdf([["real text line"]])
+    assert pdf_mini.extract_page_images(blob) == [[]]
+    assert scanned_pdf_pages(blob, {"ocr_backend": "fake"}) is None
+
+
 # --------------------------------------------------------- template path
 
 
