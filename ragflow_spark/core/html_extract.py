@@ -246,6 +246,12 @@ class _TreeBuilder(HTMLParser):
 
 
 def build_tree(html: str) -> Node:
+    # EOF-unterminated comment: html.parser re-emits the raw "<!--…" as
+    # DATA at close(); HTML5 (and libxml2) treat it as a comment running
+    # to EOF — truncate so the raw markup can't leak into extracted text
+    cut = html.rfind("<!--")
+    if cut != -1 and "-->" not in html[cut:]:
+        html = html[:cut]
     builder = _TreeBuilder()
     try:
         builder.feed(html)
