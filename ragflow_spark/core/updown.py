@@ -6,10 +6,12 @@ The reference decides "does box B continue box A's paragraph?" with a
 non-vendored XGBoost booster (``updown_concat_xgb.model``,
 pdf_parser.py:43-63), consumed by a chain-building DFS
 (``_concat_downward``, pdf_parser.py:441-548). This module ports the
-feature extractor and the merge walk faithfully and makes the scorer
-PLUGGABLE: ``rule_score`` is a deterministic, interpretable stand-in
-operating on the same feature vector, and a real booster's
-``predict(fea) -> float`` drops into the same slot when the asset exists.
+feature extractor and the merge walk faithfully and keeps the scorer
+PLUGGABLE: the default ``booster_score`` is a deterministic GBDT trained
+by tools/train_updown.py on a synthetic labeled layout corpus (held-out
+accuracy in ``updown_model.META``), ``rule_score`` is the interpretable
+hand-set fallback, and a real booster's ``predict(fea) -> float`` drops
+into the same slot when the asset exists.
 
 Documented deviations from the reference:
 - tokenizer: features 25-27/30-31 use ``default_tokenize`` (latin words +
@@ -183,11 +185,33 @@ def updown_concat_features(
     return fea
 
 
+def booster_score(fea: list) -> float:
+    """The trained occupant of the reference's booster slot
+    (pdf_parser.py:43-63 loads ``updown_concat_xgb.model``; the weight
+    file is non-vendored, so tools/train_updown.py trains a 40-tree
+    depth-3 GBDT on a synthetic labeled layout corpus instead —
+    held-out accuracy in ``updown_model.META``). Pure-python eval over
+    the same 32-feature vector; >0.5 means 'down continues up'. This is
+    the DEFAULT scorer; ``rule_score`` remains as the interpretable
+    fallback and a real booster's ``predict(fea) -> float`` still drops
+    into the same ``concat_downward`` slot."""
+    from ragflow_spark.core.updown_model import LEARNING_RATE, TREES
+
+    import math
+
+    m = 0.0
+    for tr in TREES:
+        while isinstance(tr, tuple):
+            f, t, left, right = tr
+            tr = left if fea[f] <= t else right
+        m += tr
+    return 1.0 / (1.0 + math.exp(-LEARNING_RATE * m))
+
+
 def rule_score(fea: list) -> float:
-    """Deterministic stand-in for the XGBoost up-down booster: a hand-set
-    linear vote over the same feature vector, calibrated so >0.5 means
-    'down continues up'. Swap in a real model by passing any
-    ``predict(fea) -> float`` to ``concat_downward``."""
+    """Hand-set linear vote over the same feature vector — the
+    interpretable fallback scorer (>0.5 means 'down continues up');
+    ``booster_score`` above is the trained default."""
     s = 0.5
     if fea[8]:
         s -= 0.45          # up ends a sentence
@@ -269,7 +293,7 @@ def concat_downward(
     boxes: list[dict],
     mean_height: list[float],
     mean_width: list[float],
-    predict=rule_score,
+    predict=None,
     concat_between_pages: bool = True,
 ) -> list[dict]:
     """W5 (pdf_parser.py:441-548): chain boxes downward with geometric
@@ -277,6 +301,8 @@ def concat_downward(
     The reference's recursive DFS is tail-recursive; rewritten as a loop so
     thousand-line chains can't hit the Python recursion limit. Returns a
     new box list in final reading order."""
+    if predict is None:
+        predict = booster_score
     # in_row feature: neighbors within one line height (pdf_parser.py:443-456)
     for i, b in enumerate(boxes):
         mh = mean_height[b["page_number"] - 1]

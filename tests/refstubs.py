@@ -378,7 +378,9 @@ def template_pdf_instance(pdf_cls, blob, lang="English"):
 
     class _Mdl:
         def predict(self, dmatrix):
-            return [updown.rule_score(fea) for fea in dmatrix.rows]
+            # the SAME trained stand-in our pipeline defaults to — both
+            # sides of the A/B run one scorer in the booster slot
+            return [updown.booster_score(fea) for fea in dmatrix.rows]
 
     obj.updown_cnt_mdl = _Mdl()
     return obj

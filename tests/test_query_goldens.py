@@ -21,7 +21,7 @@ EXPECTED = {
         500, ["url", "chunk_idx", "chunk_text", "content_hash",
               "partition_id"]),
     "extract_pipeline_pages": (
-        2682, ["url", "chunk_idx", "chunk_text", "tag_text", "title",
+        2683, ["url", "chunk_idx", "chunk_text", "tag_text", "title",
                "parser", "fmt", "content_hash"]),
     "extract_manifest": (
         16, ["partition_id", "doc_count", "chunk_count", "bytes",
