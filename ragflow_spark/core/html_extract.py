@@ -138,20 +138,42 @@ class Node:
         return "".join(self.itertext())
 
     def iter_nodes(self):
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter_nodes()
+        # iterative preorder: the recursive generator chain was the
+        # hottest call site in the 1M-doc smoke profile
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(
+                c for c in reversed(n.children) if isinstance(c, Node))
 
     def findall(self, tag: str) -> "list[Node]":
         """``.//tag`` — descendants in document order, self excluded."""
-        out = []
-        for c in self.children:
-            if isinstance(c, Node):
-                if c.tag == tag:
-                    out.append(c)
-                out.extend(c.findall(tag))
+        out = self.findall_multi((tag,))[tag]
         return out
+
+    def findall_multi(self, tags) -> "dict[str, list[Node]]":
+        """One preorder walk collecting every tag in ``tags`` — the
+        1M-doc smoke profile showed repeated full-tree findall walks
+        (one per tag name) dominating the HTML path. Text runs are
+        filtered at pop with a single type check."""
+        buckets: dict = {t: [] for t in tags}
+        stack = list(self.children)
+        stack.reverse()
+        while stack:
+            n = stack.pop()
+            if type(n) is str:
+                continue
+            b = buckets.get(n.tag)
+            if b is not None:
+                b.append(n)
+            ch = n.children
+            if ch:
+                if len(ch) == 1:
+                    stack.append(ch[0])
+                else:
+                    stack.extend(ch[::-1])
+        return buckets
 
     def find_first(self, tag: str) -> "Node | None":
         for n in self.iter_nodes():
@@ -402,14 +424,17 @@ def _get_link_density(node: Node) -> float:
 def _tags(node: Node, *tag_names: str):
     """readability ``tags``: ALL of tag 1 (document order), then all of
     tag 2, … — the iteration order feeds candidate insertion order, which
-    is the tie-break in select_best_candidate."""
+    is the tie-break in select_best_candidate. Collected in ONE tree
+    walk (order preserved per bucket)."""
+    buckets = node.findall_multi(tag_names)
     for tag_name in tag_names:
-        yield from node.findall(tag_name)
+        yield from buckets[tag_name]
 
 
 def _reverse_tags(node: Node, *tag_names: str):
+    buckets = node.findall_multi(tag_names)
     for tag_name in tag_names:
-        yield from reversed(node.findall(tag_name))
+        yield from reversed(buckets[tag_name])
 
 
 # ------------------------------------------------------ readability core
@@ -646,16 +671,20 @@ def _sanitize(node: Node, candidates: "dict[Node, dict]") -> Node:
     return node
 
 
-def summary_tree(source_html: str) -> Node:
+def summary_tree(source_html: str, first_tree: Node | None = None) -> Node:
     """``Document(txt).summary(html_partial=True)`` as a TREE (the
     reference returns serialized markup and html_text re-parses it —
     divergence class 2). Implements the full ruthless/retry loop
     (readability.py summary): re-parse fresh each attempt, retry without
     unlikely-candidate removal when the cleaned article serializes under
-    RETRY_LENGTH chars."""
+    RETRY_LENGTH chars.
+
+    ``first_tree`` lets the caller donate an already-built tree for the
+    FIRST attempt (it is consumed destructively); retries always
+    re-parse, matching readability's fresh ``self._html(True)``."""
     ruthless = True
     while True:
-        root = build_tree(source_html)
+        root, first_tree = first_tree or build_tree(source_html), None
         for b in _tags(root, "body"):
             b.set("id", "readabilityBody")
         if ruthless:
@@ -805,8 +834,11 @@ def etree_to_text(tree: Node, guess_punct_space: bool = True,
 def extract(html: str) -> tuple[str, str]:
     """Return (title, main_content_text) — ``Document.title()`` +
     ``html_text.extract_text(Document.summary(html_partial=True))``."""
-    title = get_title(build_tree(html))
-    article = summary_tree(html)
+    tree = build_tree(html)
+    title = get_title(tree)
+    # donate the tree: get_title only READS it, so the first summary
+    # attempt can consume it instead of re-parsing (2x parse → 1x)
+    article = summary_tree(html, first_tree=tree)
     return title, etree_to_text(article)
 
 
