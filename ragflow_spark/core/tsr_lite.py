@@ -44,6 +44,17 @@ def is_caption_text(text: str) -> bool:
     return any(p.match(text.strip()) for p in _CAPTION_PATTERNS)
 
 
+# F7 detector-scoped tier: pdf_parser.py:644-647 drops boxes matching this
+# ANCHORED pattern while collecting table-region boxes (a second, stricter
+# application on top of the global garbage bank — adds the 图表 alternative
+# and the space-after-colon form, and anchors at the start of the box)
+_SOURCE_CREDIT = re.compile(r"(数据|资料|图表)*来源[:： ]")
+
+
+def is_source_credit(text: str) -> bool:
+    return bool(_SOURCE_CREDIT.match(text))
+
+
 _BLOCK_PATTERNS = [
     (r"^(20|19)[0-9]{2}[年/-][0-9]{1,2}[月/-][0-9]{1,2}日*$", "Dt"),
     (r"^(20|19)[0-9]{2}年$", "Dt"),
@@ -129,10 +140,15 @@ def detect_table_regions(
         while j < len(lines) and tabular[j] and _aligned(lines[j - 1], lines[j]):
             j += 1
         if j - i >= MIN_TABLE_ROWS:
-            region: list[dict] = []
-            for ln in lines[i:j]:
-                region.extend(ln)
-            regions.append(region)
+            # pdf_parser.py:644-647: source-credit boxes are dropped at
+            # table-collection time (scoped to detector table regions, not
+            # the global garbage pass — F7's second tier)
+            region = [b for ln in lines[i:j] for b in ln
+                      if not is_source_credit(b["text"])]
+            if region:  # all-credit region: nothing to collect (the
+                # reference's tables[lout_no] is only created by a
+                # surviving box)
+                regions.append(region)
         else:
             for ln in lines[i:j]:
                 rest.extend(ln)

@@ -188,3 +188,30 @@ def test_desc_render_with_spans_repeats_merged_text():
     ]
     rows = tsr_lite.construct_table(boxes, is_english=True, html=False)
     assert rows  # desc path survives span folding
+
+
+def test_source_credit_dropped_inside_table_region_only():
+    """F7 second tier (pdf_parser.py:644-647): the ANCHORED
+    (数据|资料|图表)*来源[:： ] pattern drops boxes at table-collection
+    time — scoped to detector table regions. A matching line in body
+    flow is untouched by this tier (the global garbage bank has its own,
+    narrower pattern), and 图表来源/space-colon forms — which the bank
+    does NOT match — are dropped here."""
+    credit_row = ["图表来源: Wind", "p.12", None, None]  # 2 cells → tabular
+    page = (
+        [_box("body paragraph mentioning 图表来源: something", 72, 60,
+              w=300)]
+        + _grid_boxes([HEADER] + DATA + [credit_row], y0=200)
+    )
+    regions, rest = tsr_lite.detect_table_regions(page)
+    assert len(regions) == 1
+    texts = [b["text"] for b in regions[0]]
+    assert "图表来源: Wind" not in texts      # credit box dropped …
+    assert "p.12" in texts                    # … its row-mate survives
+    assert len(regions[0]) == 17              # 16 grid + p.12
+    # the body-flow line is NOT dropped by this tier
+    assert any("body paragraph" in b["text"] for b in rest)
+    # anchored: credit mid-text does not match
+    assert not tsr_lite.is_source_credit("see 数据来源: xyz")
+    assert tsr_lite.is_source_credit("数据来源 Wind")   # space-colon form
+    assert tsr_lite.is_source_credit("来源： Wind")     # bare 来源 (zero reps)
