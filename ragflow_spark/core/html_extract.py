@@ -128,11 +128,17 @@ class Node:
         return None
 
     def itertext(self):
-        for c in self.children:
-            if isinstance(c, str):
+        # iterative: called ~500x/doc via text_content in the scoring loop
+        stack = list(self.children)
+        stack.reverse()
+        while stack:
+            c = stack.pop()
+            if type(c) is str:
                 yield c
             else:
-                yield from c.itertext()
+                ch = c.children
+                if ch:
+                    stack.extend(ch[::-1])
 
     def text_content(self) -> str:
         return "".join(self.itertext())
@@ -373,11 +379,16 @@ def _serialize_with_tail(node: Node) -> str:
 # readability/readability.py text helpers — exact arithmetic
 
 
+_CLEAN_SPACES = re.compile(r"\s{255,}")
+_CLEAN_NL = re.compile(r"\s*\n\s*")
+_CLEAN_TABS = re.compile(r"\t|[ \t]{2,}")
+
+
 def _clean(text: str) -> str:
     # "Many spaces make the following regexes run forever"
-    text = re.sub(r"\s{255,}", " " * 255, text)
-    text = re.sub(r"\s*\n\s*", "\n", text)
-    text = re.sub(r"\t|[ \t]{2,}", " ", text)
+    text = _CLEAN_SPACES.sub(" " * 255, text)
+    text = _CLEAN_NL.sub("\n", text)
+    text = _CLEAN_TABS.sub(" ", text)
     return text.strip()
 
 
