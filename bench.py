@@ -33,7 +33,26 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _settle(limit: float = 1.0, max_wait_s: float = 300.0) -> float:
+    """Wait (bounded) for residual background load to drain before timing.
+
+    The driver launches the bench right after heavy test activity; its
+    dying executors inflate the first queries 1.5-2× (r6: extract_pages
+    3.86 s in-bench vs 2.2 s isolated at true idle, same code). Sampling
+    every 10 s until the 1-min loadavg drops under ``limit`` — or the
+    bounded wait expires, in which case the stamped loadavg still tells
+    the reader the run was hot."""
+    waited = 0.0
+    while waited < max_wait_s:
+        if 0 <= _loadavg() < limit:
+            break
+        time.sleep(10.0)
+        waited += 10.0
+    return waited
+
+
 def main() -> None:
+    settle_wait = _settle()
     # external-load evidence MUST be sampled before any Spark work — every
     # later sample reflects our own executors; only this one can tell
     # "the box was already busy" from "we made it busy"
@@ -229,6 +248,7 @@ def main() -> None:
 
     loadavg = {
         "pre_spark": load_pre,
+        "settle_wait_s": settle_wait,
         "start": load_samples[0],
         "max": max(load_samples),
         "mean": round(sum(load_samples) / len(load_samples), 2),
