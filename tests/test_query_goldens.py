@@ -78,3 +78,22 @@ def test_bench_registry_names_cover_queries():
     if reg is None:
         pytest.skip("registry block lands with the r5 bench record")
     assert set(reg["names"]) == set(entrymod.queries())
+
+
+def test_bench_settle_bounded(monkeypatch):
+    """The idle-settle guard returns as soon as the box quiets and never
+    waits past its bound — a hung /proc read (loadavg -1) must not spin
+    forever either (it reads as "can't tell", keeps waiting to the cap)."""
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # quiet box: returns immediately, zero wait
+    monkeypatch.setattr(bench, "_loadavg", lambda: 0.2)
+    assert bench._settle(limit=1.0, max_wait_s=60.0) == 0.0
+    # busy box that drains after 3 samples
+    vals = iter([5.0, 3.0, 0.5, 0.5])
+    monkeypatch.setattr(bench, "_loadavg", lambda: next(vals))
+    assert bench._settle(limit=1.0, max_wait_s=600.0) == 20.0
+    # never drains (or unreadable): capped at max_wait_s
+    monkeypatch.setattr(bench, "_loadavg", lambda: -1.0)
+    assert bench._settle(limit=1.0, max_wait_s=60.0) == 60.0
