@@ -33,18 +33,21 @@ def _loadavg() -> float:
         return -1.0
 
 
-def _settle(limit: float = 1.0, max_wait_s: float = 300.0) -> float:
+def _settle(limit: float = 1.0, max_wait_s: float = 180.0) -> float:
     """Wait (bounded) for residual background load to drain before timing.
 
     The driver launches the bench right after heavy test activity; its
     dying executors inflate the first queries 1.5-2× (r6: extract_pages
     3.86 s in-bench vs 2.2 s isolated at true idle, same code). Sampling
-    every 10 s until the 1-min loadavg drops under ``limit`` — or the
-    bounded wait expires, in which case the stamped loadavg still tells
-    the reader the run was hot."""
+    every 10 s until the 1-min loadavg drops under ``limit``; the
+    acceptable limit relaxes by +1.0 per minute waited (this box carries
+    background waves to ~2 that never fully drain — see BENCH/BASELINE.md
+    comparability notes), and the bounded wait keeps the whole bench well
+    inside any outer driver timeout. If it expires hot, the stamped
+    loadavg still tells the reader the run's conditions."""
     waited = 0.0
     while waited < max_wait_s:
-        if 0 <= _loadavg() < limit:
+        if 0 <= _loadavg() < limit + waited // 60.0:
             break
         time.sleep(10.0)
         waited += 10.0

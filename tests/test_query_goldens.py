@@ -94,6 +94,10 @@ def test_bench_settle_bounded(monkeypatch):
     vals = iter([5.0, 3.0, 0.5, 0.5])
     monkeypatch.setattr(bench, "_loadavg", lambda: next(vals))
     assert bench._settle(limit=1.0, max_wait_s=600.0) == 20.0
+    # background wave stuck at 1.8: accepted once the limit relaxes to
+    # 2.0 at the one-minute mark (never-fully-idle box, see BASELINE.md)
+    monkeypatch.setattr(bench, "_loadavg", lambda: 1.8)
+    assert bench._settle(limit=1.0, max_wait_s=180.0) == 60.0
     # never drains (or unreadable): capped at max_wait_s
     monkeypatch.setattr(bench, "_loadavg", lambda: -1.0)
     assert bench._settle(limit=1.0, max_wait_s=60.0) == 60.0
