@@ -287,6 +287,12 @@ def main() -> None:
         (int(re.search(r"\d+", f).group()) for f in prior_files), default=0
     )
     detail_path = os.path.join(rdir, f"BENCH_DETAIL_r{next_round:02d}.json")
+    # only the contract run (default sf0.1) may overwrite the committed
+    # round detail — a small-SF smoke (SPARK_GRAFT_SF_DIR override) would
+    # otherwise clobber it with numbers at the wrong scale, and the
+    # driver's end-of-round auto-commit would ship them
+    if sf != 0.1:
+        detail_path = os.path.join(rdir, ".cache", f"bench_detail_sf{sf}.json")
     try:
         with open(detail_path, "w") as f:
             json.dump({
