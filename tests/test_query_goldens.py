@@ -74,10 +74,18 @@ def test_bench_registry_names_cover_queries():
         pytest.skip("no bench record yet")
     with open(os.path.join(rdir, files[-1])) as f:
         data = json.load(f)
-    reg = (data.get("parsed") or data).get("registry")
+    parsed = data.get("parsed") or data
+    reg = parsed.get("registry")
     if reg is None:
         pytest.skip("registry block lands with the r5 bench record")
-    assert set(reg["names"]) == set(entrymod.queries())
+    if "names" in reg:  # pre-r6 records carried the list inline
+        names = reg["names"]
+    else:  # r6+: the list lives in the committed detail file the record names
+        detail = parsed.get("detail")
+        assert detail, "registry has no names and record names no detail file"
+        with open(os.path.join(rdir, detail)) as f:
+            names = json.load(f)["registry_names"]
+    assert set(names) == set(entrymod.queries())
 
 
 def test_bench_settle_bounded(monkeypatch):
