@@ -34,9 +34,16 @@ Known divergence classes (each pinned by tests/test_html_readability.py;
 everything else follows the published arithmetic exactly):
 
 1. PARSER-RECOVERY: stdlib html.parser vs libxml2 recovery on misnested
-   markup (unclosed inline tags, stray </div>, table hoisting). Trees can
-   differ on pathological markup; well-formed and mildly-broken pages
-   agree.
+   markup. NARROWED (r7): the tree builder now applies libxml2's
+   ``htmlStartClose`` implied-end-tag recovery (unclosed ``p``/``li``/
+   ``tr``/``td``/``th``/``dt``/``dd``/``option``, block-closes-p,
+   a-closes-a — see ``_START_CLOSE``), and stray end tags were already
+   dropped, so the dominant real-world misnesting shapes now produce
+   libxml2-identical trees (pinned in tests/test_html_readability.py
+   "recovered" section). Residual divergence: inline-formatting overlap
+   across block boundaries (``<b>a<div>b</b>``; libxml2 keeps its own
+   non-HTML5 recovery there), legacy ``center``/``font``/``menu``
+   autoclose entries, and libxml2's implied-head element juggling.
 2. SERIALIZE-REPARSE: the reference serializes the article and re-parses
    it in html_text (dropping attrs via clean_attributes); we hand the
    tree over directly. Text-identical unless re-parsing restructures
@@ -219,6 +226,52 @@ class Node:
         return None
 
 
+# libxml2 HTMLparser.c ``htmlStartClose`` (public source), the implied-
+# end-tag recovery lxml applies before readability ever sees the tree:
+# when start tag KEY arrives, the parser repeatedly auto-closes the
+# CURRENT open element while it appears in KEY's set — shallow, one
+# stack-top comparison per pop, exactly libxml2's htmlAutoClose loop (it
+# does NOT search the stack, so ``<p>a<b>x<p>`` still nests: p doesn't
+# close b). Transcribed subset: the pairs that dominate real Common-Crawl
+# misnesting (unclosed p/li/tr/td/th/dt/dd/option, block-closes-p,
+# a-closes-a); rarely-hit legacy entries (center/font, menu/dir quirks)
+# are left out and stay inside divergence class 1.
+_H16 = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_START_CLOSE = {
+    "p": {"p", "head"} | _H16,
+    "div": {"p", "head"},
+    "blockquote": {"p", "head"},
+    "hr": {"p", "head"},
+    "pre": {"p", "head", "ul"},
+    "address": {"p", "head", "ul"},
+    "form": {"form", "p", "hr", "dl", "ul", "ol", "address", "pre"} | _H16,
+    "li": {"li", "p", "dl", "address", "pre", "head"} | _H16,
+    "ul": {"p", "head", "ol", "address", "pre"},
+    "ol": {"p", "head", "ul"},
+    "dl": {"p", "dt", "address", "pre", "head"},
+    "dt": {"dd", "dt", "p", "address", "pre", "head"},
+    "dd": {"dt", "dd", "p", "address", "pre", "head"},
+    "table": {"p", "head", "pre", "a"} | _H16,
+    "caption": {"p"},
+    "colgroup": {"caption", "legend", "tr", "col", "colgroup"},
+    "col": {"caption", "col", "colgroup", "legend"},
+    "tr": {"tr", "td", "th", "caption", "col", "colgroup"},
+    "td": {"td", "th", "caption", "col", "colgroup"},
+    "th": {"td", "th", "caption", "col", "colgroup"},
+    "thead": {"caption", "col", "colgroup"},
+    "tbody": {"th", "td", "tr", "caption", "col", "colgroup", "thead",
+              "tfoot", "tbody"},
+    "tfoot": {"th", "td", "tr", "caption", "col", "colgroup", "thead",
+              "tbody"},
+    "option": {"option"},
+    "optgroup": {"option"},
+    "a": {"a"},
+    "fieldset": {"legend", "p", "pre", "a", "head"} | _H16,
+}
+for _h in _H16:
+    _START_CLOSE[_h] = {"p", "head"}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -226,6 +279,12 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
         self._order = 0
         self._cdata_depth = 0
+
+    def _autoclose(self, tag):
+        closes = _START_CLOSE.get(tag)
+        if closes:
+            while len(self.stack) > 1 and self.stack[-1].tag in closes:
+                self.stack.pop()
 
     def handle_starttag(self, tag, attrs):
         if tag in _CDATA:
@@ -236,6 +295,7 @@ class _TreeBuilder(HTMLParser):
         if tag in _VOID:
             self.handle_startendtag(tag, attrs)
             return
+        self._autoclose(tag)
         self._order += 1
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)
@@ -244,6 +304,7 @@ class _TreeBuilder(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if self._cdata_depth or tag in _CDATA:
             return
+        self._autoclose(tag)  # void tags auto-close too (<hr> closes <p>)
         self._order += 1
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)

@@ -111,6 +111,98 @@ def test_nested_tables_eight_deep():
     assert "Deep cell" in content
 
 
+# --------------- class 1 RECOVERED shapes (libxml2 htmlStartClose, r7):
+# these used to diverge (stdlib html.parser nests unclosed elements);
+# the builder now applies libxml2's implied-end-tag table, so the trees
+# — and therefore readability's parent/grandparent score attribution —
+# match lxml on the misnesting shapes a CC corpus actually contains.
+
+
+def _shape(n, d=0):
+    out = []
+    for c in n.children:
+        if isinstance(c, str):
+            out.append(" " * d + "#text")
+        else:
+            out.append(" " * d + c.tag)
+            out.extend(_shape(c, d + 1))
+    return out
+
+
+def test_unclosed_p_sequence_becomes_siblings():
+    t = he.build_tree("<html><body><div><p>a<p>b<p>c</div></body></html>")
+    div = t.children[0].children[0].children[0]
+    assert [c.tag for c in div.children] == ["p", "p", "p"]
+
+
+def test_unclosed_li_dt_dd_become_siblings():
+    t = he.build_tree(
+        "<body><ul><li>a<li>b</ul><dl><dt>t<dd>d<dt>t2<dd>d2</dl></body>")
+    body = t.children[0].children[0]
+    ul, dl = body.children
+    assert [c.tag for c in ul.children] == ["li", "li"]
+    assert [c.tag for c in dl.children] == ["dt", "dd", "dt", "dd"]
+
+
+def test_unclosed_table_cells_and_rows():
+    t = he.build_tree("<table><tr><td>x<td>y<tr><th>z</table>")
+    table = t.children[0].children[0].children[0]
+    rows = [c for c in table.children if not isinstance(c, str)]
+    assert [r.tag for r in rows] == ["tr", "tr"]
+    assert [c.tag for c in rows[0].children] == ["td", "td"]
+    assert [c.tag for c in rows[1].children] == ["th"]
+
+
+def test_block_and_void_elements_close_open_p():
+    # <div>, <table>, <hr> (void path!) and <h2> all imply </p>
+    t = he.build_tree(
+        "<body><p>a<div>d</div><p>b<hr><p>c<table><tr><td>t</table>"
+        "<p>e<h2>h</h2></body>")
+    body = t.children[0].children[0]
+    tags = [c.tag for c in body.children if not isinstance(c, str)]
+    assert tags == ["p", "div", "p", "hr", "p", "table", "p", "h2"]
+
+
+def test_a_closes_a_and_option_closes_option():
+    t = he.build_tree(
+        "<body><a href='/1'>one<a href='/2'>two</a>"
+        "<select><option>x<option>y</select></body>")
+    body = t.children[0].children[0]
+    anchors = [c for c in body.children
+               if not isinstance(c, str) and c.tag == "a"]
+    assert len(anchors) == 2
+    sel = next(c for c in body.children
+               if not isinstance(c, str) and c.tag == "select")
+    assert [c.tag for c in sel.children] == ["option", "option"]
+
+
+def test_autoclose_is_shallow_like_libxml2():
+    # libxml2's htmlAutoClose compares only the stack top: p does not
+    # close b, so the second p nests INSIDE b — not HTML5, but what the
+    # reference's lxml actually builds
+    t = he.build_tree("<body><p>a<b>x<p>b</b></p></body>")
+    body = t.children[0].children[0]
+    p1 = body.children[0]
+    assert p1.tag == "p"
+    b = next(c for c in p1.children if not isinstance(c, str))
+    assert b.tag == "b"
+    assert any(not isinstance(c, str) and c.tag == "p" for c in b.children)
+
+
+def test_unclosed_p_article_extracts_fully():
+    # end-to-end: score attribution lands on the div (each sibling p adds
+    # to the SAME parent candidate, as in lxml) and every paragraph of an
+    # unclosed-p article survives extraction
+    paras = "".join(f"<p>{PROSE}" for _ in range(4))
+    page = _page(
+        '<div id="nav"><a href="/">Home</a></div>'
+        f'<div class="article">{paras}</div>'
+    )
+    _, content = he.extract(page)
+    assert content.count("Prose sentence") >= 4 * 10
+    assert "Home" not in content
+
+
 # -------------------------------- divergence class 2: SERIALIZE-REPARSE
 
 
