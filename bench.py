@@ -109,6 +109,41 @@ def _canary_shuffle(spark, reps: int = 3) -> float:
     return round(best, 3)
 
 
+def _gate_regressions(prior: dict, timings: dict, canary_np: float,
+                      factor: float, min_delta: float):
+    """Drift-calibrated regression comparison (VERDICT r6 #2).
+
+    This box's absolute speed drifts ~2× across days, so raw walls from a
+    prior round are incomparable. Scale the prior walls by the canary
+    ratio (how much slower/faster the box itself runs the pinned kernel
+    now vs when the prior record was taken), clipped to [0.5, 3] so a
+    broken canary can't silence or invent a regression wholesale. A query
+    regresses only when BOTH the ratio (``factor``×) and the absolute
+    delta (``min_delta`` s) against the drift-scaled prior wall are
+    exceeded — sub-second walls swing ±50% run-to-run here; the cliffs
+    this gate exists for (e.g. an interpreted-UDF fallback) are
+    multi-second. Returns ``(regressions, drift)``; drift is None for
+    pre-canary (≤ r6) prior records, which compare unnormalized."""
+    prior_canary = (prior.get("canary") or {}).get("numpy_s")
+    if prior_canary and prior_canary > 0 and canary_np > 0:
+        drift = max(0.5, min(3.0, canary_np / prior_canary))
+    else:
+        drift = None
+    scale = drift if drift is not None else 1.0
+    regressions = {}
+    for name, t_prev in (prior.get("queries") or {}).items():
+        t_now = timings.get(name)
+        t_ref = t_prev * scale if t_prev else t_prev
+        if t_now is not None and t_prev > 0.2 \
+                and t_now > factor * t_ref \
+                and t_now - t_ref > min_delta:
+            regressions[name] = {
+                "prev": t_prev, "now": t_now,
+                "x": round(t_now / t_ref, 2),
+            }
+    return regressions, drift
+
+
 def main() -> None:
     settle_wait = _settle()
     # external-load evidence MUST be sampled before any Spark work — every
@@ -263,36 +298,10 @@ def main() -> None:
                     prior, prior_round = cand, pf
                     break
             if prior is not None:
-                # machine-drift calibration (VERDICT r6 #2): this box's
-                # absolute speed drifts ~2× across days, so raw walls from
-                # a prior round are incomparable. Scale the prior walls by
-                # the canary ratio (how much slower/faster the box itself
-                # runs the pinned kernel today vs when the prior record was
-                # taken), clipped to a sane band so a broken canary can't
-                # silence or invent a regression wholesale.
-                prior_canary = (prior.get("canary") or {}).get("numpy_s")
-                if prior_canary and prior_canary > 0:
-                    drift = max(0.5, min(3.0, canary_np / prior_canary))
-                else:
-                    drift = None  # pre-r7 record: compare unnormalized
-                scale = drift if drift is not None else 1.0
-                # flag only ratio AND absolute regressions: sub-second
-                # walls swing ±50% run-to-run on this box (two idle HEAD
-                # runs put doc_curation_summary at 1.0s and 2.2s with zero
-                # code delta); real cliffs (e.g. the interpreted-minhash
-                # fallback this gate exists for) are multi-second
                 REG_MIN_DELTA = float(
                     os.environ.get("SPARK_GRAFT_REG_MIN_DELTA", "0.75"))
-                for name, t_prev in (prior.get("queries") or {}).items():
-                    t_now = timings.get(name)
-                    t_ref = t_prev * scale if t_prev else t_prev
-                    if t_now is not None and t_prev > 0.2 \
-                            and t_now > REG_FACTOR * t_ref \
-                            and t_now - t_ref > REG_MIN_DELTA:
-                        regressions[name] = {
-                            "prev": t_prev, "now": t_now,
-                            "x": round(t_now / t_ref, 2),
-                        }
+                regressions, drift = _gate_regressions(
+                    prior, timings, canary_np, REG_FACTOR, REG_MIN_DELTA)
         except Exception as exc:  # malformed prior file must not kill bench
             regressions["_gate_error"] = str(exc)
 

@@ -1,0 +1,98 @@
+"""Property fuzz for the stdlib-DOM tree builder (core/html_extract.py).
+
+The r7 libxml2 ``htmlStartClose`` autoclose recovery rewires the open-
+element stack mid-parse; these properties pin that arbitrary tag soup
+(unclosed elements, stray end tags, voids, interleaved text) can never
+crash the builder or extract(), that visible text always survives into
+the tree, and that the autoclose table's same-tag rules hold structurally
+(no p directly inside p, li inside li, td/th inside td/th, tr inside tr,
+option inside option, a inside a — libxml2 closes each before opening the
+next)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragflow_spark.core import html_extract as he
+
+# non-CDATA tags only: script/style content is dropped by design
+_TAGS = [
+    "div", "p", "span", "b", "i", "a", "ul", "ol", "li", "dl", "dt", "dd",
+    "table", "tr", "td", "th", "thead", "tbody", "h1", "h2", "h3",
+    "blockquote", "pre", "form", "select", "option", "article", "section",
+]
+_VOIDS = ["br", "hr", "img", "input"]
+
+_text = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Zs"),
+        blacklist_characters="<>&",
+    ),
+    min_size=1, max_size=12,
+)
+
+_token = st.one_of(
+    st.builds(lambda t: f"<{t}>", st.sampled_from(_TAGS)),
+    st.builds(lambda t: f"</{t}>", st.sampled_from(_TAGS)),
+    st.builds(lambda t: f"<{t}>", st.sampled_from(_VOIDS)),
+    st.builds(lambda t: f"<{t} class='x' href='/y'>", st.sampled_from(_TAGS)),
+    _text,
+)
+
+_soup = st.lists(_token, min_size=0, max_size=60).map("".join)
+
+
+def _walk(n):
+    yield n
+    for c in n.children:
+        if not isinstance(c, str):
+            yield from _walk(c)
+
+
+# same-tag pairs the autoclose table guarantees can't directly nest
+_NO_DIRECT_NEST = {
+    "p": {"p"}, "li": {"li"}, "tr": {"tr"}, "option": {"option"},
+    "a": {"a"}, "td": {"td", "th"}, "th": {"td", "th"},
+    "dt": {"dd", "dt"}, "dd": {"dt", "dd"},
+}
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup)
+def test_builder_never_crashes_and_preserves_text(soup):
+    tree = he.build_tree(soup)
+    # every non-markup character of the input survives into the tree
+    got = "".join(
+        c for n in _walk(tree) for c in n.children if isinstance(c, str)
+    )
+    import re
+
+    visible = re.sub(r"<[^>]*>", "", soup)
+    # html.parser collapses entity-less text verbatim; compare as bags of
+    # non-space characters (autoclose moves text between nodes, never
+    # drops it; stray '<' without a matching '>' is parser-recovery
+    # territory on both engines, so only assert on clean-token soups)
+    if "<" not in visible and ">" not in visible:
+        assert sorted(got.replace(" ", "")) == sorted(
+            visible.replace(" ", ""))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_soup)
+def test_autoclose_same_tag_never_directly_nests(soup):
+    tree = he.build_tree(soup)
+    for n in _walk(tree):
+        banned = _NO_DIRECT_NEST.get(n.tag)
+        if not banned:
+            continue
+        for c in n.children:
+            if not isinstance(c, str):
+                assert c.tag not in banned, (n.tag, c.tag, soup)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_soup)
+def test_extract_never_crashes_on_soup(soup):
+    title, content = he.extract(f"<html><body>{soup}</body></html>")
+    assert isinstance(title, str) and isinstance(content, str)
+    # the generator never emits raw '<' outside markup, so none may leak
+    assert "<" not in content

@@ -88,6 +88,42 @@ def test_bench_registry_names_cover_queries():
     assert set(names) == set(entrymod.queries())
 
 
+def test_gate_drift_normalization():
+    """The regression gate scales prior walls by the canary ratio before
+    comparing (VERDICT r6 #2): a uniform 2× box slowdown must not flag,
+    a real 2× code regression at zero drift must, and pre-canary prior
+    records compare unnormalized with drift=None."""
+    import bench
+
+    prior = {"queries": {"q_big": 4.0, "q_small": 0.1},
+             "canary": {"numpy_s": 0.2}}
+    # box 2× slower (canary 0.4): walls doubled uniformly → no flags
+    regs, drift = bench._gate_regressions(
+        prior, {"q_big": 8.0, "q_small": 0.2}, 0.4, 1.3, 0.75)
+    assert regs == {} and drift == 2.0
+    # zero drift, q_big truly 2× slower → flagged with x vs the scaled ref
+    regs, drift = bench._gate_regressions(
+        prior, {"q_big": 8.0}, 0.2, 1.3, 0.75)
+    assert drift == 1.0 and regs == {
+        "q_big": {"prev": 4.0, "now": 8.0, "x": 2.0}}
+    # 2× slower box AND 2× slower code: the 4× wall still flags at 2×
+    regs, drift = bench._gate_regressions(
+        prior, {"q_big": 16.0}, 0.4, 1.3, 0.75)
+    assert regs["q_big"]["x"] == 2.0
+    # drift clipped to [0.5, 3] so a broken canary can't hide a cliff
+    regs, drift = bench._gate_regressions(
+        prior, {"q_big": 40.0}, 20.0, 1.3, 0.75)
+    assert drift == 3.0 and regs["q_big"]["x"] == round(40.0 / 12.0, 2)
+    # prior record without canary (≤ r6): unnormalized, drift None
+    regs, drift = bench._gate_regressions(
+        {"queries": {"q_big": 4.0}}, {"q_big": 8.0}, 0.4, 1.3, 0.75)
+    assert drift is None and "q_big" in regs
+    # sub-threshold prior walls (≤0.2 s) and tiny absolute deltas never flag
+    regs, _ = bench._gate_regressions(
+        prior, {"q_small": 0.9}, 0.2, 1.3, 0.75)
+    assert regs == {}
+
+
 def test_bench_settle_bounded(monkeypatch):
     """The idle-settle guard returns as soon as the box quiets and never
     waits past its bound — a hung /proc read (loadavg -1) must not spin
