@@ -256,7 +256,9 @@ def minhash_pairs(
         .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # shingle arrays are array_distinct'ed sets: |A∪B| = |A|+|B|-|A∩B|
+    # exactly, so arithmetic replaces the second per-pair set build
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     out = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -489,7 +491,10 @@ def ngram_jaccard_pairs(
         F.col("_sh").alias("sh_b"), F.col("_n").alias("n_b"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # shingle arrays are array_distinct'ed sets: |A∪B| = |A|+|B|-|A∩B|
+    # exactly — the sizes are already materialized as n_a/n_b, so the
+    # second per-pair set build (array_union) becomes two column adds
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     cond = (
         (F.col("id_a") < F.col("id_b"))
         & (
