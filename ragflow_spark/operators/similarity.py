@@ -22,18 +22,38 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ragflow_spark.functions.vectors import cosine
+from ragflow_spark.functions.vectors import dot, norm
+
+
+def _fold_norm(vec: list[float]) -> float:
+    """L2 norm as the exact IEEE left-fold the SQL ``aggregate`` performs
+    (((0+x₀²)+x₁²)+…, then sqrt — both correctly rounded), so inlining the
+    result as a literal is bit-identical to evaluating norm(q) per row."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
+
+
+def _cosine_q(vec_col, query_vec: list[float]):
+    """cosine(vec, literal-query) with the query norm pre-folded in Python.
+    Catalyst does NOT constant-fold higher-order functions (checked on the
+    optimized plan: ``SQRT(aggregate([…literal…]))`` survives), so the
+    plain ``cosine(col, q)`` re-aggregates the query array on EVERY row;
+    this keeps the identical FP sequence at one multiply instead."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return dot(c, q) / (norm(c) * F.lit(_fold_norm(query_vec)))
 
 
 def cosine_topk(
     df: DataFrame, vec_col: str, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+            F.round(_cosine_q(vec_col, query_vec), 6).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
@@ -55,8 +75,7 @@ def ivf_build(
         for r in centroids.select("cluster_id", "centroid").collect()
     ]
     # one expr string instead of ~1,500 py4j Column calls (same tree —
-    # see _sql_sq_l2 on why construction cost matters); Catalyst constant-
-    # folds the literal-centroid norm subtrees at optimization time
+    # see _sql_sq_l2 on why construction cost matters)
     norm_vec = (
         f"sqrt(aggregate(`{vec_col}`, CAST(0.0 AS DOUBLE), "
         f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
@@ -69,16 +88,17 @@ def ivf_build(
             f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        norm_lit = (
-            f"sqrt(aggregate({lit}, CAST(0.0 AS DOUBLE), "
-            f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-        )
+        # centroid norm pre-folded in Python (_fold_norm: identical IEEE
+        # sequence) — higher-order functions are NOT constant-folded, so
+        # the sqrt(aggregate(literal…)) form re-ran per row per centroid.
+        # The row's own norm is hoisted to ONE `_nv` projection below
+        # instead of re-aggregating inside every centroid entry.
         entries.append(
-            f"named_struct('nc', -(({dot}) / (({norm_vec}) * ({norm_lit}))), "
-            f"'cid', {cid})"
+            f"named_struct('nc', -(({dot}) / ((`_nv`) * "
+            f"({_dlit(_fold_norm(vec))}))), 'cid', {cid})"
         )
     best = F.expr(f"array_min(array({', '.join(entries)})).cid")
-    return df.select(
+    return df.withColumn("_nv", F.expr(norm_vec)).select(
         F.col(id_col), best.alias("cluster_id"), F.col(vec_col)
     )
 
@@ -130,10 +150,9 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     probe = (
         centroids.select(
-            "cluster_id", cosine(F.col("centroid"), q).alias("_cc")
+            "cluster_id", _cosine_q("centroid", query_vec).alias("_cc")
         )
         .orderBy(F.col("_cc").desc(), F.col("cluster_id"))
         .limit(nprobe)
@@ -143,7 +162,7 @@ def ivf_topk(
         indexed.join(F.broadcast(probe), on="cluster_id")
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+            F.round(_cosine_q(vec_col, query_vec), 6).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
@@ -425,10 +444,9 @@ def ivf_pq_topk(
     Plan shape: scan → broadcast probe join → TakeOrderedAndProject
     (rerank) → exact cosine over ≤rerank rows → TakeOrderedAndProject (k).
     No shuffle wider than the rerank shortlist."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     probe = (
         centroids.select(
-            "cluster_id", cosine(F.col("centroid"), q).alias("_cc")
+            "cluster_id", _cosine_q("centroid", query_vec).alias("_cc")
         )
         .orderBy(F.col("_cc").desc(), F.col("cluster_id"))
         .limit(nprobe)
@@ -444,7 +462,7 @@ def ivf_pq_topk(
     return (
         shortlist.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), q), 6).alias("cos"),
+            F.round(_cosine_q(vec_col, query_vec), 6).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
