@@ -149,6 +149,16 @@ IVF probes 1/8 of the table at query time; PQ shrinks 256 B vectors to
 4 codes and scores with table lookups — the candidate-generation tier a
 billion-vector setup re-ranks with exact distances. The composed row IS
 that architecture end-to-end: prune → LUT-rank → exact on ≤100 rows.
+
+Honest reading of the composed wall: at 1M vectors the composed query
+does not necessarily beat standalone IVF — recall is already 1.0 for
+every path here, and the extra ADC + re-rank stages cost more than they
+save while 1/8 of 1M vectors still fits in page cache. The composed
+path's win is a BANDWIDTH win (codes are ~64× smaller than vectors), so
+it materializes when the probed slice no longer fits in memory.
+Cross-run caveat: these walls carry the box's ~2× day-drift and load
+waves (see the round-7 canary note) — compare paths WITHIN one run, not
+across runs.
 """
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(out_md):

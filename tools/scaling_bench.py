@@ -62,6 +62,15 @@ def main():
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     parts = 4 * n_big  # identical physical plan at both core counts
 
+    # residual load skews the RATIO, not just the walls: background
+    # contention taxes the wide pass more than the narrow one (measured
+    # 2026-08-17: eff 0.753 right after a 1M smoke vs 0.923 at idle,
+    # same code) — reuse bench.py's bounded settle before timing
+    import bench
+
+    settle_wait = bench._settle()
+    load_pre = bench._loadavg()
+
     pages_path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
     if not os.path.exists(pages_path):
         from ragflow_spark.session import get_spark
@@ -92,6 +101,8 @@ def main():
         "eff_8_to_32": round(eff_full, 3) if eff_full else None,
         "mp_control_eff_8_to_32": control["eff_8_32"],
         "shuffle_partitions": parts,
+        "loadavg_pre": load_pre,
+        "settle_wait_s": settle_wait,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
@@ -138,7 +149,10 @@ The N={n_small}→4N={n_big} pair keeps both points inside the
 bandwidth-linear region and is therefore the faithful stand-in for
 executor-count scaling.
 
-Measured {result["ts"]} (single machine, 32 physical cores, 1 thread/core).
+Measured {result["ts"]} (single machine, 32 physical cores, 1 thread/core;
+pre-run 1-min loadavg {result["loadavg_pre"]}, settle wait {result["settle_wait_s"]} s —
+residual load taxes the wide pass more than the narrow one, so the
+ratio is only meaningful at idle).
 
 ## Reference baseline
 
