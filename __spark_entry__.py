@@ -50,6 +50,30 @@ _GOLDEN_Q = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tests", "goldens", "q")
 
 
+# Registry lineage under the driver's 50-entry record cap: when a round
+# consolidates queries to free slots, the old→new mapping is recorded
+# here (the machine-readable twin of COVERAGE.md's consolidation table)
+# so the cross-round record-drift check can tell a documented
+# consolidation from a silently dropped query, and round-over-round
+# walls stay traceable (VERDICT r6 #7).
+REGISTRY_CONSOLIDATIONS: dict[str, str] = {
+    # r6: stage-union consolidations at the cap
+    "doc_minhash_sig": "doc_minhash_stages",
+    "doc_minhash_bands": "doc_minhash_stages",
+    "emb_cluster_sizes": "emb_kmeans_stages",
+    "emb_kmeans_step_sizes": "emb_kmeans_stages",
+    "emb_hyperplane_lsh": "emb_lsh_stages",
+    "emb_near_dup_lsh": "emb_lsh_stages",
+    "extract_chunks_invariants": "extract_invariants",
+    "extract_manifest_invariants": "extract_invariants",
+    "media_meta": "media_meta_frames",
+    "media_frame_plan": "media_meta_frames",
+    # r7: sampling stage-union frees the slot doc_pii_scrub takes
+    "doc_split_assign": "doc_sampling_stages",
+    "doc_stratified_sample": "doc_sampling_stages",
+}
+
+
 # ----------------------------------------------------------------- entry
 
 
@@ -148,24 +172,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_key").cast("long").alias("keep_id"), "fp"
         )
 
-    def doc_split_assign(spark, sf):
-        """Deterministic weighted train/val/test assignment from md5
-        buckets — stable across runs, cluster sizes, input order."""
-        from ragflow_spark.operators.sampling import hash_split
+    def doc_sampling_stages(spark, sf):
+        """Both deterministic sampling operators in one tagged union
+        (registry slot shared under the 50-entry cap, r7; the union
+        oracle still gates each stage row-for-row — minhash_stages
+        precedent): stage='split' is the weighted train/val/test
+        assignment from md5 buckets for every doc, stage='sample' is the
+        per-language deterministic 20% rank-by-hash sample with a 1-row
+        floor per group."""
+        from ragflow_spark.operators.sampling import (
+            hash_split,
+            stratified_sample,
+        )
 
-        return hash_split(
-            _docs(spark, sf), "doc_id",
-            {"train": 0.8, "val": 0.1, "test": 0.1},
-        ).select("doc_id", "split")
+        d = _docs(spark, sf)
+        split_rows = hash_split(
+            d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).select(
+            "doc_id", F.lit("split").alias("stage"),
+            F.col("split").alias("value"),
+        )
+        sample_rows = stratified_sample(d, "doc_id", "lang", 0.2).select(
+            "doc_id", F.lit("sample").alias("stage"),
+            F.col("lang").alias("value"),
+        )
+        return split_rows.unionByName(sample_rows)
 
-    def doc_stratified_sample(spark, sf):
-        """Per-language deterministic 20% sample, rank-by-hash with a
-        1-row floor per group."""
-        from ragflow_spark.operators.sampling import stratified_sample
+    def doc_pii_scrub(spark, sf):
+        """PII redaction audit: deterministic synthetic PII (an email, a
+        phone, an IP, and on every 7th doc an SSN + card) is appended to
+        each document, then the native regexp bank masks it — the oracle
+        gates per-category hit counters AND the md5 of the scrubbed
+        bytes, so both the counting and the exact replacement spans are
+        pinned. Fixture text may also contribute organic hits; the
+        injection only guarantees a floor."""
+        from ragflow_spark.operators.pii import pii_scrub
 
-        return stratified_sample(
-            _docs(spark, sf), "doc_id", "lang", 0.2
-        ).select("doc_id", "lang")
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return pii_scrub(d, "doc_id", "text")
 
     def doc_decontam(spark, sf):
         """13-gram collision decontamination audit: the 'eval set' is the
@@ -857,8 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation": doc_curation,
         "doc_curation_summary": doc_curation_summary,
         "doc_stream_dedup": doc_stream_dedup,
-        "doc_split_assign": doc_split_assign,
-        "doc_stratified_sample": doc_stratified_sample,
+        "doc_sampling_stages": doc_sampling_stages,
+        "doc_pii_scrub": doc_pii_scrub,
         "doc_decontam": doc_decontam,
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
@@ -1089,8 +1147,15 @@ def _near_dup_lsh_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ragflow_spark.operators.pii import (
+        PII_FINAL_STAGE as _pii_final_stage,
+        PII_FINAL_TEXT as _pii_final_text,
+        PII_HIT_COLS as _pii_hit_cols,
+        pii_oracle_ctes,
+    )
     from ragflow_spark.operators.textstats import STOPWORDS
 
+    _pii_ctes = pii_oracle_ctes("text")
     sw = {k: _stopword_hits_sql("text", v) for k, v in STOPWORDS.items()}
     lang_score_exprs = {
         k: f"round({v}::DOUBLE / greatest(len({_toks_sql('text')}), 1), 6)"
@@ -1144,6 +1209,12 @@ def oracle_sql() -> dict[str, str]:
             d as (select doc_id,
                          min(doc_id) over (partition by fp) as keep_id
                   from s),
+            p0 as (select doc_id, text from documents),
+            {_pii_ctes},
+            pii as (select doc_id,
+                           cast({" + ".join(_pii_hit_cols)} as int)
+                             as pii_hits
+                    from {_pii_final_stage}),
             flags as (
               select l.doc_id, l.pred_lang,
                      cast(l.n_tokens as int) as n_tokens,
@@ -1154,9 +1225,11 @@ def oracle_sql() -> dict[str, str]:
                      cast(case when r.dup_word_frac <= 0.3
                                and r.dup_bigram_frac <= 0.2
                           then 1 else 0 end as int) as repetition_keep,
+                     pii.pii_hits,
                      cast(case when d.doc_id != d.keep_id then 1 else 0 end
                           as int) as is_dup
-              from l join r using (doc_id) join d on l.doc_id = d.doc_id),
+              from l join r using (doc_id) join d on l.doc_id = d.doc_id
+                    join pii on l.doc_id = pii.doc_id),
             curated as (
               select *,
                      case when n_tokens < 5 then 'too_short'
@@ -1220,7 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_curation": curation_flags_sql + """
             select doc_id, pred_lang, n_tokens, quality_keep,
-                   repetition_keep, is_dup,
+                   repetition_keep, pii_hits, is_dup,
                    cast(case when drop_reason is null then 1 else 0 end as int)
                      as keep,
                    drop_reason
@@ -1241,31 +1314,42 @@ def oracle_sql() -> dict[str, str]:
                    md5({_norm_sql('text')}) as fp
             from u group by 2
         """,
-        "doc_split_assign": f"""
-            with b as (
-              select doc_id,
-                     ({_hex8_to_int_sql("substr(md5(doc_id || ':42'), 1, 8)")})
-                       % 1000000 as bucket
-              from documents)
-            select doc_id,
-                   case when bucket < 800000 then 'train'
-                        when bucket < 900000 then 'val'
-                        else 'test' end as split
-            from b
-        """,
-        "doc_stratified_sample": f"""
+        "doc_sampling_stages": f"""
             with b as (
               select doc_id, lang,
                      ({_hex8_to_int_sql("substr(md5(doc_id || ':42'), 1, 8)")})
                        % 1000000 as bucket
               from documents),
-            r as (select doc_id, lang,
+            r as (select doc_id, lang, bucket,
                          row_number() over (partition by lang
                                             order by bucket, doc_id) as rk,
                          count(*) over (partition by lang) as n
                   from b)
-            select doc_id, lang from r
+            select doc_id, 'split' as stage,
+                   case when bucket < 800000 then 'train'
+                        when bucket < 900000 then 'val'
+                        else 'test' end as value
+            from b
+            union all
+            select doc_id, 'sample' as stage, lang as value from r
             where rk <= greatest(cast(ceil(n * 0.2) as bigint), 1)
+        """,
+        "doc_pii_scrub": f"""
+            with p0 as (
+              select doc_id,
+                     text || ' contact user' || doc_id::varchar ||
+                     '@example.com or 555-123-' ||
+                     lpad((doc_id % 10000)::varchar, 4, '0') ||
+                     ' from 10.0.' || (doc_id % 256)::varchar || '.1' ||
+                     case when doc_id % 7 = 0
+                          then ' ssn 123-45-6789 card 4111 1111 1111 1111'
+                          else '' end as text
+              from documents),
+            {_pii_ctes}
+            select doc_id, {", ".join(_pii_hit_cols)},
+                   cast({" + ".join(_pii_hit_cols)} as int) as pii_hits,
+                   md5({_pii_final_text}) as scrub_md5
+            from {_pii_final_stage}
         """,
         "doc_decontam": """
             with toks as (

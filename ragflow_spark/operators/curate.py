@@ -20,6 +20,7 @@ from ragflow_spark.functions.text import (
     punct_ratio,
     token_count,
 )
+from ragflow_spark.operators.pii import pii_total
 from ragflow_spark.operators.textstats import lang_scores
 
 LANG_ORDER = ["en", "de", "es", "fr", "zh"]
@@ -93,6 +94,10 @@ def curate(
         pred.alias("pred_lang"),
         quality_keep.alias("_qk"),
         repetition_keep.alias("_rk"),
+        # auditable PII volume (r7): counts only, masking is a separate
+        # pii_scrub pass — curation reports how much redaction the kept
+        # set would need, it does not mutate text
+        pii_total(c).alias("pii_hits"),
         fingerprint_md5(c).alias("_fp"),
     )
     # duplicate demotion: min id per fingerprint keeps, the rest drop —
@@ -121,6 +126,7 @@ def curate(
         "n_tokens",
         F.col("_qk").cast("int").alias("quality_keep"),
         F.col("_rk").cast("int").alias("repetition_keep"),
+        "pii_hits",
         F.col("_is_dup").cast("int").alias("is_dup"),
         reason.isNull().cast("int").alias("keep"),
         reason.alias("drop_reason"),
