@@ -17,6 +17,7 @@ Build the zip with: python tools/package.py
 from __future__ import annotations
 
 import argparse
+import json
 
 
 def main() -> None:
@@ -28,7 +29,12 @@ def main() -> None:
     ap.add_argument("--attempt", type=int, default=1)
     ap.add_argument("--iceberg", action="store_true",
                     help="read --input via the iceberg catalog")
+    ap.add_argument("--template-cfg", default=None,
+                    help="JSON parser config passed to every template, "
+                         "e.g. '{\"ocr_backend\": \"fake\"}' to route "
+                         "scanned PDFs through the OCR fallback")
     args = ap.parse_args()
+    template_cfg = json.loads(args.template_cfg) if args.template_cfg else None
 
     from ragflow_spark.operators.extract import run_extraction_job
     from ragflow_spark.session import get_spark
@@ -45,6 +51,7 @@ def main() -> None:
         manifest_path=args.manifest,
         num_partitions=args.partitions,
         attempt=args.attempt,
+        template_cfg=template_cfg,
     )
     spark.stop()
 

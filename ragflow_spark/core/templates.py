@@ -73,6 +73,27 @@ def _page_range(cfg: dict | None) -> tuple[int, int]:
     return int(cfg.get("from_page", 0)), int(cfg.get("to_page", 100000))
 
 
+def _layout_parse_ocr_fallback(blob: bytes, lang: str, cfg: dict, **kw):
+    """``layout_parse`` with the scanned-PDF fallback, shared by every
+    PDF template branch (naive/book/laws via sections_for, paper, qa,
+    manual): when the text layer yields nothing at all — an image-only
+    scan — OCR the embedded page rasters and rerun the SAME layout
+    pipeline over the OCR boxes. Mirrors the reference, whose char and
+    OCR boxes share one downstream (pdf_parser.py ``__ocr`` feeding
+    ``_layouts_rec``), so each template's own merge/TOC/two-column flags
+    (in ``kw``) apply identically to scanned input."""
+    from ragflow_spark.core.pdf_layout import layout_parse, scanned_pdf_pages
+
+    secs, tbls = layout_parse(blob, lang, return_tables=True,
+                              pages=cfg.get("_pdf_pages"), **kw)
+    if not secs and not tbls:
+        ocr_pages = scanned_pdf_pages(blob, cfg)
+        if ocr_pages is not None:
+            secs, tbls = layout_parse(blob, lang, return_tables=True,
+                                      pages=ocr_pages, **kw)
+    return secs, tbls
+
+
 def sections_for(blob: bytes, fmt: str, cfg: dict,
                  pdf_layout: bool = True, lang: str = "English",
                  pdf_merge_mode: str = "updown",
@@ -107,39 +128,18 @@ def sections_for(blob: bytes, fmt: str, cfg: dict,
     if fmt == "pdf":
         fp, tp = _page_range(cfg)
         if pdf_layout:
-            from ragflow_spark.core.pdf_layout import layout_parse
-
             # W5 up-down concat is the naive/one PDF merge tier
             # (naive.py:150, one.py:47); laws passes "naive" for its bare
             # _naive_vertical_merge (laws.py:126); book passes "book" =
             # W4 → box-level TOC filter → W6 same-bullet merge
             # (book.py:46-50)
-            secs, tbls = layout_parse(
-                blob, lang, from_page=fp, to_page=tp, return_tables=True,
+            secs, tbls = _layout_parse_ocr_fallback(
+                blob, lang, cfg, from_page=fp, to_page=tp,
                 merge_mode=("naive" if pdf_merge_mode == "book"
                             else pdf_merge_mode),
                 toc_filter=pdf_merge_mode == "book",
                 same_bullet=pdf_merge_mode == "book",
-                pages=cfg.get("_pdf_pages"),
             )
-            if not secs and not tbls:
-                # scanned (image-only) PDF: no text layer at all → OCR the
-                # embedded page rasters and rerun the SAME pipeline over
-                # the OCR boxes (the reference's char/OCR boxes share one
-                # downstream, pdf_parser.py __ocr → _layouts_rec)
-                from ragflow_spark.core.pdf_layout import scanned_pdf_pages
-
-                ocr_pages = scanned_pdf_pages(blob, cfg)
-                if ocr_pages is not None:
-                    secs, tbls = layout_parse(
-                        blob, lang, from_page=fp, to_page=tp,
-                        return_tables=True,
-                        merge_mode=("naive" if pdf_merge_mode == "book"
-                                    else pdf_merge_mode),
-                        toc_filter=pdf_merge_mode == "book",
-                        same_bullet=pdf_merge_mode == "book",
-                        pages=ocr_pages,
-                    )
             # table chunks carry their position tag inline; _finish strips
             # it into chunk_text and parses the spans
             return secs, [html + tag for html, tag in tbls], ""
@@ -264,13 +264,10 @@ def chunk_paper(blob: bytes, fmt: str, lang: str = "English",
         # layout branch (paper.py:148-150): two-column detection + X-first
         # reorder; tags ride inside the text exactly as paper.py:125-127;
         # tables become standalone chunks first (paper.py:162)
-        from ragflow_spark.core.pdf_layout import layout_parse
-
         fp, tp = _page_range(cfg)
-        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
-                                  two_column=True, return_tables=True,
-                                  merge_mode="updown", toc_filter=True,
-                                  pages=cfg.get("_pdf_pages"))
+        secs, tbls = _layout_parse_ocr_fallback(
+            blob, lang, cfg, from_page=fp, to_page=tp,
+            two_column=True, merge_mode="updown", toc_filter=True)
         # clean mess (paper.py:58-59): strip + collapse whitespace runs
         # BEFORE the tag attaches — a whitespace-only box becomes an
         # empty section that still joins with its \n (fuzz A/B pins it)
@@ -487,17 +484,14 @@ def chunk_qa(blob: bytes, fmt: str, lang: str = "English",
             pairs.append((question, answer))
     elif fmt == "pdf":
         from ragflow_spark.core import qa as qa_core
-        from ragflow_spark.core.pdf_layout import layout_parse
 
         # qa ignores the task page window: rag/app/qa.py:294 takes no
         # from_page/to_page (they land in **kwargs) and qa.py:355-357
         # hardcodes to_page=10000 — every production task re-parses the
         # whole document up to that cap (a >10000-page PDF is silently
         # truncated there; mirror the cap exactly, ADVICE r5)
-        secs, tbls = layout_parse(blob, lang, from_page=0,
-                                  to_page=10000,
-                                  return_tables=True, merge_mode="none",
-                                  pages=cfg.get("_pdf_pages"))
+        secs, tbls = _layout_parse_ocr_fallback(
+            blob, lang, cfg, from_page=0, to_page=10000, merge_mode="none")
         # full-document heights, NOT window-sliced: position tags carry
         # document-absolute page numbers, so the cum-offset lookup must
         # index the real page list
@@ -707,14 +701,11 @@ def chunk_manual(blob: bytes, fmt: str, lang: str = "English",
             "manual template: file type not supported yet(pdf and docx supported)"
         )
     if cfg.get("layout_recognize", True):
-        from ragflow_spark.core.pdf_layout import layout_parse
-
         # manual.py:60-61: W5 concat + TOC filter before outline leveling
         fp, tp = _page_range(cfg)
-        secs, tbls = layout_parse(blob, lang, from_page=fp, to_page=tp,
-                                  return_tables=True,
-                                  merge_mode="updown", toc_filter=True,
-                                  pages=cfg.get("_pdf_pages"))
+        secs, tbls = _layout_parse_ocr_fallback(
+            blob, lang, cfg, from_page=fp, to_page=tp,
+            merge_mode="updown", toc_filter=True)
         # clean mess (manual.py:65-66 — lives in manual.Pdf.__call__, so
         # LAYOUT branch only). Empty sections are KEPT: the reference's
         # level walk runs over every box (a cleaned-to-empty box still

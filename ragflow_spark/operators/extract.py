@@ -48,10 +48,12 @@ CHUNKS_SCHEMA = (
 )
 
 
-def _extract_batches(batches) -> Iterator:
+def _extract_batches(batches, template_cfg: dict | None = None) -> Iterator:
     """Executor-side worker. Imports the parity core lazily so the module
     ships cleanly via --py-files; template dispatch per row, Arrow batch in,
-    Arrow batch out."""
+    Arrow batch out. ``template_cfg`` is the job-level parser config
+    (the reference's per-task ``parser_config``, task_executor.py) — e.g.
+    ``{"ocr_backend": "fake"}`` to enable the scanned-PDF OCR fallback."""
     import pandas as pd
 
     from ragflow_spark.core.templates import run_template
@@ -82,7 +84,10 @@ def _extract_batches(batches) -> Iterator:
         for row in pdf.itertuples():
             try:
                 blob = bytes(row.html) if row.html is not None else b""
-                chunks = run_template(row.parser, blob, row.fmt, row.lang)
+                chunks = run_template(
+                    row.parser, blob, row.fmt, row.lang,
+                    cfg=dict(template_cfg) if template_cfg else None,
+                )
                 if not chunks:
                     # visibility row: every staged doc must appear in the
                     # chunk table or the manifest's doc_count undercounts
@@ -139,6 +144,7 @@ def extract_chunks(
     num_partitions: int | None = None,
     skip_errors_column: bool = False,
     repartition: bool | str = True,
+    template_cfg: dict | None = None,
 ) -> DataFrame:
     """The end-to-end extraction plan. ``num_partitions`` defaults to the
     session's shuffle partitions.
@@ -171,7 +177,10 @@ def extract_chunks(
         do_shuffle = _estimate_scan_tasks(plan) < max(2, num_partitions // 2)
     if do_shuffle:
         plan = partition_for_extract(plan, num_partitions)
-    chunks = plan.mapInPandas(_extract_batches, schema=CHUNKS_SCHEMA)
+    chunks = plan.mapInPandas(
+        lambda batches: _extract_batches(batches, template_cfg),
+        schema=CHUNKS_SCHEMA,
+    )
     if skip_errors_column:
         chunks = chunks.filter(F.col("error").isNull()).drop("error")
     return chunks
@@ -183,6 +192,7 @@ def run_extraction_job(
     manifest_path: str,
     num_partitions: int | None = None,
     attempt: int = 1,
+    template_cfg: dict | None = None,
 ) -> None:
     """Full resumable job: resume-filter → extract → write chunks (dynamic
     partition overwrite on partition_id) → append manifest."""
@@ -209,7 +219,8 @@ def run_extraction_job(
     check_resume_compatible(manifest, num_partitions)
     todo = resume_filter(staged, manifest)
     chunks = partition_for_extract(todo, num_partitions).mapInPandas(
-        _extract_batches, schema=CHUNKS_SCHEMA
+        lambda batches: _extract_batches(batches, template_cfg),
+        schema=CHUNKS_SCHEMA,
     )
     # idempotent per-partition overwrite: rerunning a partition rewrites the
     # exact same deterministic rows

@@ -281,6 +281,22 @@ def test_scanned_template_fallback_fake_backend():
     assert cks and cks[0].spans
 
 
+@pytest.mark.parametrize("parser", ["paper", "manual", "book"])
+def test_scanned_fallback_covers_all_layout_templates(parser):
+    """The shared _layout_parse_ocr_fallback must route scanned input
+    through EVERY layout-branch template, not just naive — each template's
+    own merge/TOC flags then apply to the OCR boxes (corpus rev 2 puts
+    scanned docs under naive/paper in the bench; manual/book are pinned
+    here)."""
+    from ragflow_spark.core.templates import run_template
+
+    blob, truths = _scanned_fixture()
+    cks = run_template(parser, blob, "pdf", "English",
+                       cfg={"ocr_backend": "fake"})
+    joined = "\n".join(c.chunk_text for c in cks)
+    assert all(t in joined for page in truths for t in page), parser
+
+
 def test_scanned_template_honest_default_raises():
     from ragflow_spark.core.templates import run_template
 

@@ -96,18 +96,28 @@ def test_bench_corpus_matches_reference_goldens(spark):
     """The html-dominant web-profile corpus — the SAME 4096-doc table
     bench.py and the scaling gate run on — gated against the executing
     reference — including giants, which run the reference once per
-    production page window (12/22 pages per task)."""
+    production page window (12/22 pages per task). Corpus rev 2 adds a
+    scanned-PDF slice (~2.5%): those docs are not reference-executable
+    here (runtime-downloaded OCR weights), so they are gated against the
+    encoded ground truths the rasters carry instead — every truth string
+    must be recovered verbatim through the full distributed fallback."""
     from ragflow_spark.operators.extract import extract_chunks
-    from ragflow_spark.sources.pages import generate_pages_df
+    from ragflow_spark.sources.pages import (
+        generate_pages_df,
+        is_scanned_pdf,
+        scanned_truths,
+    )
 
     with gzip.open(WEB_GOLDEN, "rt", encoding="utf-8") as f:
         golden = json.load(f)
     assert golden["profile"] == "web"
-    assert len(golden["docs"]) >= 4045
+    assert len(golden["docs"]) >= 3940
+    assert golden["skipped_fmt_counts"].get("scanned_pdf", 0) >= 90
     assert all(v["ref_error"] is None for v in golden["docs"].values())
 
     pages = generate_pages_df(spark, 4096, profile="web")
-    chunks = extract_chunks(pages, num_partitions=8)
+    chunks = extract_chunks(pages, num_partitions=8,
+                            template_cfg={"ocr_backend": "fake"})
     rows = chunks.select("url", "chunk_idx", "chunk_text", "error").collect()
     got: dict[str, list] = {}
     for r in rows:
@@ -118,4 +128,17 @@ def test_bench_corpus_matches_reference_goldens(spark):
         ours = [t for _, t in sorted(got.get(url, []))]
         assert ours == v["chunks"], (url, v["fmt"], v["parser"])
         n_checked += 1
-    assert n_checked >= 4000
+    assert n_checked >= 3900
+
+    n_scanned = 0
+    for doc_id in range(4096):
+        if not is_scanned_pdf(doc_id, "web"):
+            continue
+        url = next(u for u in got if u.endswith(f"/{doc_id}")
+                   and "/pdf/" in u)
+        joined = "\n".join(t for _, t in sorted(got[url]))
+        for page in scanned_truths(doc_id):
+            for truth in page:
+                assert truth in joined, (url, truth)
+        n_scanned += 1
+    assert n_scanned >= 90

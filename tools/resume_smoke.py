@@ -69,11 +69,14 @@ def main() -> None:
                       extra_conf={"spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
+    from ragflow_spark.sources.pages import corpus_cache_name
+
+    corpus = os.path.join(REPO, ".cache", corpus_cache_name("web", n_docs))
     if not os.path.exists(corpus):
         write_pages(spark, n_docs, corpus, parallelism=4 * cores,
                     profile="web")
     pages = spark.read.parquet(corpus)
+    CFG = {"ocr_backend": "fake"}  # web rev-2 scanned slice
     base = os.path.join(REPO, ".cache", "resume_smoke")
     shutil.rmtree(base, ignore_errors=True)
     result: dict = {"n_docs": n_docs, "cores": cores, "partitions": parts}
@@ -85,7 +88,8 @@ def main() -> None:
     # ---- A: single shot
     out_a, man_a = leg("single")
     t0 = time.perf_counter()
-    run_extraction_job(pages, out_a, man_a, num_partitions=parts)
+    run_extraction_job(pages, out_a, man_a, num_partitions=parts,
+                       template_cfg=CFG)
     result["single_sec"] = round(time.perf_counter() - t0, 1)
     n_a, h_a = digest(spark, out_a)
     result["single_rows"], result["single_digest"] = n_a, h_a
@@ -96,14 +100,16 @@ def main() -> None:
         F.pmod(F.xxhash64("url"), F.lit(parts)) < parts // 2
     )
     t0 = time.perf_counter()
-    run_extraction_job(half, out_b, man_b, num_partitions=parts, attempt=1)
+    run_extraction_job(half, out_b, man_b, num_partitions=parts, attempt=1,
+                       template_cfg=CFG)
     result["partial_sec"] = round(time.perf_counter() - t0, 1)
     man = read_manifest(spark, man_b)
     result["partial_partitions_done"] = man.select(
         "partition_id").distinct().count()
 
     t0 = time.perf_counter()
-    run_extraction_job(pages, out_b, man_b, num_partitions=parts, attempt=2)
+    run_extraction_job(pages, out_b, man_b, num_partitions=parts, attempt=2,
+                       template_cfg=CFG)
     result["resume_sec"] = round(time.perf_counter() - t0, 1)
     man = read_manifest(spark, man_b)
     by_attempt = {
@@ -131,7 +137,8 @@ def main() -> None:
         " shuffle_partitions={parts})\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "pages = spark.read.parquet({corpus!r})\n"
-        "run_extraction_job(pages, {out!r}, {man!r}, num_partitions={parts})\n"
+        "run_extraction_job(pages, {out!r}, {man!r}, num_partitions={parts},"
+        " template_cfg={{'ocr_backend': 'fake'}})\n"
     ).format(repo=REPO, cores=cores, parts=parts, corpus=corpus,
              out=out_c, man=man_c)
     kill_after = max(20.0, result["single_sec"] * 0.5)
@@ -149,7 +156,8 @@ def main() -> None:
         0 if man is None else man.select("partition_id").distinct().count()
     )
     t0 = time.perf_counter()
-    run_extraction_job(pages, out_c, man_c, num_partitions=parts, attempt=2)
+    run_extraction_job(pages, out_c, man_c, num_partitions=parts, attempt=2,
+                       template_cfg=CFG)
     result["crash_resume_sec"] = round(time.perf_counter() - t0, 1)
     n_c, h_c = digest(spark, out_c)
     result["crash_rows"], result["crash_digest"] = n_c, h_c

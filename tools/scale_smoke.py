@@ -36,7 +36,9 @@ def main() -> None:
                                   # explicit heap: see dedup_smoke note
                                   "spark.driver.memory": "24g"})
     spark.sparkContext.setLogLevel("ERROR")
-    path = os.path.join(REPO, ".cache", f"pages_{profile}_{n_docs}.parquet")
+    from ragflow_spark.sources.pages import corpus_cache_name
+
+    path = os.path.join(REPO, ".cache", corpus_cache_name(profile, n_docs))
     gen_sec = None
     if not os.path.exists(path):
         t0 = time.perf_counter()
@@ -44,7 +46,8 @@ def main() -> None:
         gen_sec = round(time.perf_counter() - t0, 1)
     pages = spark.read.parquet(path)
 
-    chunks = extract_chunks(pages, num_partitions=parts)
+    cfg = {"ocr_backend": "fake"}  # web rev-2 scanned slice → OCR fallback
+    chunks = extract_chunks(pages, num_partitions=parts, template_cfg=cfg)
     stats = chunks.agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
@@ -61,8 +64,8 @@ def main() -> None:
 
     before = {s["stageId"] for s in rest("/stages?status=complete")}
     t0 = time.perf_counter()
-    extract_chunks(pages, num_partitions=parts).write.format("noop").mode(
-        "overwrite").save()
+    extract_chunks(pages, num_partitions=parts, template_cfg=cfg) \
+        .write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 1)
     dps = round(n_docs / wall, 0)
 

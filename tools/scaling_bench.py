@@ -31,11 +31,12 @@ pages = spark.read.parquet({pages_path!r})
 # steady-state protocol: one full untimed pass warms JVM JIT + all python
 # workers (imports), then the timed pass measures sustained throughput —
 # what a long-running cluster job actually sees
-extract_chunks(pages, num_partitions={parts}).write.format("noop").mode("overwrite").save()
+CFG = {{"ocr_backend": "fake"}}  # scanned slice runs the OCR fallback
+extract_chunks(pages, num_partitions={parts}, template_cfg=CFG).write.format("noop").mode("overwrite").save()
 best = None
 for _ in range(3):
     t0 = time.perf_counter()
-    extract_chunks(pages, num_partitions={parts}).write.format("noop").mode("overwrite").save()
+    extract_chunks(pages, num_partitions={parts}, template_cfg=CFG).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     best = dt if best is None else min(best, dt)
 print("RESULT " + json.dumps({{"cores": {cores}, "sec": best}}))
@@ -71,7 +72,9 @@ def main():
     settle_wait = bench._settle()
     load_pre = bench._loadavg()
 
-    pages_path = os.path.join(REPO, ".cache", f"pages_web_{n_docs}.parquet")
+    from ragflow_spark.sources.pages import corpus_cache_name
+
+    pages_path = os.path.join(REPO, ".cache", corpus_cache_name("web", n_docs))
     if not os.path.exists(pages_path):
         from ragflow_spark.session import get_spark
         from ragflow_spark.sources.pages import write_pages
