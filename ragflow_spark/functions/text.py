@@ -69,10 +69,28 @@ def char_count(col) -> Column:
     return F.length(col)
 
 
+#: chars counted as word/whitespace by punct_ratio — exactly Java regex
+#: ``[\w\s]`` without UNICODE_CHARACTER_CLASS: [a-zA-Z0-9_] + [ \t\n\x0B\f\r].
+_WORD_WS_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    " \t\n\x0b\f\r"
+)
+
+
 def punct_ratio(col) -> Column:
-    """punctuation chars / total chars — quality signal."""
+    """punctuation chars / total chars — quality signal.
+
+    Counted via ``translate`` (plain char-map deletion), bit-identical to
+    the definitional ``length(c) - length(regexp_replace(c, '[^\\w\\s]',
+    ''))`` but deliberately NOT regex: java.util.regex match loops lose
+    their JIT specialization when this class-complement pattern alternates
+    per-row with the PII bank's EMAIL pattern in one projection (measured
+    15× on the whole stage — tools/diag_pii_codegen.py; curate()'s
+    pii_hits signal made the pipeline 4× superadditive until this
+    rewrite). translate shares no code path with the regex engine, so the
+    pairing cost is additive again."""
     total = F.length(col)
-    punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    punct = F.length(F.translate(col, _WORD_WS_CHARS, ""))
     return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
 
 

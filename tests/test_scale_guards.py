@@ -100,6 +100,43 @@ def test_ngram_pairs_id_only_join_same_results(spark):
     assert got == {("g1", 1, 2, 0.6)}
 
 
+def test_ngram_prefix_filter_lossless(spark):
+    """The prefix-filtered path (default) must return the EXACT pair set
+    of the O(g²) baseline for any threshold/shingle config — the filter
+    is provably lossless (AllPairs/PPJoin prefix theorem), and this pins
+    the implementation to the proof across near-dup chains, an exact-dup
+    cluster, empty docs, and cross-group isolation."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(240):
+        if i % 5 == 1 and i > 1:
+            base = rows[i - 1][2].split()
+            text = " ".join(base[:-max(1, len(base) // 6)])
+        elif i % 53 == 0:
+            text = ""
+        elif i % 17 == 0:
+            text = "common boiler plate"
+        else:
+            text = " ".join(rng.choices(words, k=rng.randint(4, 30)))
+        rows.append((i, f"g{i % 3}", text))
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    for threshold, n in ((0.5, 1), (0.3, 2), (0.8, 1)):
+        ex = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "src",
+                                       threshold=threshold, shingle_n=n,
+                                       method="exact")
+        pf = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "src",
+                                       threshold=threshold, shingle_n=n,
+                                       method="prefix")
+        e = sorted(map(tuple, ex.collect()))
+        p = sorted(map(tuple, pf.collect()))
+        dedup.release(ex)
+        dedup.release(pf)
+        assert e == p and e, (threshold, n, len(e), len(p))
+
+
 def test_dup_clusters_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (5, 7)], "id_a long, id_b long"
