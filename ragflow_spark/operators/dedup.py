@@ -593,13 +593,41 @@ def _ngram_jaccard_prefix(sh: DataFrame, group_col: str,
         )
         .persist()
     )
-    pref = ordered.select("_g", "_id", F.explode("_pref").alias("_t"))
+    pref = ordered.select(
+        "_g", "_id", "_n", F.posexplode("_pref").alias("_p", "_t"))
+    # PPJoin positional bound (Xiao et al. WWW'08 §3.2): for the MINIMAL
+    # shared token of a true pair, sitting at 0-indexed positions (pa._p,
+    # pb._p), every other shared token lies strictly after it in BOTH
+    # ordered arrays, so overlap ≤ 1 + min(n_a−p_a−1, n_b−p_b−1). J ≥ t
+    # needs overlap ≥ t/(1+t)·(n_a+n_b); rows violating that can't be the
+    # pair's first shared token. A pair survives if ANY of its shared
+    # prefix-token rows passes — the minimal-token row of a true pair
+    # always does, so the filter is lossless (pinned by
+    # test_ngram_prefix_filter_lossless). The epsilon errs toward keeping
+    # a candidate, never dropping one.
+    _overlap_floor = (F.lit(threshold / (1.0 + threshold))
+                      * (F.col("pa._n") + F.col("pb._n")).cast("double")
+                      - F.lit(1e-9))
     cand = (
         pref.alias("pa")
         .join(pref.alias("pb"),
               (F.col("pa._g") == F.col("pb._g"))
               & (F.col("pa._t") == F.col("pb._t"))
-              & (F.col("pa._id") < F.col("pb._id")))
+              & (F.col("pa._id") < F.col("pb._id"))
+              # AllPairs length filter AT CANDIDATE TIME: J ≥ t forces
+              # |smaller| ≥ t·|larger|, so size-mismatched pairs never
+              # enter the candidate set. Same predicate re-runs in the
+              # verify (harmless); here it prunes before the dedup
+              # shuffle and the two array re-attach joins — the lever
+              # that matters when a dense token universe (small-vocab
+              # corpora, CJK char shingles) makes prefixes collide.
+              & (F.least("pa._n", "pb._n").cast("double")
+                 >= F.lit(threshold)
+                 * F.greatest("pa._n", "pb._n").cast("double"))
+              & ((F.lit(1)
+                  + F.least(F.col("pa._n") - F.col("pa._p") - F.lit(1),
+                            F.col("pb._n") - F.col("pb._p") - F.lit(1))
+                  ).cast("double") >= _overlap_floor))
         .select(F.col("pa._g").alias("_g"),
                 F.col("pa._id").alias("id_a"),
                 F.col("pb._id").alias("id_b"))
