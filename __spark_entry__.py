@@ -71,6 +71,10 @@ REGISTRY_CONSOLIDATIONS: dict[str, str] = {
     # r7: sampling stage-union frees the slot doc_pii_scrub takes
     "doc_split_assign": "doc_sampling_stages",
     "doc_stratified_sample": "doc_sampling_stages",
+    # r7: URL-level dedup joins content dedup as a second stage of the
+    # same query (stage='text' is the pre-r7 doc_exact_dedup rows with
+    # fp renamed to key)
+    "doc_url_dedup": "doc_exact_dedup",
 }
 
 
@@ -118,7 +122,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.doc_fingerprints(_docs(spark, sf), "doc_id", "text")
 
     def doc_exact_dedup(spark, sf):
-        return dedup.exact_dedup_groups(_docs(spark, sf), "doc_id", "text")
+        """Both exact-identity passes in one tagged union (registry slot
+        shared under the 50-entry cap, r7 — sampling_stages precedent):
+        stage='text' is content-fingerprint dedup (the pre-r7 query,
+        key=md5), stage='url' is canonical-URL dedup over deterministic
+        messy URLs built from doc_id (case-shuffled host/scheme, default
+        port, reordered params, utm_*/fbclid noise, fragments, trailing
+        slashes). The oracle derives the canonical URL ANALYTICALLY from
+        doc_id — if canonical_url() mishandles any mess feature, the
+        group keys diverge and the hash catches it."""
+        from ragflow_spark.operators import weburl
+
+        d = _docs(spark, sf)
+        text_rows = dedup.exact_dedup_groups(d, "doc_id", "text").select(
+            F.lit("text").alias("stage"), F.col("fp").alias("key"),
+            "keep_id", "dup_count",
+        )
+        i = F.col("doc_id")
+        messy = d.select(
+            "doc_id",
+            F.concat(
+                F.when(i % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+                F.lit("://"),
+                F.when(i % 3 == 0, F.lit("WWW.SITE")).otherwise(
+                    F.lit("www.site")),
+                (i % 40).cast("string"),
+                F.when(i % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+                F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+                F.lit("/a/"), (i % 25).cast("string"),
+                F.when(i % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.when(i % 2 == 0, F.lit("?b=2&a=1")).otherwise(
+                    F.lit("?a=1&b=2")),
+                F.when(i % 3 == 0, F.lit("&utm_source=news")).otherwise(
+                    F.lit("")),
+                F.when(i % 5 == 0,
+                       F.concat(F.lit("&fbclid=x"), i.cast("string"))
+                       ).otherwise(F.lit("")),
+                F.when(i % 8 == 0, F.lit("#sec")).otherwise(F.lit("")),
+            ).alias("url"),
+        )
+        url_rows = weburl.url_dedup_groups(messy, "doc_id", "url").select(
+            F.lit("url").alias("stage"), F.col("url").alias("key"),
+            "keep_id", "dup_count",
+        )
+        return text_rows.unionByName(url_rows)
 
     def doc_token_stats(spark, sf):
         return textstats.token_stats_by(_docs(spark, sf), ["lang", "source"], "text")
@@ -1257,10 +1304,23 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "doc_exact_dedup": f"""
-            select md5({_norm_sql('text')}) as fp,
+            select 'text' as stage,
+                   md5({_norm_sql('text')}) as key,
                    cast(min(doc_id) as bigint) as keep_id,
                    cast(count(*) as bigint) as dup_count
-            from documents group by 1
+            from documents group by 2
+            union all
+            -- the canonical URL derived analytically from doc_id (NOT by
+            -- re-parsing the messy string): scheme/host lowercased, :443
+            -- stripped, params sorted to a=1&b=2 with utm_*/fbclid
+            -- dropped, fragment dropped, trailing slash stripped
+            select 'url' as stage,
+                   'https://www.site' || cast(doc_id % 40 as varchar)
+                     || '.com/a/' || cast(doc_id % 25 as varchar)
+                     || '?a=1&b=2' as key,
+                   cast(min(doc_id) as bigint) as keep_id,
+                   cast(count(*) as bigint) as dup_count
+            from documents group by 2
         """,
         "doc_token_stats": f"""
             select lang, source,

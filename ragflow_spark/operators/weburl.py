@@ -1,0 +1,106 @@
+"""URL canonicalization + URL-level exact dedup: the first identity pass
+of a Common-Crawl-style pipeline. The north-rule input table is keyed by
+``url`` (BASELINE.json input_hint), and real crawls re-fetch the same page
+under trivially-different URLs — case-shuffled hosts, default ports,
+tracking parameters, reordered query strings, fragments, trailing
+slashes. Canonicalizing before content dedup collapses those re-fetches
+with pure string arithmetic, orders of magnitude cheaper than minhash.
+
+The reference has no crawl tier (SURVEY S13 out of scope); this covers
+the training-data gap alongside exact/minhash/simhash dedup, following
+the normalization steps shared by the public pipelines (CCNet's URL
+dedup, Dolma §2.1; RFC 3986 §6 syntax-based normalization).
+
+Plan shape at 100 TB: ``canonical_url`` is one native expression tree —
+regexp field splits, an array filter/sort over query params, string
+rebuild — running inside whole-stage codegen with zero UDFs and zero
+shuffles; ``url_dedup_groups`` adds the same single 16-byte-key shuffle
+as content exact-dedup. Nothing here ever collects.
+
+Canonical form (applied to absolute http(s) URLs; anything unparseable
+passes through unchanged so the op never destroys a key):
+- scheme and host lowercased
+- default ports stripped (``:80`` for http, ``:443`` for https); any
+  other explicit port kept
+- tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+  ``msclkid``, ``mc_eid``, ``igshid``, ``ref``), the rest sorted
+  bytewise so param order can't split a group
+- fragment dropped (never sent to the server)
+- trailing slashes collapsed: path ``/a/b/`` -> ``/a/b``, empty path ->
+  ``/``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Shared verbatim with the DuckDB oracle in __spark_entry__ — prefix
+# match for utm_, exact match for the rest (Java regex and RE2 agree on
+# every construct used here).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)="
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC-3986-style syntax canonicalization as ONE native expression.
+
+    Each piece is a regexp_extract over the raw string (cheap, codegen),
+    so the expression tree stays flat instead of threading one giant
+    nested replace chain."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    authority = F.regexp_extract(url, _URL_RE, 2)
+    raw_path = F.regexp_extract(url, _URL_RE, 3)
+    raw_query = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?'
+
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.regexp_replace(raw_query, r"^\?", ""), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(
+        scheme, F.lit("://"), host, port_part, path_part, query_part
+    )
+    # non-absolute / unparseable input: identity, never a mangled key
+    return F.when(
+        (scheme == "") | ~scheme.isin("http", "https"), url
+    ).otherwise(canon)
+
+
+def url_dedup_groups(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """One row per canonical URL: keeper id (min), dup count — the URL
+    twin of ``dedup.exact_dedup_groups`` and the same 100 TB shape (one
+    shuffle on the canonical key with map-side partial aggregation)."""
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Keep one row per canonical-URL group (the min-id row)."""
+    keep = url_dedup_groups(df, id_col, url_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")

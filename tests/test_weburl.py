@@ -1,0 +1,88 @@
+"""URL canonicalization + URL-level dedup (operators/weburl.py).
+
+The registry's doc_exact_dedup stage='url' oracle is ANALYTIC (the
+expected canonical string is derived from doc_id in SQL), so it only
+exercises the mess features the synthetic URLs contain; these goldens pin
+the canonicalizer's generic behavior — ports, schemes, passthrough,
+tracking-prefix anchoring — beyond that corpus.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators import weburl
+
+GOLDENS = [
+    # full mess: case, default port, trailing slash, param order,
+    # tracking param, fragment
+    ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+     "https://www.example.com/a/b?a=1&b=2"),
+    # default http port + root path variants
+    ("http://site.com:80/", "http://site.com/"),
+    ("http://site.com", "http://site.com/"),
+    # explicit NON-default port survives; params still sort
+    ("https://site.com:8080/p?z=1&y=2", "https://site.com:8080/p?y=2&z=1"),
+    # tracking-only query disappears entirely (no dangling '?')
+    ("https://site.com/p/?fbclid=abc", "https://site.com/p"),
+    ("https://site.com/p?utm_medium=mail", "https://site.com/p"),
+    # anchored prefix match: ref= is tracking, refresh= is NOT
+    ("https://site.com/p?ref=hn&refresh=1", "https://site.com/p?refresh=1"),
+    # repeated trailing slashes collapse
+    ("HTTP://A.B/x//", "http://a.b/x"),
+    # non-http(s) and unparseable input pass through byte-identical
+    ("ftp://weird/keep?as=is", "ftp://weird/keep?as=is"),
+    ("not a url at all", "not a url at all"),
+    ("", ""),
+]
+
+
+def test_canonical_url_goldens(spark):
+    df = spark.createDataFrame([(u,) for u, _ in GOLDENS], "url string")
+    got = [
+        r.c
+        for r in df.select(
+            weburl.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in GOLDENS]
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) — the property that makes
+    the key stable under re-ingestion of an already-canonical crawl."""
+    df = spark.createDataFrame([(u,) for u, _ in GOLDENS], "url string")
+    once = df.select(weburl.canonical_url(F.col("url")).alias("url"))
+    twice = once.select(weburl.canonical_url(F.col("url")).alias("c"))
+    assert [r.c for r in twice.collect()] == [w for _, w in GOLDENS]
+
+
+def test_url_dedup_groups_and_keeper(spark):
+    rows = [
+        (1, "https://A.com/x?b=2&a=1"),
+        (2, "HTTPS://a.COM:443/x/?a=1&b=2#top"),   # same canonical as 1
+        (3, "https://a.com/x?a=1&b=2&utm_source=t"),  # same canonical
+        (4, "https://a.com/y"),                     # different
+        (5, None),                                  # null url -> own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    groups = {
+        r.url: (r.keep_id, r.dup_count)
+        for r in weburl.url_dedup_groups(df, "doc_id", "url").collect()
+    }
+    assert groups["https://a.com/x?a=1&b=2"] == (1, 3)
+    assert groups["https://a.com/y"] == (4, 1)
+    assert groups.get(None) == (5, 1)
+
+    kept = sorted(
+        r.doc_id for r in weburl.url_dedup(df, "doc_id", "url").collect()
+    )
+    assert kept == [1, 4, 5]
+
+
+@pytest.mark.parametrize("tracker", ["utm_x", "utm_", "fbclid", "gclid",
+                                     "msclkid", "mc_eid", "igshid", "ref"])
+def test_every_tracking_param_dropped(spark, tracker):
+    df = spark.createDataFrame(
+        [(f"https://s.com/p?{tracker}=v&keep=1",)], "url string")
+    got = df.select(weburl.canonical_url(F.col("url")).alias("c")).first().c
+    assert got == "https://s.com/p?keep=1"
