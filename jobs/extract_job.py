@@ -5,7 +5,7 @@
         --input  <pages table path or iceberg identifier> \
         --output <chunk table path> \
         --manifest <manifest table path> \
-        [--partitions 4096] [--attempt 1] [--iceberg]
+        [--partitions 4096] [--attempt 1] [--iceberg] [--url-dedup]
 
 Resumable: relaunching with the same --manifest skips partitions already
 manifested as done (left-anti join); chunk ids are deterministic
@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--attempt", type=int, default=1)
     ap.add_argument("--iceberg", action="store_true",
                     help="read --input via the iceberg catalog")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="collapse re-fetches before parsing: keep the "
+                         "newest (warc_ts) row per canonical URL — the "
+                         "cheap identity pass that pays for itself before "
+                         "the expensive parse tier")
     ap.add_argument("--template-cfg", default=None,
                     help="JSON parser config passed to every template, "
                          "e.g. '{\"ocr_backend\": \"fake\"}' to route "
@@ -44,6 +49,11 @@ def main() -> None:
         pages = spark.read.format("iceberg").load(args.input)
     else:
         pages = spark.read.parquet(args.input)
+
+    if args.url_dedup:
+        from ragflow_spark.operators.weburl import url_dedup_latest
+
+        pages = url_dedup_latest(pages, "url", "warc_ts")
 
     run_extraction_job(
         pages,

@@ -32,7 +32,7 @@ passes through unchanged so the op never destroys a key):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Shared verbatim with the DuckDB oracle in __spark_entry__ — prefix
 # match for utm_, exact match for the rest (Java regex and RE2 agree on
@@ -104,3 +104,24 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         F.col("keep_id").alias(id_col)
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def url_dedup_latest(df: DataFrame, url_col: str, ts_col: str) -> DataFrame:
+    """Keep ONE fetch per canonical URL — the newest by ``ts_col``, ties
+    broken by smallest raw url bytewise (deterministic across runs and
+    layouts). The crawl-ingest variant of ``url_dedup``: a crawl re-fetches
+    the same page under param-shuffled URLs over time and the freshest
+    body wins.
+
+    One window shuffle on the canonical key. Per-key fan-in is the
+    re-fetch count of one page — naturally bounded, no skew lane needed;
+    row_number (not rank) guarantees exactly one survivor per group."""
+    w = Window.partitionBy("_canon").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        df.withColumn("_canon", canonical_url(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_canon")
+    )

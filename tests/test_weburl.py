@@ -79,6 +79,33 @@ def test_url_dedup_groups_and_keeper(spark):
     assert kept == [1, 4, 5]
 
 
+def test_url_dedup_latest_keeps_newest_fetch(spark):
+    """The crawl-ingest variant (jobs/extract_job.py --url-dedup): one
+    survivor per canonical URL, newest warc_ts wins, raw-url bytewise
+    tiebreak — deterministic across runs and partition layouts."""
+    import datetime as dt
+
+    t = lambda d: dt.datetime(2026, 1, d)  # noqa: E731
+    rows = [
+        ("https://a.com/x?b=2&a=1", t(1), "old"),
+        ("HTTPS://A.com/x/?a=1&b=2", t(3), "newest"),
+        ("https://a.com/x?a=1&b=2&utm_source=t", t(2), "mid"),
+        # tie on ts: smallest raw url bytewise wins ('A' < 'a')
+        ("https://a.com/y?p=1", t(5), "tie-b"),
+        ("https://A.COM/y?p=1", t(5), "tie-a"),
+        ("https://a.com/z", t(1), "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, body string")
+    from ragflow_spark.operators.weburl import url_dedup_latest
+
+    got = {r.body for r in url_dedup_latest(df, "url", "warc_ts").collect()}
+    assert got == {"newest", "tie-a", "solo"}
+    # survivors keep their RAW url (dedup never rewrites the key column)
+    urls = {r.url for r in url_dedup_latest(df, "url", "warc_ts").collect()}
+    assert "HTTPS://A.com/x/?a=1&b=2" in urls
+
+
 @pytest.mark.parametrize("tracker", ["utm_x", "utm_", "fbclid", "gclid",
                                      "msclkid", "mc_eid", "igshid", "ref"])
 def test_every_tracking_param_dropped(spark, tracker):
