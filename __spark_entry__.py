@@ -243,7 +243,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.lit("sample").alias("stage"),
             F.col("lang").alias("value"),
         )
-        return split_rows.unionByName(sample_rows)
+        # stage='host_cap' (r7): the per-domain anti-spam cap over
+        # synthesized urls (20 hosts x ~25 docs at sf0.01, cap 10) —
+        # survivors are deterministic (raw-url bytewise rank), so the
+        # oracle recomputes them with a window + qualify
+        from ragflow_spark.operators.weburl import cap_per_host, host_of
+
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www.site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".com/p/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        cap_rows = cap_per_host(urls, "url", 10).select(
+            "doc_id", F.lit("host_cap").alias("stage"),
+            host_of(F.col("url")).alias("value"),
+        )
+        return split_rows.unionByName(sample_rows).unionByName(cap_rows)
 
     def doc_pii_scrub(spark, sf):
         """PII redaction audit: deterministic synthetic PII (an email, a
@@ -1393,6 +1411,22 @@ def oracle_sql() -> dict[str, str]:
             union all
             select doc_id, 'sample' as stage, lang as value from r
             where rk <= greatest(cast(ceil(n * 0.2) as bigint), 1)
+            union all
+            -- per-host cap: same synthesized url, survivors recomputed
+            -- independently (raw-url bytewise rank within host, cap 10)
+            select doc_id, 'host_cap' as stage,
+                   'www.site' || cast(doc_id % 20 as varchar) || '.com'
+                     as value
+            from (
+              select doc_id,
+                     row_number() over (
+                       partition by doc_id % 20
+                       order by 'https://www.site'
+                                || cast(doc_id % 20 as varchar)
+                                || '.com/p/' || cast(doc_id as varchar)
+                     ) as rn
+              from documents)
+            where rn <= 10
         """,
         "doc_pii_scrub": f"""
             with p0 as (

@@ -106,6 +106,46 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def host_of(url: Column) -> Column:
+    """Lowercased host of an absolute URL ('' when unparseable) — the
+    grouping key for per-domain stats and caps."""
+    return F.lower(
+        F.regexp_extract(F.regexp_extract(url, _URL_RE, 2), r"^([^:]*)", 1)
+    )
+
+
+def cap_per_host(
+    df: DataFrame,
+    url_col: str,
+    max_per_host: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-domain cap — the standard anti-spam down-sampling step: keep at
+    most ``max_per_host`` docs per host, chosen deterministically (by
+    ``order_col`` ascending, default the raw url bytewise, ties broken by
+    the url) so the same corpus always yields the same survivors
+    regardless of partitioning.
+
+    One window shuffle on the host. A mega-host (the skew case: one
+    domain with 10^8 pages at crawl scale) funnels into one partition
+    ONLY to rank its rows — the window carries just the sort keys, and
+    everything past rank ``max_per_host`` drops immediately; if a single
+    host's keys outgrow an executor, pre-filter with a per-partition
+    approximate cap before the exact pass."""
+    order = (
+        [F.col(order_col).asc(), F.col(url_col).asc()]
+        if order_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy("_host").orderBy(*order)
+    return (
+        df.withColumn("_host", host_of(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn", "_host")
+    )
+
+
 def url_dedup_latest(df: DataFrame, url_col: str, ts_col: str) -> DataFrame:
     """Keep ONE fetch per canonical URL — the newest by ``ts_col``, ties
     broken by smallest raw url bytewise (deterministic across runs and

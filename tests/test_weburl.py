@@ -106,6 +106,41 @@ def test_url_dedup_latest_keeps_newest_fetch(spark):
     assert "HTTPS://A.com/x/?a=1&b=2" in urls
 
 
+def test_cap_per_host_deterministic_survivors(spark):
+    """Per-domain cap keeps the bytewise-smallest urls per host, the same
+    set regardless of input partitioning."""
+    from ragflow_spark.operators.weburl import cap_per_host
+
+    rows = [(i, f"https://h{i % 3}.com/p/{i:03d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for parts in (1, 7):
+        got = sorted(
+            r.doc_id
+            for r in cap_per_host(
+                df.repartition(parts), "url", 4
+            ).collect()
+        )
+        # per host h{k}: ids k, k+3, ..., urls sort by zero-padded id, so
+        # the 4 smallest ids of each residue class survive
+        assert got == sorted(
+            i for i in range(30) if i // 3 < 4
+        ), parts
+
+
+def test_cap_per_host_order_col(spark):
+    """With order_col, the cap keeps the smallest values of THAT column
+    (e.g. a quality rank), not url order."""
+    from ragflow_spark.operators.weburl import cap_per_host
+
+    rows = [(i, f"https://one.com/{i}", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, rank long")
+    kept = sorted(
+        r.doc_id
+        for r in cap_per_host(df, "url", 3, order_col="rank").collect()
+    )
+    assert kept == [7, 8, 9]  # smallest rank = largest doc_id
+
+
 @pytest.mark.parametrize("tracker", ["utm_x", "utm_", "fbclid", "gclid",
                                      "msclkid", "mc_eid", "igshid", "ref"])
 def test_every_tracking_param_dropped(spark, tracker):
