@@ -79,6 +79,71 @@ def test_url_dedup_groups_and_keeper(spark):
     assert kept == [1, 4, 5]
 
 
+def test_canonical_url_fuzz_invariants(spark):
+    """512 generated URLs (seeded, deterministic), one Spark pass, three
+    invariants: idempotence; canonical http(s) output carries no
+    fragment / no tracking params / params sorted with no empties; and
+    non-http(s) inputs pass through byte-identical."""
+    import random
+
+    rng = random.Random(4242)
+    trackers = ["utm_source", "utm_x", "fbclid", "gclid", "msclkid",
+                "mc_eid", "igshid", "ref"]
+    content = ["a", "b9", "page", "q", "zz"]
+
+    def mess():
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "ftp"])
+        host = "".join(
+            c.upper() if rng.random() < 0.4 else c
+            for c in f"www.host{rng.randrange(30)}.example.com"
+        )
+        port = rng.choice(["", ":80", ":443", ":8080", ":65535"])
+        path = "/" + "/".join(
+            f"s{rng.randrange(9)}" for _ in range(rng.randrange(4))
+        )
+        path += "/" * rng.randrange(3)
+        params = [f"{rng.choice(content)}={rng.randrange(99)}"
+                  for _ in range(rng.randrange(3))]
+        params += [f"{rng.choice(trackers)}=v{rng.randrange(9)}"
+                   for _ in range(rng.randrange(3))]
+        rng.shuffle(params)
+        q = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#x", "#a/b?c=1"])
+        return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+    urls = [mess() for _ in range(512)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r.c for r in df.select(
+            weburl.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(c,) for c in once], "url string")
+    twice = [
+        r.c for r in df2.select(
+            weburl.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert once == twice  # idempotent
+
+    for raw, c in zip(urls, once):
+        if raw.lower().startswith("ftp://"):
+            assert c == raw  # passthrough, byte-identical
+            continue
+        assert "#" not in c
+        assert not any(t + "=" in c for t in trackers if t != "ref")
+        assert "?ref=" not in c and "&ref=" not in c
+        if "?" in c:
+            parts = c.split("?", 1)[1].split("&")
+            assert parts == sorted(parts) and "" not in parts
+        scheme = c.split("://", 1)[0]
+        assert scheme in ("http", "https")
+        host_part = c.split("://", 1)[1].split("/", 1)[0]
+        assert host_part == host_part.lower()
+        # only the scheme's OWN default port is stripped: http://x:443
+        # keeps its (non-default) port
+        default = ":80" if scheme == "http" else ":443"
+        assert not host_part.endswith(default)
+
+
 def test_url_dedup_latest_keeps_newest_fetch(spark):
     """The crawl-ingest variant (jobs/extract_job.py --url-dedup): one
     survivor per canonical URL, newest warc_ts wins, raw-url bytewise
