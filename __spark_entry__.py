@@ -171,7 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.token_stats_by(_docs(spark, sf), ["lang", "source"], "text")
 
     def doc_quality(spark, sf):
-        return textstats.quality_features(_docs(spark, sf), "doc_id", "text")
+        """Doc-level quality features + (r7) the C4 LINE-level cleaning
+        audit (line counts, md5 of the cleaned text, page keep bit) in
+        ONE projection over the same scan."""
+        return textstats.quality_features(
+            _docs(spark, sf), "doc_id", "text", include_c4_lines=True
+        )
 
     def doc_lang_id(spark, sf):
         return textstats.lang_id(_docs(spark, sf), "doc_id", "text")
@@ -1359,14 +1364,33 @@ def oracle_sql() -> dict[str, str]:
                      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
                            / greatest(length(text), 1), 6) as punct_ratio,
                      round({sw['en']}::DOUBLE / greatest(len({_toks_sql('text')}), 1), 6)
-                        as stopword_ratio
+                        as stopword_ratio,
+                     -- C4 line-cleaning audit (r7): the same per-line
+                     -- predicate as textstats._c4_kept_lines, RE2 side
+                     text as doc_text,
+                     str_split(text, chr(10)) as _lines,
+                     list_filter(str_split(text, chr(10)),
+                       ln -> regexp_matches(trim(ln), '[.!?"]$')
+                             and len(regexp_split_to_array(trim(ln), '\\s+')) >= 5
+                             and not regexp_matches(lower(ln), '\\bjavascript\\b')
+                     ) as _kept
               from documents)
             select doc_id, cast(n_tokens as int) as n_tokens,
                    cast(n_chars as int) as n_chars,
                    mean_word_len, punct_ratio, stopword_ratio,
                    case when n_tokens >= 5 and mean_word_len between 2.0 and 12.0
                              and punct_ratio <= 0.3
-                        then 1 else 0 end as quality_keep
+                        then 1 else 0 end as quality_keep,
+                   cast(len(_lines) as int) as lines_total,
+                   cast(len(_kept) as int) as lines_kept,
+                   -- duckdb's array_to_string yields NULL on an empty
+                   -- list where Spark's array_join yields '' — coalesce
+                   md5(coalesce(array_to_string(_kept, chr(10)), ''))
+                     as clean_md5,
+                   case when len(_kept) >= 3
+                             and not contains(doc_text, '{{')
+                             and not contains(lower(doc_text), 'lorem ipsum')
+                        then 1 else 0 end as c4_page_keep
             from q
         """,
         "doc_curation": curation_flags_sql + """

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ragflow_spark.functions.text import (
     char_count,
@@ -62,9 +62,13 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(df: DataFrame, id_col: str, text_col: str,
+                     include_c4_lines: bool = False) -> DataFrame:
     """Length / punctuation / stopword-density features + a composite
-    quality flag (the C4-style heuristic family)."""
+    quality flag (the C4-style heuristic family). With
+    ``include_c4_lines`` the C4 line-cleaning audit columns
+    (``c4_line_columns``) ride the SAME projection — no join, no second
+    scan."""
     c = F.col(text_col)
     toks = token_count(c)
     chars = char_count(c)
@@ -83,6 +87,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (mean_wordlen >= 2.0) & (mean_wordlen <= 12.0)
         & (pr <= 0.3)
     )
+    extra = (
+        [v.alias(k) for k, v in c4_line_columns(c).items()]
+        if include_c4_lines
+        else []
+    )
     return df.select(
         F.col(id_col),
         toks.alias("n_tokens"),
@@ -91,7 +100,70 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pr.alias("punct_ratio"),
         sw.alias("stopword_ratio"),
         keep.cast("int").alias("quality_keep"),
+        *extra,
     )
+
+
+def _c4_kept_lines(lines: Column) -> Column:
+    """The shared C4 line predicate: terminal punctuation, ≥5 words, no
+    word-bounded 'javascript' (order-preserving filter)."""
+    return F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
+        & ~F.lower(ln).rlike(r"\bjavascript\b"),
+    )
+
+
+def c4_line_columns(text: Column) -> dict[str, Column]:
+    """The C4 LINE-level cleaning rules (Raffel et al. 2020 §2.2, public)
+    as native columns over one text expression:
+
+    - a line is KEPT iff it ends in terminal punctuation (``.!?"``), has
+      ≥ 5 whitespace words, and does not contain the word "javascript"
+      (case-insensitive, word-bounded)
+    - the PAGE is kept iff ≥ 3 lines survive and the page contains
+      neither a curly brace nor "lorem ipsum"
+
+    Documented deviation: C4 counted nltk sentences for the ≥3 gate; the
+    kept-LINE count stands in (deterministic, no model). The bad-words
+    list is licensing-encumbered and not vendored — compose a caller
+    blocklist via an extra filter if required. Zero UDFs, zero shuffles;
+    feed '\\n'-normalized text (CRLF upstream of this keeps '\\r' glued
+    to the line and fails the terminal-punct test).
+
+    The per-line predicate is shared verbatim with the DuckDB oracle
+    (Java-regex ↔ RE2 common subset, the pii.py contract)."""
+    lines = F.split(text, "\n")
+    kept = _c4_kept_lines(lines)
+    n_kept = F.size(kept)
+    return {
+        "lines_total": F.size(lines),
+        "lines_kept": n_kept,
+        "clean_md5": F.md5(F.array_join(kept, "\n")),
+        "c4_page_keep": (
+            (n_kept >= 3)
+            & ~text.contains("{")
+            & ~F.lower(text).contains("lorem ipsum")
+        ).cast("int"),
+    }
+
+
+def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc C4 line-cleaning audit: line counts, md5 of the cleaned
+    text (kept lines re-joined in order), and the page-level keep bit.
+    One codegen projection — rides the same scan as the rest of the
+    quality tier at any scale."""
+    cols = c4_line_columns(F.col(text_col))
+    return df.select(
+        F.col(id_col), *[v.alias(k) for k, v in cols.items()]
+    )
+
+
+def c4_clean_text(text: Column) -> Column:
+    """The cleaned text itself (kept lines re-joined) for pipelines that
+    materialize the transform rather than audit it."""
+    return F.array_join(_c4_kept_lines(F.split(text, "\n")), "\n")
 
 
 def token_stats_by(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
