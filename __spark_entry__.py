@@ -182,7 +182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return textstats.lang_id(_docs(spark, sf), "doc_id", "text")
 
     def doc_repetition(spark, sf):
-        return textstats.repetition_signals(_docs(spark, sf), "doc_id", "text")
+        """Gopher repetition signals + (r7) the full Gopher doc-QUALITY
+        rule set (symbol ratio, bullet/ellipsis line fractions, alpha-word
+        fraction, required-stopword hits) in one projection."""
+        return textstats.repetition_signals(
+            _docs(spark, sf), "doc_id", "text",
+            include_gopher_quality=True,
+        )
 
     def doc_curation(spark, sf):
         """Composed curation pass: C4 quality + Gopher repetition +
@@ -1533,12 +1539,50 @@ def oracle_sql() -> dict[str, str]:
                                then 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
                                else 0.0 end, 6) as dup_bigram_frac
                   from m)
-            select doc_id, n_tokens, dup_word_frac, top_word_frac,
+            , g as (select doc_id,
+                         -- Gopher doc-quality rules (r7), RE2 side of the
+                         -- shared contract in textstats.gopher_quality_columns
+                         len(regexp_split_to_array(trim(text), '\\s+')) as gn,
+                         greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) as gnz,
+                         round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                           as g_mwl,
+                         round(len(regexp_extract_all(text, '(#|…|\\.\\.\\.)'))::DOUBLE
+                               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                           as symbol_word_ratio,
+                         round(len(list_filter(str_split(text, chr(10)),
+                                 ln -> regexp_matches(trim(ln), '^[•‣▪*-]')))::DOUBLE
+                               / greatest(len(str_split(text, chr(10))), 1), 6)
+                           as bullet_line_frac,
+                         round(len(list_filter(str_split(text, chr(10)),
+                                 ln -> regexp_matches(trim(ln), '(…|\\.\\.\\.)$')))::DOUBLE
+                               / greatest(len(str_split(text, chr(10))), 1), 6)
+                           as ellipsis_line_frac,
+                         round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 6)
+                           as alpha_word_frac,
+                         len(list_filter(['the','be','to','of','and','that','have','with'],
+                               s -> list_contains(list_distinct(
+                                      regexp_split_to_array(lower(text), '\\W+')), s)))
+                           as gopher_stop_hits
+                  from documents)
+            select r.doc_id, n_tokens, dup_word_frac, top_word_frac,
                    dup_bigram_frac,
                    cast(case when dup_word_frac <= 0.3
                              and dup_bigram_frac <= 0.2
-                        then 1 else 0 end as int) as repetition_keep
-            from r
+                        then 1 else 0 end as int) as repetition_keep,
+                   symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, cast(gopher_stop_hits as int) as gopher_stop_hits,
+                   cast(case when gn between 50 and 100000
+                             and g_mwl between 3.0 and 10.0
+                             and symbol_word_ratio <= 0.1
+                             and bullet_line_frac <= 0.9
+                             and ellipsis_line_frac <= 0.3
+                             and alpha_word_frac >= 0.8
+                             and gopher_stop_hits >= 2
+                        then 1 else 0 end as int) as gopher_quality_keep
+            from r join g on r.doc_id = g.doc_id
         """,
         "top_terms_by_lang": f"""
             with t as (

@@ -190,7 +190,8 @@ def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def repetition_signals(df: DataFrame, id_col: str, text_col: str,
                        max_dup_word: float = 0.3,
-                       max_dup_bigram: float = 0.2) -> DataFrame:
+                       max_dup_bigram: float = 0.2,
+                       include_gopher_quality: bool = False) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1 family):
     duplicate-word fraction, most-frequent-word fraction, duplicate-bigram
     fraction, and a composite keep flag. All native array expressions —
@@ -242,6 +243,14 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
         ).otherwise(F.lit(0.0)),
         6,
     )
+    extra = (
+        [
+            v.alias(k)
+            for k, v in gopher_quality_columns(F.col(text_col)).items()
+        ]
+        if include_gopher_quality
+        else []
+    )
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
@@ -251,7 +260,85 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
         (
             (dup_word <= max_dup_word) & (dup_bigram <= max_dup_bigram)
         ).cast("int").alias("repetition_keep"),
+        *extra,
     )
+
+
+# Gopher A1.1's required-stopword set (Rae et al. 2021) — presence of ≥2
+# DISTINCT members gates the doc. Shared with the DuckDB oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_columns(text: Column) -> dict[str, Column]:
+    """The Gopher doc-QUALITY rule set (Rae et al. 2021 §A1.1, public) as
+    native columns — the companion to ``repetition_signals``' Gopher
+    repetition rules. Thresholds as published:
+
+    - 50 ≤ word count ≤ 100,000; 3 ≤ mean word length ≤ 10
+    - symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    - ≥ 80% of words contain an alphabetic character
+    - ≥ 2 distinct members of the 8-word required-stopword set
+
+    Zero UDFs, zero shuffles; every predicate is in the Java-regex ↔ RE2
+    common subset so the DuckDB oracle runs the same rules."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / nz, 6
+    )
+    symbol_ratio = F.round(
+        F.regexp_count(text, F.lit(r"(#|…|\.\.\.)")).cast("double") / nz, 6
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike("^[•‣▪*-]"))
+        ).cast("double") / n_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"(…|\.\.\.)$"))
+        ).cast("double") / n_lines,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("double") / nz,
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.lower(text), r"\W+")),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return {
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "gopher_stop_hits": stop_hits,
+        "gopher_quality_keep": keep.cast("int"),
+    }
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc Gopher quality audit as one codegen projection."""
+    cols = gopher_quality_columns(F.col(text_col))
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in cols.items()])
 
 
 def _worker_tokenizer(dict_path: str):
