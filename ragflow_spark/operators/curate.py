@@ -21,7 +21,11 @@ from ragflow_spark.functions.text import (
     token_count,
 )
 from ragflow_spark.operators.pii import pii_total
-from ragflow_spark.operators.textstats import lang_scores
+from ragflow_spark.operators.textstats import (
+    c4_line_columns,
+    gopher_quality_columns,
+    lang_scores,
+)
 
 LANG_ORDER = ["en", "de", "es", "fr", "zh"]
 
@@ -35,12 +39,20 @@ def curate(
     allowed_langs: tuple[str, ...] | None = None,
     max_dup_word: float = 0.3,
     max_dup_bigram: float = 0.2,
+    gopher_quality: bool = False,
+    c4_page_rules: bool = False,
 ) -> DataFrame:
     """One row per document: language, token count, per-family keep flags,
     the composed ``keep`` bit and the FIRST failing rule as ``drop_reason``
     (precedence: too_short → too_long → bad_lang → low_quality →
-    repetitive → duplicate; duplicates keep their min-id representative,
-    matching ``exact_dedup_groups``)."""
+    repetitive → [gopher_quality → c4_page] → duplicate; duplicates keep
+    their min-id representative, matching ``exact_dedup_groups``).
+
+    ``gopher_quality`` / ``c4_page_rules`` opt the full published rule
+    sets (textstats.gopher_quality_columns / c4_line_columns) into the
+    same projection — more per-row expression work, still zero extra
+    shuffles; their standalone oracles gate the rules bit-exactly via
+    doc_repetition / doc_quality."""
     c = F.col(text_col)
     toks_arr = F.split(F.trim(F.lower(c)), r"\s+")
     n = token_count(c)
@@ -99,6 +111,16 @@ def curate(
         # set would need, it does not mutate text
         pii_total(c).alias("pii_hits"),
         fingerprint_md5(c).alias("_fp"),
+        *(
+            [gopher_quality_columns(c)["gopher_quality_keep"]
+             .cast("boolean").alias("_gk")]
+            if gopher_quality else []
+        ),
+        *(
+            [c4_line_columns(c)["c4_page_keep"]
+             .cast("boolean").alias("_ck")]
+            if c4_page_rules else []
+        ),
     )
     # duplicate demotion: min id per fingerprint keeps, the rest drop —
     # the one exchange in the plan (16-byte key, map-side combinable)
@@ -118,8 +140,12 @@ def curate(
         .when(bad_lang, "bad_lang")
         .when(~F.col("_qk"), "low_quality")
         .when(~F.col("_rk"), "repetitive")
-        .when(F.col("_is_dup"), "duplicate")
     )
+    if gopher_quality:
+        reason = reason.when(~F.col("_gk"), "gopher_quality")
+    if c4_page_rules:
+        reason = reason.when(~F.col("_ck"), "c4_page")
+    reason = reason.when(F.col("_is_dup"), "duplicate")
     return staged.select(
         F.col(id_col),
         "pred_lang",

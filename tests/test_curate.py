@@ -49,3 +49,38 @@ def test_curate_too_long_and_summary(spark):
                for r in curation_summary(flags).collect()}
     assert summary["kept"][0] == 1
     assert summary["too_long"] == (1, 60_000)
+
+
+def test_curate_optin_gopher_and_c4_reasons(spark):
+    """Opt-in published rule sets slot between 'repetitive' and
+    'duplicate' in the drop_reason precedence; defaults keep the pre-r7
+    schema and decisions byte-identical."""
+    # word-unique lines so the repetition gate stays quiet; 'the'/'and'
+    # provide the two required-stopword hits
+    keeper = "\n".join(
+        f"the quick{i} brown{i} foxes{i} jump{i} over{i} and lazy{i} "
+        f"dogs{i} sleep{i} today{i}."
+        for i in range(12)
+    )
+    no_stop = "\n".join(                          # gopher: 0 required stopwords
+        f"lorem{i} dolor{i} sit{i} amet{i} consectetur{i} adipiscing{i} "
+        f"elit{i} tempor{i} incididunt{i}."
+        for i in range(12)
+    )
+    braces = keeper + "\nvar x = {a: 1};"         # c4 page veto: curly brace
+    rows = [(1, keeper), (2, no_stop), (3, braces)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.drop_reason for r in curate(
+        df, "doc_id", "text", gopher_quality=True, c4_page_rules=True
+    ).collect()}
+    assert out[1] is None
+    assert out[2] == "gopher_quality"
+    assert out[3] == "c4_page"
+
+    # defaults: same rows, neither rule fires, schema unchanged
+    base = curate(df, "doc_id", "text")
+    assert {r.doc_id: r.drop_reason for r in base.collect()} == {
+        1: None, 2: None, 3: None
+    }
+    assert "drop_reason" in base.columns and len(base.columns) == 9
