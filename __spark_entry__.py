@@ -1565,7 +1565,23 @@ def oracle_sql() -> dict[str, str]:
                          len(list_filter(['the','be','to','of','and','that','have','with'],
                                s -> list_contains(list_distinct(
                                       regexp_split_to_array(lower(text), '\\W+')), s)))
-                           as gopher_stop_hits
+                           as gopher_stop_hits,
+                         -- duplicate line/paragraph fractions: char side
+                         -- is sum(all lens) - sum(distinct lens)
+                         round(1.0 - len(list_distinct(str_split(text, chr(10))))::DOUBLE
+                               / greatest(len(str_split(text, chr(10))), 1), 6)
+                           as dup_line_frac,
+                         round((list_sum(list_transform(str_split(text, chr(10)), x -> length(x)))
+                                - list_sum(list_transform(list_distinct(str_split(text, chr(10))), x -> length(x))))::DOUBLE
+                               / greatest(length(text), 1), 6)
+                           as dup_line_char_frac,
+                         round(1.0 - len(list_distinct(regexp_split_to_array(text, '\\n{{2,}}')))::DOUBLE
+                               / greatest(len(regexp_split_to_array(text, '\\n{{2,}}')), 1), 6)
+                           as dup_para_frac,
+                         round((list_sum(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), x -> length(x)))
+                                - list_sum(list_transform(list_distinct(regexp_split_to_array(text, '\\n{{2,}}')), x -> length(x))))::DOUBLE
+                               / greatest(length(text), 1), 6)
+                           as dup_para_char_frac
                   from documents)
             select r.doc_id, n_tokens, dup_word_frac, top_word_frac,
                    dup_bigram_frac,
@@ -1574,6 +1590,8 @@ def oracle_sql() -> dict[str, str]:
                         then 1 else 0 end as int) as repetition_keep,
                    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
                    alpha_word_frac, cast(gopher_stop_hits as int) as gopher_stop_hits,
+                   dup_line_frac, dup_line_char_frac,
+                   dup_para_frac, dup_para_char_frac,
                    cast(case when gn between 50 and 100000
                              and g_mwl between 3.0 and 10.0
                              and symbol_word_ratio <= 0.1

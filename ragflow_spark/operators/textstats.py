@@ -246,7 +246,11 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
     extra = (
         [
             v.alias(k)
-            for k, v in gopher_quality_columns(F.col(text_col)).items()
+            for cols in (
+                gopher_quality_columns(F.col(text_col)),
+                dup_line_columns(F.col(text_col)),
+            )
+            for k, v in cols.items()
         ]
         if include_gopher_quality
         else []
@@ -262,6 +266,50 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
         ).cast("int").alias("repetition_keep"),
         *extra,
     )
+
+
+def _dup_unit_fracs(units: Column, text_len: Column) -> tuple[Column, Column]:
+    """(count-based, char-based) duplicate fractions for a unit array
+    (lines or paragraphs). Char fraction counts the bytes of occurrences
+    BEYOND the first of each distinct value — Σlen(all) − Σlen(distinct),
+    two array folds, no sort, no explode."""
+    n = F.size(units)
+    n_dist = F.size(F.array_distinct(units))
+    count_frac = F.round(
+        F.lit(1.0) - n_dist.cast("double") / F.greatest(n, F.lit(1)), 6
+    )
+    total = F.aggregate(
+        F.transform(units, F.length), F.lit(0), lambda a, x: a + x
+    )
+    dist = F.aggregate(
+        F.transform(F.array_distinct(units), F.length),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    char_frac = F.round(
+        (total - dist).cast("double") / F.greatest(text_len, F.lit(1)), 6
+    )
+    return count_frac, char_frac
+
+
+def dup_line_columns(text: Column) -> dict[str, Column]:
+    """Gopher A1.1's duplicate line / paragraph fractions (Rae et al.
+    2021, public), count- and character-based — the per-doc complement to
+    the cross-document ``drop_common_segments`` pass. Lines split on
+    '\\n', paragraphs on blank-line runs; units compare as exact bytes.
+    Char fractions count duplicate occurrences beyond the first, over the
+    doc's total character count. Zero UDFs, zero shuffles."""
+    tl = F.length(text)
+    lines = F.split(text, "\n")
+    paras = F.split(text, "\n{2,}")
+    lf, lcf = _dup_unit_fracs(lines, tl)
+    pf, pcf = _dup_unit_fracs(paras, tl)
+    return {
+        "dup_line_frac": lf,
+        "dup_line_char_frac": lcf,
+        "dup_para_frac": pf,
+        "dup_para_char_frac": pcf,
+    }
 
 
 # Gopher A1.1's required-stopword set (Rae et al. 2021) — presence of ≥2

@@ -50,3 +50,33 @@ def test_stop_hits_counts_distinct_members(spark):
 def test_three_dot_ellipsis_counts(spark):
     out = _run(spark, [(1, "\n".join([GOOD[:40] + "..."] * 9 + [GOOD]))])
     assert out[1].ellipsis_line_frac > 0.3
+
+
+def test_dup_line_and_para_fractions(spark):
+    """Gopher duplicate line/paragraph fractions: char side counts the
+    bytes of occurrences beyond the first."""
+    # 4 lines, 'dup' twice; paragraphs: two identical blocks
+    text = "dup\nunique one\ndup\nother line"
+    ptext = "para one\nbody\n\npara one\nbody\n\ndifferent"
+    rows = [(1, text), (2, ptext), (3, "all\nunique\nlines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ragflow_spark.operators.textstats import dup_line_columns
+    from pyspark.sql import functions as F
+
+    cols = dup_line_columns(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    # doc 1: 4 lines, 3 distinct -> 0.25; dup chars = len('dup') = 3 of 29
+    assert out[1].dup_line_frac == 0.25
+    assert out[1].dup_line_char_frac == round(3 / len(text), 6)
+    # doc 2: paragraphs 'para one\nbody' x2 + 'different' -> 1/3 dup
+    assert out[2].dup_para_frac == round(1 - 2 / 3, 6)
+    assert out[2].dup_para_char_frac == round(13 / len(ptext), 6)
+    # doc 3: no duplicates anywhere
+    assert out[3].dup_line_frac == 0.0
+    assert out[3].dup_line_char_frac == 0.0
+    assert out[3].dup_para_frac == 0.0
