@@ -6,6 +6,7 @@
         --output <chunk table path> \
         --manifest <manifest table path> \
         [--partitions 4096] [--attempt 1] [--iceberg] [--url-dedup]
+        [--max-per-host N]
 
 Resumable: relaunching with the same --manifest skips partitions already
 manifested as done (left-anti join); chunk ids are deterministic
@@ -34,6 +35,10 @@ def main() -> None:
                          "newest (warc_ts) row per canonical URL — the "
                          "cheap identity pass that pays for itself before "
                          "the expensive parse tier")
+    ap.add_argument("--max-per-host", type=int, default=None,
+                    help="per-domain anti-spam cap: keep at most N pages "
+                         "per host (deterministic raw-url rank), applied "
+                         "after --url-dedup and before parsing")
     ap.add_argument("--template-cfg", default=None,
                     help="JSON parser config passed to every template, "
                          "e.g. '{\"ocr_backend\": \"fake\"}' to route "
@@ -54,6 +59,10 @@ def main() -> None:
         from ragflow_spark.operators.weburl import url_dedup_latest
 
         pages = url_dedup_latest(pages, "url", "warc_ts")
+    if args.max_per_host is not None:
+        from ragflow_spark.operators.weburl import cap_per_host
+
+        pages = cap_per_host(pages, "url", args.max_per_host)
 
     run_extraction_job(
         pages,
