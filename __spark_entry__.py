@@ -184,9 +184,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_repetition(spark, sf):
         """Gopher repetition signals + (r7) the full Gopher doc-QUALITY
         rule set (symbol ratio, bullet/ellipsis line fractions, alpha-word
-        fraction, required-stopword hits) in one projection."""
+        fraction, required-stopword hits, dup line/para fractions, and the
+        Arrow-backed top/dup n-gram char fractions) in one projection.
+        The small-SF parquet is a single scan split, which would serialize
+        the n-gram pass — one tiny cost-equalizing exchange (~1.5 MB at
+        sf0.1) spreads it across cores, the extract_pages precedent; at
+        crawl scale the scan is already parallel (measured 2.02 s serial
+        → 0.80 s spread at sf0.1)."""
+        d = _docs(spark, sf).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return textstats.repetition_signals(
-            _docs(spark, sf), "doc_id", "text",
+            d, "doc_id", "text",
             include_gopher_quality=True,
         )
 
@@ -1045,6 +1054,40 @@ def _toks_sql(col: str) -> str:
     return f"regexp_split_to_array(trim({col}), '\\s+')"
 
 
+def _gopher_ngram_sql_cols() -> str:
+    """The nine Gopher n-gram char fractions, RE2/DuckDB side of the
+    contract in textstats.gopher_ngram_columns (same token split, same
+    count*len(gram) arithmetic, half-up round to 6dp, cap 1.0). The top
+    count uses the O(distinct^2) list_filter pattern the top_word oracle
+    set — fine at the sf0.01 gate size."""
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    tl = "greatest(length(text), 1)"
+    parts = []
+    for n in (2, 3, 4):
+        grams = (f"case when len({toks}) >= {n} then "
+                 f"list_transform(range(1, len({toks}) - {n} + 2), "
+                 f"i -> array_to_string({toks}[i:i+{n}-1], ' ')) "
+                 f"else [] end")
+        parts.append(
+            f"least(round(coalesce(list_max(list_transform("
+            f"list_distinct({grams}), "
+            f"g -> len(list_filter({grams}, x -> x = g)) * length(g))), 0)"
+            f"::DOUBLE / {tl}, 6), 1.0) as top_{n}gram_char_frac"
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        grams = (f"case when len({toks}) >= {n} then "
+                 f"list_transform(range(1, len({toks}) - {n} + 2), "
+                 f"i -> array_to_string({toks}[i:i+{n}-1], ' ')) "
+                 f"else [] end")
+        parts.append(
+            f"least(round((coalesce(list_sum(list_transform({grams}, "
+            f"x -> length(x))), 0) - coalesce(list_sum(list_transform("
+            f"list_distinct({grams}), x -> length(x))), 0))::DOUBLE "
+            f"/ {tl}, 6), 1.0) as dup_{n}gram_char_frac"
+        )
+    return ",\n                         ".join(parts)
+
+
 _SHINGLES3 = (
     "list_distinct(case when len(toks) >= 3 then "
     "list_transform(range(0, len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' ')) "
@@ -1581,7 +1624,8 @@ def oracle_sql() -> dict[str, str]:
                          round((list_sum(list_transform(regexp_split_to_array(text, '\\n{{2,}}'), x -> length(x)))
                                 - list_sum(list_transform(list_distinct(regexp_split_to_array(text, '\\n{{2,}}')), x -> length(x))))::DOUBLE
                                / greatest(length(text), 1), 6)
-                           as dup_para_char_frac
+                           as dup_para_char_frac,
+                         {_gopher_ngram_sql_cols()}
                   from documents)
             select r.doc_id, n_tokens, dup_word_frac, top_word_frac,
                    dup_bigram_frac,
@@ -1592,6 +1636,11 @@ def oracle_sql() -> dict[str, str]:
                    alpha_word_frac, cast(gopher_stop_hits as int) as gopher_stop_hits,
                    dup_line_frac, dup_line_char_frac,
                    dup_para_frac, dup_para_char_frac,
+                   top_2gram_char_frac, top_3gram_char_frac,
+                   top_4gram_char_frac, dup_5gram_char_frac,
+                   dup_6gram_char_frac, dup_7gram_char_frac,
+                   dup_8gram_char_frac, dup_9gram_char_frac,
+                   dup_10gram_char_frac,
                    cast(case when gn between 50 and 100000
                              and g_mwl between 3.0 and 10.0
                              and symbol_word_ratio <= 0.1

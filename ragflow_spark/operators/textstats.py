@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ragflow_spark.functions.text import (
@@ -249,6 +251,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str,
             for cols in (
                 gopher_quality_columns(F.col(text_col)),
                 dup_line_columns(F.col(text_col)),
+                gopher_ngram_columns(F.col(text_col)),
             )
             for k, v in cols.items()
         ]
@@ -290,6 +293,85 @@ def _dup_unit_fracs(units: Column, text_len: Column) -> tuple[Column, Column]:
         (total - dist).cast("double") / F.greatest(text_len, F.lit(1)), 6
     )
     return count_frac, char_frac
+
+
+_NGRAM_KEYS = [
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+]
+
+
+def gopher_ngram_columns(text: Column) -> dict[str, Column]:
+    """The remaining Gopher repetition signals (Rae et al. 2021 §A1.1):
+    fraction of characters covered by the most frequent {2,3,4}-gram and
+    by duplicated {5..10}-grams (occurrences beyond the first). Shared
+    conventions with the DuckDB oracle: grams are space-joined
+    lowercase whitespace tokens (RE2-class ``[\\t\\n\\f\\r ]+`` split,
+    space-only trim — the _toks_sql contract); fractions are
+    count×len(gram)/len(text), overlaps double-counted, half-up rounded
+    to 6 dp, capped at 1.0.
+
+    Arrow path BY MEASUREMENT, not taste: the all-native formulation (9
+    gram-array folds) ran 40.4 s at sf0.1 with the Project forced out of
+    whole-stage codegen — the r3 minhash cliff shape again — while this
+    one Arrow pass (Counter per doc, the winnowing precedent) does the
+    same work in well under a second. One UDF evaluation serves all nine
+    columns (identical PythonUDF expressions dedupe into one
+    ArrowEvalPython node)."""
+    @F.pandas_udf("array<double>")
+    def _fracs(s: pd.Series) -> pd.Series:
+        import re
+        from collections import Counter
+
+        ws = re.compile(r"[\t\n\f\r ]+")
+
+        def half_up6(x: float) -> float:
+            return int(x * 1e6 + 0.5) / 1e6
+
+        def one(t):
+            if t is None:
+                t = ""
+            tl = max(len(t), 1)
+            toks = ws.split(t.lower().strip(" "))
+            T = len(toks)
+            # gram identity = the token tuple; gram char length =
+            # prefix-sum window + (n-1) joiner spaces — identical to
+            # len(' '.join(window)) without building joined strings.
+            # Counter-of-tuples beat a numpy unique(axis=0) formulation
+            # 3x on this distribution (short web docs); both beat the
+            # all-native expression tree 20x+ (it falls out of
+            # whole-stage codegen — the r3 minhash cliff shape).
+            S = [0] * (T + 1)
+            for i, w in enumerate(toks):
+                S[i + 1] = S[i] + len(w)
+            out = []
+            for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+                if T < n:
+                    out.append(0.0)
+                    continue
+                c: Counter = Counter()
+                glen: dict = {}
+                for i in range(T - n + 1):
+                    g = tuple(toks[i:i + n])
+                    c[g] += 1
+                    if g not in glen:
+                        glen[g] = S[i + n] - S[i] + n - 1
+                if n <= 4:
+                    val = max(cnt * glen[g] for g, cnt in c.items())
+                else:
+                    val = sum(
+                        (cnt - 1) * glen[g]
+                        for g, cnt in c.items()
+                        if cnt > 1
+                    )
+                out.append(min(half_up6(val / tl), 1.0))
+            return out
+
+        return s.apply(one)
+
+    arr = _fracs(text)
+    return {k: F.element_at(arr, i + 1) for i, k in enumerate(_NGRAM_KEYS)}
 
 
 def dup_line_columns(text: Column) -> dict[str, Column]:

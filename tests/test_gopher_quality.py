@@ -80,3 +80,36 @@ def test_dup_line_and_para_fractions(spark):
     assert out[3].dup_line_frac == 0.0
     assert out[3].dup_line_char_frac == 0.0
     assert out[3].dup_para_frac == 0.0
+
+
+def test_ngram_char_fractions(spark):
+    """Top/dup n-gram char fractions (Arrow pass): conventions are
+    count*len(space-joined gram)/len(text), overlaps double-counted,
+    capped at 1.0."""
+    from ragflow_spark.operators.textstats import gopher_ngram_columns
+    from pyspark.sql import functions as F
+
+    rows = [(1, "a b a b a b"), (2, "w x y z w x y z w x y z u v"),
+            (3, ""), (4, "only four words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cols = gopher_ngram_columns(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    # doc 1: top 2-gram 'a b' count 3, len 3 -> 9/11; 4-gram overlap
+    # would give 14/11 -> capped at 1.0
+    assert out[1].top_2gram_char_frac == round(9 / 11, 6)
+    assert out[1].top_4gram_char_frac == 1.0
+    assert out[1].dup_5gram_char_frac == 0.0
+    # doc 2: 'w x y z' repeats 3x -> top 2-gram 'w x' 3*3=9 of 27
+    assert out[2].top_2gram_char_frac == round(9 / 27, 6)
+    # dup 5-grams: duplicated occurrences beyond first cover > len(text)
+    # with overlap -> capped
+    assert out[2].dup_5gram_char_frac == 1.0
+    assert out[2].dup_9gram_char_frac == 0.0
+    # empty / too-short docs: all zero
+    assert out[3].top_2gram_char_frac == 0.0
+    assert out[4].dup_5gram_char_frac == 0.0
