@@ -53,7 +53,12 @@ def canonical_url(url: Column) -> Column:
     raw_path = F.regexp_extract(url, _URL_RE, 3)
     raw_query = F.regexp_extract(url, _URL_RE, 4)  # includes leading '?'
 
-    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    # userinfo (user:pass@) is stripped from the key — credentials never
+    # distinguish a page; the port regex is '@'-safe already (digits-only
+    # anchored at end). IPv6 bracket hosts pass through unchanged below.
+    host = F.lower(
+        F.regexp_extract(authority, r"^(?:[^@]*@)?([^:@]*)", 1)
+    )
     port = F.regexp_extract(authority, r":([0-9]+)$", 1)
     port_part = F.when(
         (port == "")
@@ -78,9 +83,14 @@ def canonical_url(url: Column) -> Column:
     canon = F.concat(
         scheme, F.lit("://"), host, port_part, path_part, query_part
     )
-    # non-absolute / unparseable input: identity, never a mangled key
+    # non-absolute / unparseable input passes through as identity, never
+    # a mangled key; IPv6 bracket authorities too (the ':'-based
+    # host/port split above doesn't apply to them)
     return F.when(
-        (scheme == "") | ~scheme.isin("http", "https"), url
+        (scheme == "")
+        | ~scheme.isin("http", "https")
+        | authority.contains("["),
+        url,
     ).otherwise(canon)
 
 

@@ -29,6 +29,13 @@ GOLDENS = [
     ("https://site.com/p?ref=hn&refresh=1", "https://site.com/p?refresh=1"),
     # repeated trailing slashes collapse
     ("HTTP://A.B/x//", "http://a.b/x"),
+    # userinfo never distinguishes a page: stripped from the key, and
+    # the host after the '@' is the one that lowercases / loses :443
+    ("https://User:Pw@Host.COM:443/x", "https://host.com/x"),
+    ("https://admin@site.com/p?b=1", "https://site.com/p?b=1"),
+    # IPv6 bracket authority: the ':' host/port split doesn't apply —
+    # identity passthrough rather than a mangled key
+    ("https://[2001:db8::1]:8080/x", "https://[2001:db8::1]:8080/x"),
     # non-http(s) and unparseable input pass through byte-identical
     ("ftp://weird/keep?as=is", "ftp://weird/keep?as=is"),
     ("not a url at all", "not a url at all"),
