@@ -858,15 +858,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunks_tier.unionByName(manifest_tier)
 
     def doc_winnow_fp(spark, sf):
-        out = textstats.winnow_fingerprints(_docs(spark, sf), "doc_id", "text")
-        return out.select(
-            F.col("doc_id"),
-            F.size("fingerprints").alias("n_fingerprints"),
-            # stable scalar digest of the fingerprint set
-            F.md5(F.concat_ws(",", F.transform(
-                F.col("fingerprints"), lambda x: x.cast("string")
-            ))).alias("fp_digest"),
+        """Winnowing fingerprints + (r7) the per-doc count of fingerprints
+        shared with at least one OTHER doc — the detection side of
+        exact-substring dedup (any cross-doc substring ≥ k+window−1 chars
+        guarantees a shared fingerprint; dedup.substring_dup_pairs mines
+        the pairs with the hot-bucket guard)."""
+        fps = textstats.winnow_fingerprints(
+            _docs(spark, sf), "doc_id", "text"
+        ).persist()
+        ex = fps.select(
+            "doc_id", F.explode(F.array_distinct("fingerprints")).alias("fp")
         )
+        shared_fp = (
+            ex.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("_nd"))
+            .filter(F.col("_nd") >= 2)
+            .select("fp")
+        )
+        per_doc = ex.join(shared_fp, "fp").groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_shared_fps")
+        )
+        out = (
+            fps.select(
+                F.col("doc_id"),
+                F.size("fingerprints").alias("n_fingerprints"),
+                # stable scalar digest of the fingerprint set
+                F.md5(F.concat_ws(",", F.transform(
+                    F.col("fingerprints"), lambda x: x.cast("string")
+                ))).alias("fp_digest"),
+            )
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id", "n_fingerprints", "fp_digest",
+                F.coalesce("n_shared_fps", F.lit(0)).alias("n_shared_fps"),
+            )
+        )
+        out._rs_cached = [fps]
+        return out
 
     def media_meta_frames(spark, sf):
         """Media metadata decode ('meta' rows) plus the every-30th-frame
@@ -2143,10 +2171,21 @@ def oracle_sql() -> dict[str, str]:
                        i -> hashes[argpos[i]]::BIGINT) as fingerprints
               from wins
             )
-            select doc_id,
+            , ex as (
+              select doc_id, unnest(list_distinct(fingerprints)) as f
+              from fp),
+            sh as (
+              select f from ex group by f
+              having count(distinct doc_id) >= 2),
+            per as (
+              select ex.doc_id, count(*) as n_shared_fps
+              from ex join sh using (f) group by 1)
+            select fp.doc_id,
                    cast(len(fingerprints) as integer) as n_fingerprints,
-                   md5(array_to_string(fingerprints, ',')) as fp_digest
-            from fp
+                   md5(array_to_string(fingerprints, ',')) as fp_digest,
+                   cast(coalesce(per.n_shared_fps, 0) as bigint)
+                     as n_shared_fps
+            from fp left join per on fp.doc_id = per.doc_id
         """,
         # extract_chunks_docs / extract_pipeline_pages / extract_manifest /
         # doc_tokenize have no ANSI-SQL equivalent (sequential per-doc

@@ -652,6 +652,58 @@ def _ngram_jaccard_prefix(sh: DataFrame, group_col: str,
     return out
 
 
+# ------------------------------------------- exact-substring dedup (winnow)
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    max_bucket_size: int = DEFAULT_MAX_BAND_SIZE,
+) -> DataFrame:
+    """Cross-document EXACT-substring duplicate pairs via winnowing
+    fingerprints (Schleimer et al. SIGMOD'03; the dedup use is Lee et al.
+    2021's deduplicate-text-datasets, re-expressed for Spark): the
+    winnowing guarantee says any substring of length ≥ k + window − 1
+    chars shared by two documents yields at least one SHARED fingerprint,
+    so the fingerprint-bucket join finds every such pair — detection is
+    exact, no probabilistic bands.
+
+    Scale shape mirrors minhash_pairs: explode each doc's (already
+    window-sampled, ~1/window of positions) distinct fingerprints, one
+    groupBy counts bucket sizes, buckets over ``max_bucket_size`` drop
+    (the k² boilerplate bomb is exact dedup's job — same hot-band policy
+    as minhash, same auditability argument), and the slim (fp, id)
+    self-join emits pairs with their shared-fingerprint count."""
+    from ragflow_spark.operators.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    ex = fps.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.array_distinct("fingerprints")).alias("fp"),
+    )
+    ok = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter((F.col("_k") >= 2) & (F.col("_k") <= max_bucket_size))
+        .select("fp")
+    )
+    e2 = ex.join(ok, "fp")
+    return (
+        e2.alias("a")
+        .join(
+            e2.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
 # -------------------------------------------------- paragraph-level dedup
 
 def _regex_quote(literal: str) -> str:

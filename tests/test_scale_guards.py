@@ -408,3 +408,35 @@ def test_session_defaults_pin_aqe_skew_join(spark):
     for key in ("spark.sql.adaptive.enabled",
                 "spark.sql.adaptive.skewJoin.enabled"):
         assert spark.conf.get(key) == "true", key
+
+
+def test_substring_dup_pairs_guarantee_and_guard(spark):
+    """Winnowing-based exact-substring pair mining: any cross-doc
+    substring >= k+window-1 chars guarantees a shared fingerprint (pair
+    found); unrelated docs emit nothing; a boilerplate fingerprint
+    bucket over max_bucket_size drops (hot-band policy)."""
+    import random
+
+    rng = random.Random(99)
+    rand = lambda n: "".join(  # noqa: E731
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+    shared = "this exact sentence is copied between the two documents"
+    rows = [
+        (1, rand(120) + shared + rand(120)),
+        (2, rand(130) + shared + rand(110)),
+        (3, rand(260)),
+    ]
+    # boilerplate bomb: 40 docs with identical text -> their buckets all
+    # have size 40 > max_bucket_size=20 -> no pairs from them
+    rows += [(100 + i, "identical boilerplate content here " * 4)
+             for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in dedup.substring_dup_pairs(
+            df, "doc_id", "text", k=8, window=4, max_bucket_size=20
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(a < 100 and b < 100 for a, b in pairs), pairs
+    assert not any(3 in p for p in pairs)
