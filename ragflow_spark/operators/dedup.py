@@ -658,8 +658,8 @@ def substring_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = 8,
-    window: int = 4,
+    k: int = 50,
+    window: int = 16,
     max_bucket_size: int = DEFAULT_MAX_BAND_SIZE,
 ) -> DataFrame:
     """Cross-document EXACT-substring duplicate pairs via winnowing
@@ -675,7 +675,16 @@ def substring_dup_pairs(
     groupBy counts bucket sizes, buckets over ``max_bucket_size`` drop
     (the k² boilerplate bomb is exact dedup's job — same hot-band policy
     as minhash, same auditability argument), and the slim (fp, id)
-    self-join emits pairs with their shared-fingerprint count."""
+    self-join emits pairs with their shared-fingerprint count.
+
+    The defaults target corpus-scale spans (k=50, window=16 → any shared
+    run ≥ 65 chars is guaranteed detected — the char analog of Lee et
+    al.'s 50-token threshold). Pair volume is governed by k, not the
+    bucket guard: short fingerprints are ubiquitous across unrelated
+    docs, so small k mines an all-pairs bomb even with every bucket
+    under the cap (measured at 131k docs, BENCH/BASELINE.md: k=8 →
+    590M pairs / 225 s; k=50 → 6.5k true pairs / 37 s). Small k is for
+    small fixtures only."""
     from ragflow_spark.operators.textstats import winnow_fingerprints
 
     fps = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
