@@ -119,7 +119,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_fingerprint(spark, sf):
-        return textstats.doc_fingerprints(_docs(spark, sf), "doc_id", "text")
+        """Content fingerprints + (r7) incremental exact dedup in one
+        tagged union (50-slot cap — doc_exact_dedup precedent).
+        stage='fp' is the pre-r7 per-doc md5 row (value=fingerprint).
+        stage='incr' drives dedup.incremental_exact_dups: a synthetic
+        NEW batch (ids +100000; every doc_id%3==0 doc reuses its history
+        text verbatim, doc_id%3==1 docs get a fresh tail, %3==2 sit out)
+        is checked against exact_hash_store(documents) — the oracle
+        derives the expected hits analytically (fp-group min id), so a
+        store/probe mismatch in either operator breaks the hash."""
+        d = _docs(spark, sf)
+        fp_rows = textstats.doc_fingerprints(d, "doc_id", "text").select(
+            F.lit("fp").alias("stage"), "doc_id",
+            F.col("fingerprint").alias("value"),
+        )
+        new_batch = d.filter(F.col("doc_id") % 3 != 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"),
+                                F.lit(" incremental fresh tail")))
+            .alias("text"),
+        )
+        store = dedup.exact_hash_store(d, "doc_id", "text")
+        incr_rows = dedup.incremental_exact_dups(
+            new_batch, store, "doc_id", "text"
+        ).select(
+            F.lit("incr").alias("stage"),
+            F.col("id_new").alias("doc_id"),
+            F.concat(F.col("fp"), F.lit(":"),
+                     F.col("id_hist").cast("string")).alias("value"),
+        )
+        return fp_rows.unionByName(incr_rows)
 
     def doc_exact_dedup(spark, sf):
         """Both exact-identity passes in one tagged union (registry slot
@@ -388,7 +418,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pos").cast("int").alias("band_no"),
             F.col("col").alias("value"),
         )
-        return sig_rows.unionByName(band_rows)
+        # (r7) incremental tier: a synthetic NEW batch (same construction
+        # as doc_fingerprint's incr tier) probes minhash_store(documents)
+        # via incremental_minhash_pairs; the oracle recomputes BOTH sides'
+        # signatures and the estimate arithmetic from scratch, so the
+        # store schema, band candidacy, and the m/16 estimate are all
+        # hash-gated. value = id_hist ':' micro-est (m/16 · 1e6 is the
+        # exact integer m·62500 — no float formatting in the hash).
+        # max_band_size=None: the guard is pinned by its own tests and at
+        # gate scales no bucket approaches the cap; the oracle stays an
+        # unguarded mirror.
+        new_batch = d.filter(F.col("doc_id") % 3 != 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"),
+                                F.lit(" incremental fresh tail")))
+            .alias("text"),
+        )
+        store = dedup.minhash_store(d, "doc_id", "text")
+        incr_rows = dedup.incremental_minhash_pairs(
+            new_batch, store, "doc_id", "text",
+            est_threshold=0.25, max_band_size=None,
+        ).select(
+            F.col("id_new").alias("doc_id"),
+            F.lit("incr").alias("stage"),
+            F.lit(-1).cast("int").alias("band_no"),
+            F.concat(
+                F.col("id_hist").cast("string"), F.lit(":"),
+                F.round(F.col("est_jaccard") * 1000000)
+                .cast("bigint").cast("string"),
+            ).alias("value"),
+        )
+        return sig_rows.unionByName(band_rows).unionByName(incr_rows)
 
     def doc_minhash_pairs(spark, sf):
         return dedup.minhash_pairs(
@@ -1400,8 +1461,22 @@ def oracle_sql() -> dict[str, str]:
             group by lang
         """,
         "doc_fingerprint": f"""
-            select doc_id, md5({_norm_sql('text')}) as fingerprint
+            select 'fp' as stage, doc_id,
+                   md5({_norm_sql('text')}) as value
             from documents
+            union all
+            -- incremental-exact tier: the %3==0 new docs reuse history
+            -- text verbatim (hit; id_hist = fp-group min id), the %3==1
+            -- tailed docs match nothing (fixed testdata: no document
+            -- text ends with the tail marker)
+            select 'incr' as stage,
+                   d.doc_id + 100000 as doc_id,
+                   d.fp || ':' || cast(h.mn as varchar) as value
+            from (select doc_id, md5({_norm_sql('text')}) as fp
+                  from documents where doc_id % 3 = 0) d
+            join (select md5({_norm_sql('text')}) as fp,
+                         min(doc_id) as mn
+                  from documents group by 1) h using (fp)
         """,
         "doc_exact_dedup": f"""
             select 'text' as stage,
@@ -1695,7 +1770,31 @@ def oracle_sql() -> dict[str, str]:
             s as (select doc_id, {_SHINGLES3} as sh from d),
             p as (select doc_id, {_ab_sql()} as ab from s),
             g as (select doc_id, {_minhash_sig_sql(16)} as sig from p),
-            b as (select doc_id, {_bands_sql(4, 4)} as bands from g)
+            b as (select doc_id, {_bands_sql(4, 4)} as bands from g),
+            -- incremental tier: recompute the NEW batch's sigs/bands from
+            -- scratch (same construction as the Spark query), candidates
+            -- by band intersection vs history, est = agreeing components
+            -- / 16 (micro-int: m * 62500)
+            n0 as (select doc_id + 100000 as doc_id,
+                          case when doc_id % 3 = 0 then text
+                               else text || ' incremental fresh tail'
+                          end as text
+                   from documents where doc_id % 3 != 2),
+            nd as (select doc_id, {_toks_sql('text')} as toks from n0),
+            ns as (select doc_id, {_SHINGLES3} as sh from nd),
+            np as (select doc_id, {_ab_sql()} as ab from ns),
+            ng as (select doc_id, {_minhash_sig_sql(16)} as sig from np),
+            nb as (select doc_id, {_bands_sql(4, 4)} as bands from ng),
+            hrows as (select b.doc_id, unnest(b.bands) as band from b),
+            nrows as (select nb.doc_id, unnest(nb.bands) as band from nb),
+            cand as (select distinct n.doc_id as id_new, h.doc_id as id_hist
+                     from nrows n join hrows h using (band)),
+            est as (select c.id_new, c.id_hist,
+                           len(list_filter(range(1, 17),
+                               i -> ng.sig[i] = g.sig[i])) as m
+                    from cand c
+                    join ng on ng.doc_id = c.id_new
+                    join g on g.doc_id = c.id_hist)
             select doc_id, 'sig' as stage, cast(-1 as int) as band_no,
                    array_to_string(sig, ',') as value
             from g
@@ -1703,6 +1802,12 @@ def oracle_sql() -> dict[str, str]:
             select b.doc_id, 'band' as stage, cast(r.i as int) as band_no,
                    b.bands[r.i + 1] as value
             from b cross join (values (0), (1), (2), (3)) as r(i)
+            union all
+            select id_new as doc_id, 'incr' as stage,
+                   cast(-1 as int) as band_no,
+                   cast(id_hist as varchar) || ':' ||
+                     cast(m * 62500 as varchar) as value
+            from est where m >= 4
         """,
         "doc_minhash_pairs": _minhash_pairs_oracle(),
         "dup_clusters": f"""

@@ -273,6 +273,163 @@ def minhash_pairs(
     return out
 
 
+# ------------------- incremental dedup (new batch vs a historical store)
+
+def exact_hash_store(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The persistable exact-dedup store: (doc_id, fp) with the same
+    normalized-md5 fingerprint as ``exact_dedup_groups``. At 100 TB this
+    is what each crawl snapshot appends to a parquet/Iceberg table
+    (bucketed by fp) so the next increment never rereads historical
+    text — 24 bytes/doc instead of the corpus."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+    )
+
+
+def incremental_exact_dups(
+    new_docs: DataFrame, store: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """NEW-batch docs whose text already exists in the historical store:
+    (id_new, fp, id_hist) with id_hist the min historical id per
+    fingerprint. Inner join — a new doc with no historical twin emits
+    nothing; in-batch duplicates are ``exact_dedup_groups``' job (run
+    both per increment, then append ``exact_hash_store(new_docs)`` minus
+    the hits to the store).
+
+    Scale shape: the store is first semi-joined down to the fingerprints
+    the increment actually touches, so the min-id groupBy runs over
+    O(matches) rows, not O(history); with the store bucketed by fp on
+    disk the probe is a co-located hash join and nothing O(history)
+    shuffles. Cost per increment: O(increment + matched groups)."""
+    new_fp = exact_hash_store(new_docs, id_col, text_col).select(
+        F.col("doc_id").alias("id_new"), "fp"
+    )
+    hist = (
+        store.join(new_fp.select("fp").dropDuplicates(), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("id_hist"))
+    )
+    return new_fp.join(hist, "fp").select("id_new", "fp", "id_hist")
+
+
+def minhash_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """The persistable near-dup signature store: (doc_id, sig, bands),
+    bit-identical to the arithmetic ``minhash_pairs`` uses (arrow path ==
+    expression path == DuckDB oracle). Shingle arrays are deliberately
+    NOT stored — they dominate bytes (the text itself, re-cut) and exist
+    only to true-Jaccard-verify; cross-snapshot verification uses the
+    minhash estimate instead (see ``incremental_minhash_pairs``). On a
+    100 TB run this table is written once per snapshot, bucketed by band
+    key, and every later increment probes it co-located."""
+    base = minhash_base_arrow(
+        df, id_col, text_col, num_hashes, shingle_n, bands
+    )
+    return base.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_sig").alias("sig"),
+        F.col("_bands").alias("bands"),
+    )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+    max_band_size: int | None = DEFAULT_MAX_BAND_SIZE,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and the historical signature
+    store — (id_new, id_hist, est_jaccard) — at O(increment + matches)
+    cost, never O(history). The incremental counterpart of
+    ``minhash_pairs``: a daily crawl increment dedups against years of
+    corpus without re-mining (or even rereading) it.
+
+    Plan shape: the store's band rows are semi-joined down to the band
+    keys the increment touches BEFORE any count or pair join (AQE turns
+    that probe broadcast when the increment is small); the hot-band
+    guard then counts only MATCHED history buckets, so the guard itself
+    stays O(matches). Candidates join on the band key id-only, exactly
+    like minhash_pairs.
+
+    Verification: the store carries no shingles, so pairs are scored
+    with the standard unbiased minhash estimate — the fraction of
+    agreeing signature components, E[est] = true Jaccard. At the default
+    num_hashes=16 the estimate's granularity is 1/16: near the threshold
+    it is noisier than minhash_pairs' exact verify (raise num_hashes in
+    the store to tighten). In-batch duplicates are ``minhash_pairs``'
+    job (text in hand → exact verify); run both per increment, then
+    append ``minhash_store(new_docs)`` rows for the kept docs."""
+    new_base = minhash_store(
+        new_docs, id_col, text_col, num_hashes, shingle_n, bands
+    ).persist()
+    nb = new_base.select(
+        F.col("doc_id").alias("id_new"), F.explode("bands").alias("_band")
+    )
+    hb = store.select(
+        F.col("doc_id").alias("id_hist"), F.explode("bands").alias("_band")
+    ).join(nb.select("_band").dropDuplicates(), "_band", "left_semi")
+    hot = None
+    if max_band_size is not None:
+        hot = (
+            hb.groupBy("_band")
+            .count()
+            .filter(F.col("count") > max_band_size)
+            .select("_band")
+            .persist()
+        )
+        hb = hb.join(F.broadcast(hot), "_band", "left_anti")
+    cand = (
+        nb.join(hb, "_band")
+        .select("id_new", "id_hist")
+        .dropDuplicates(["id_new", "id_hist"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_n", "sig_h", lambda a, b: a == b),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes)),
+        6,
+    )
+    out = (
+        cand.join(
+            new_base.select(
+                F.col("doc_id").alias("id_new"), F.col("sig").alias("sig_n")
+            ),
+            "id_new",
+        )
+        .join(
+            store.select(
+                F.col("doc_id").alias("id_hist"), F.col("sig").alias("sig_h")
+            ),
+            "id_hist",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_new", "id_hist", "est_jaccard")
+    )
+    cached = [new_base]
+    if hot is not None:
+        out._rs_hot_bands = hot
+        cached.append(hot)
+    out._rs_cached = cached  # caller releases via dedup.release(out)
+    return out
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
