@@ -75,6 +75,14 @@ REGISTRY_CONSOLIDATIONS: dict[str, str] = {
     # same query (stage='text' is the pre-r7 doc_exact_dedup rows with
     # fp renamed to key)
     "doc_url_dedup": "doc_exact_dedup",
+    # r7 (late): stage-unions freeing slots for doc_char_lm /
+    # doc_quality_clf / host_stats; the legacy names stay timeable via
+    # legacy_bench_queries() so bench lines remain round-comparable
+    "doc_simhash": "doc_simhash_stages",
+    "doc_simhash_pairs": "doc_simhash_stages",
+    "doc_minhash_pairs": "doc_minhash_stages",
+    "emb_pq_codes": "emb_pq_stages",
+    "emb_pq_topk": "emb_pq_stages",
 }
 
 
@@ -449,12 +457,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .cast("bigint").cast("string"),
             ).alias("value"),
         )
-        return sig_rows.unionByName(band_rows).unionByName(incr_rows)
-
-    def doc_minhash_pairs(spark, sf):
-        return dedup.minhash_pairs(
-            _docs(spark, sf), "doc_id", "text",
+        # (r7 late) the pair stage — the LSH candidate join's verified
+        # output — folds in under the 50-entry cap; value packs the
+        # partner id + exact micro-jaccard (round6 × 1e6, integer)
+        pair_rows = dedup.minhash_pairs(
+            d, "doc_id", "text",
             num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
+        ).select(
+            F.col("id_a").alias("doc_id"),
+            F.lit("pair").alias("stage"),
+            F.lit(-1).cast("int").alias("band_no"),
+            F.concat(
+                F.col("id_b").cast("string"), F.lit(":"),
+                F.round(F.col("jaccard") * 1000000)
+                .cast("bigint").cast("string"),
+            ).alias("value"),
+        )
+        return (
+            sig_rows.unionByName(band_rows)
+            .unionByName(incr_rows).unionByName(pair_rows)
         )
 
     def dup_clusters(spark, sf):
@@ -490,11 +511,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5, shingle_n=1,
         )
 
-    def doc_simhash(spark, sf):
-        return dedup.simhash64(_docs(spark, sf), "doc_id", "text")
+    def doc_simhash_stages(spark, sf):
+        """SimHash signature + hamming≤3 pair stages in one tagged union
+        (r7 consolidation at the 50-entry cap; the legacy names stay
+        benched via legacy_bench_queries())."""
+        d = _docs(spark, sf)
+        sig = dedup.simhash64(d, "doc_id", "text").select(
+            "doc_id",
+            F.lit("sig").alias("stage"),
+            F.concat(
+                F.col("simhash_hi").cast("string"), F.lit(":"),
+                F.col("simhash_lo").cast("string"),
+            ).alias("value"),
+        )
+        pairs = dedup.simhash_pairs(
+            d, "doc_id", "text", max_hamming=3
+        ).select(
+            F.col("id_a").alias("doc_id"),
+            F.lit("pair").alias("stage"),
+            F.concat(
+                F.col("id_b").cast("string"), F.lit(":"),
+                F.col("hamming").cast("string"),
+            ).alias("value"),
+        )
+        return sig.unionByName(pairs)
 
-    def doc_simhash_pairs(spark, sf):
-        return dedup.simhash_pairs(_docs(spark, sf), "doc_id", "text", max_hamming=3)
+    def doc_char_lm(spark, sf):
+        """CCNet-style LM quality scoring: train a char-bigram LM on the
+        corpus, score every doc by avg negative log-likelihood
+        (exact micro-nat integers; see operators/lm.py for the shared
+        numerics contract)."""
+        from ragflow_spark.operators import lm
+
+        return lm.charlm_score_corpus(_docs(spark, sf), "doc_id", "text")
 
     # -------- embeddings: similarity search
     def emb_cosine_topk(spark, sf):
@@ -537,23 +586,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -------- product quantization (ANN at billion scale: 64 floats → m
     # codes; encode + asymmetric-distance search, both oracle-gated)
-    def emb_pq_codes(spark, sf):
+    def emb_pq_stages(spark, sf):
+        """PQ code assignment + ADC top-k in one tagged union (r7
+        consolidation at the cap): one codebook training + encode pass
+        feeds both stages, so this is strictly cheaper than the two
+        queries it replaces."""
         e = _emb(spark, sf)
         books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
         enc = similarity.pq_encode(e, "embedding", "vec_id", books)
-        return enc.select(
+        code_rows = enc.select(
+            F.lit("code").alias("stage"),
             "vec_id",
             F.concat_ws(
                 ",", F.transform("codes", lambda x: x.cast("string"))
             ).alias("code"),
+            F.lit(None).cast("double").alias("adc"),
         )
-
-    def emb_pq_topk(spark, sf):
-        e = _emb(spark, sf)
         qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
-        enc = similarity.pq_encode(e, "embedding", "vec_id", books)
-        return similarity.pq_adc_topk(enc, books, qv, topk=10)
+        topk_rows = similarity.pq_adc_topk(enc, books, qv, topk=10).select(
+            F.lit("topk").alias("stage"),
+            "vec_id",
+            F.lit(None).cast("string").alias("code"),
+            "adc",
+        )
+        return code_rows.unionByName(topk_rows)
 
     def emb_ivf_pq_topk(spark, sf):
         """The composed billion-vector path — IVF probe → PQ-ADC shortlist
@@ -1095,18 +1151,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokenize": doc_tokenize,
         "top_terms_by_lang": top_terms_by_lang,
         "doc_minhash_stages": doc_minhash_stages,
-        "doc_minhash_pairs": doc_minhash_pairs,
         "dup_clusters": dup_clusters,
         "doc_seg_dedup": doc_seg_dedup,
         "doc_ngram_jaccard": doc_ngram_jaccard,
-        "doc_simhash": doc_simhash,
-        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_simhash_stages": doc_simhash_stages,
+        "doc_char_lm": doc_char_lm,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_kmeans_stages": emb_kmeans_stages,
-        "emb_pq_codes": emb_pq_codes,
-        "emb_pq_topk": emb_pq_topk,
+        "emb_pq_stages": emb_pq_stages,
         "emb_ivf_pq_topk": emb_ivf_pq_topk,
         "emb_ivf_pq_recall": emb_ivf_pq_recall,
         "emb_lsh_stages": emb_lsh_stages,
@@ -1129,6 +1183,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_det_boxes": media_det_boxes,
         "media_rec_lines": media_rec_lines,
         "media_ocr_lines": media_ocr_lines,
+    }
+
+
+def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Queries consolidated OUT of the 50-entry registry (see
+    REGISTRY_CONSOLIDATIONS) but kept timeable under their original
+    names so bench.py's per-query lines stay comparable round over
+    round. Each builds exactly the DataFrame the registry entry built
+    before its consolidation."""
+    from ragflow_spark.operators import dedup, similarity
+
+    def doc_simhash(spark, sf):
+        return dedup.simhash64(_docs(spark, sf), "doc_id", "text")
+
+    def doc_simhash_pairs(spark, sf):
+        return dedup.simhash_pairs(
+            _docs(spark, sf), "doc_id", "text", max_hamming=3
+        )
+
+    def doc_minhash_pairs(spark, sf):
+        return dedup.minhash_pairs(
+            _docs(spark, sf), "doc_id", "text",
+            num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
+        )
+
+    def emb_pq_topk(spark, sf):
+        e = _emb(spark, sf)
+        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        enc = similarity.pq_encode(e, "embedding", "vec_id", books)
+        return similarity.pq_adc_topk(enc, books, qv, topk=10)
+
+    return {
+        "doc_simhash": doc_simhash,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "emb_pq_topk": emb_pq_topk,
     }
 
 
@@ -1808,8 +1899,16 @@ def oracle_sql() -> dict[str, str]:
                    cast(id_hist as varchar) || ':' ||
                      cast(m * 62500 as varchar) as value
             from est where m >= 4
+            union all
+            -- (r7 late) the verified LSH pair stage, micro-jaccard
+            -- packed as an exact integer (round6 value × 1e6)
+            select id_a as doc_id, 'pair' as stage,
+                   cast(-1 as int) as band_no,
+                   cast(id_b as varchar) || ':' ||
+                     cast(cast(round(jaccard * 1000000, 0) as bigint)
+                          as varchar) as value
+            from ({_minhash_pairs_oracle()})
         """,
-        "doc_minhash_pairs": _minhash_pairs_oracle(),
         "dup_clusters": f"""
             with recursive pairs as ({_minhash_pairs_oracle()}),
             edges as (select id_a as a, id_b as b from pairs
@@ -1868,26 +1967,7 @@ def oracle_sql() -> dict[str, str]:
             where len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         """,
-        "doc_simhash": f"""
-            with d as (select doc_id,
-                              list_distinct({_toks_sql("lower(text)")}) as toks
-                       from documents),
-            h as (select doc_id,
-                         list_transform(toks, t -> {_hex8_to_int_sql('substr(md5(t),1,8)')}) as h1,
-                         list_transform(toks, t -> {_hex8_to_int_sql('substr(md5(t),9,8)')}) as h2
-                  from d)
-            select doc_id,
-              (select cast(sum(case when cnt > 0 then (1::BIGINT << b) else 0 end) as bigint)
-               from (select b, sum(case when ((hv >> b) & 1) = 1 then 1 else -1 end) as cnt
-                     from unnest(h.h1) as t(hv), unnest(range(0,32)) as r(b) group by b))
-               as simhash_hi,
-              (select cast(sum(case when cnt > 0 then (1::BIGINT << b) else 0 end) as bigint)
-               from (select b, sum(case when ((hv >> b) & 1) = 1 then 1 else -1 end) as cnt
-                     from unnest(h.h2) as t(hv), unnest(range(0,32)) as r(b) group by b))
-               as simhash_lo
-            from h
-        """,
-        "doc_simhash_pairs": f"""
+        "doc_simhash_stages": f"""
             with s as (
               with d as (select doc_id,
                                 list_distinct({_toks_sql("lower(text)")}) as toks
@@ -1921,11 +2001,53 @@ def oracle_sql() -> dict[str, str]:
                             b.simhash_hi as hi_b, b.simhash_lo as lo_b
                      from cc a join cc b
                        on a.chunk = b.chunk and a.doc_id < b.doc_id)
-            select id_a, id_b,
-                   cast(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) as int)
-                     as hamming
+            select doc_id, 'sig' as stage,
+                   cast(simhash_hi as varchar) || ':' ||
+                     cast(simhash_lo as varchar) as value
+            from s
+            union all
+            select id_a as doc_id, 'pair' as stage,
+                   cast(id_b as varchar) || ':' ||
+                     cast(cast(bit_count(xor(hi_a, hi_b))
+                               + bit_count(xor(lo_a, lo_b)) as int)
+                          as varchar) as value
             from cand
             where bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+        """,
+        "doc_char_lm": """
+            -- CCNet-style char-bigram LM (operators/lm.py numerics
+            -- contract): fixed 38-char alphabet, add-one smoothing,
+            -- micro-nat quantized log-probs summed as exact integers
+            with n as (
+              select doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9 ]', '#', 'g')
+                       as t
+              from documents),
+            bg as (
+              select doc_id,
+                     unnest(list_transform(
+                       range(1, length(t)),
+                       i -> substr(t, cast(i as int), 2))) as b
+              from n),
+            m as (select b, count(*) as c from bg group by b),
+            ctx as (select substr(b, 1, 1) as a, sum(c) as ca
+                    from m group by 1),
+            model as (
+              select m.b,
+                     cast(round(ln((m.c + 1.0) / (ctx.ca + 38.0))
+                                * 1000000, 0) as bigint) as lmic
+              from m join ctx on substr(m.b, 1, 1) = ctx.a),
+            sc as (
+              select bg.doc_id, count(*) as nb,
+                     cast(-sum(model.lmic) as bigint) as nll
+              from bg join model using (b)
+              group by bg.doc_id)
+            select d.doc_id,
+                   coalesce(sc.nb, 0) as n_bigrams,
+                   coalesce(sc.nll, 0) as nll_micro,
+                   round(sc.nll / 1000000.0 / sc.nb, 6) as ce_nats,
+                   round(exp(sc.nll / 1000000.0 / sc.nb), 4) as ppl
+            from documents d left join sc using (doc_id)
         """,
         "media_detector_plan": f"""
             -- generate_scale (vision_prep.py / operators.py:253-275):
@@ -2064,11 +2186,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) as bigint) as n_vecs
             from a1 where rn = 1 group by cluster_id
         """,
-        "emb_pq_codes": f"""
-            with {_PQ_CTES}
-            select vec_id, array_to_string(codes, ',') as code from codes
-        """,
-        "emb_pq_topk": f"""
+        "emb_pq_stages": f"""
             with {_PQ_CTES},
             q as (select embedding::DOUBLE[] as qv from embeddings
                   where vec_id = 0),
@@ -2082,7 +2200,15 @@ def oracle_sql() -> dict[str, str]:
             adc as (select vec_id,
                            round(list_sum(list(dist order by j)), 6) as adc
                     from sel group by vec_id)
-            select vec_id, adc from adc order by adc, vec_id limit 10
+            select 'code' as stage, vec_id,
+                   array_to_string(codes, ',') as code,
+                   cast(null as double) as adc
+            from codes
+            union all
+            select 'topk' as stage, vec_id, cast(null as varchar) as code,
+                   adc
+            from (select vec_id, adc from adc
+                  order by adc, vec_id limit 10)
         """,
         "emb_ivf_pq_recall": """
             with q as (select embedding as qv from embeddings where vec_id = 0)
