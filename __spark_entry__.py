@@ -208,6 +208,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_token_stats(spark, sf):
         return textstats.token_stats_by(_docs(spark, sf), ["lang", "source"], "text")
 
+    def host_stats(spark, sf):
+        """Per-host (source) blocklist rollup: volume, quality-fail
+        share, exact-dup-loser share, language profile, host_keep
+        verdict (weburl.host_stats; the CCNet/Dolma host-level drop
+        signal)."""
+        from ragflow_spark.operators import weburl
+
+        return weburl.host_stats(
+            _docs(spark, sf), "source", "doc_id", "text"
+        )
+
     def doc_quality(spark, sf):
         """Doc-level quality features + (r7) the C4 LINE-level cleaning
         audit (line counts, md5 of the cleaned text, page keep bit) in
@@ -1166,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_stages": emb_lsh_stages,
         "table_typing": table_typing,
         "pdf_table_cells": pdf_table_cells,
+        "host_stats": host_stats,
         "table_row_chunks": table_row_chunks,
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
@@ -1596,6 +1608,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) as avg_chars,
                    cast(max(length(text)) as int) as max_chars
             from documents group by lang, source
+        """,
+        "host_stats": f"""
+            -- per-host rollup (weburl.host_stats): quality_keep is the
+            -- doc_quality heuristic verbatim; dup loser = not the min-id
+            -- holder of the normalized-text md5 group (exact_dedup
+            -- keeper choice); modal lang ties break bytewise ascending
+            with f as (
+              select doc_id, source as host, lang,
+                     length(text) as chars,
+                     md5({_norm_sql('text')}) as fp,
+                     len({_toks_sql('text')}) as n_tokens,
+                     round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                           / greatest(len({_toks_sql('text')}), 1), 6) as mwl,
+                     round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1), 6) as pr
+              from documents),
+            d as (
+              select f.*,
+                     case when n_tokens >= 5 and mwl between 2.0 and 12.0
+                               and pr <= 0.3 then 1 else 0 end as qk,
+                     case when doc_id <> min(doc_id) over (partition by fp)
+                          then 1 else 0 end as dl
+              from f),
+            agg as (
+              select host, count(*) as n_docs, sum(chars) as n_chars,
+                     round(avg(n_tokens::DOUBLE), 6) as mean_tokens,
+                     round(1.0 - avg(qk::DOUBLE), 6) as quality_fail_share,
+                     round(avg(dl::DOUBLE), 6) as dup_loser_share,
+                     count(distinct lang) as n_langs
+              from d group by host),
+            lc as (select host, lang, count(*) as c from d group by 1, 2),
+            tl as (select host, lang as top_lang, c,
+                          row_number() over (partition by host
+                                             order by c desc, lang asc) as rn
+                   from lc)
+            select a.host, cast(a.n_docs as bigint) as n_docs,
+                   cast(a.n_chars as bigint) as n_chars,
+                   a.mean_tokens, a.quality_fail_share, a.dup_loser_share,
+                   cast(a.n_langs as bigint) as n_langs, t.top_lang,
+                   round(t.c::DOUBLE / a.n_docs, 6) as top_lang_share,
+                   cast(case when a.dup_loser_share <= 0.5
+                                  and a.quality_fail_share <= 0.5
+                             then 1 else 0 end as int) as host_keep
+            from agg a join tl t on a.host = t.host and t.rn = 1
         """,
         "doc_quality": f"""
             with q as (

@@ -65,12 +65,15 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str,
-                     include_c4_lines: bool = False) -> DataFrame:
+                     include_c4_lines: bool = False,
+                     passthrough: tuple = ()) -> DataFrame:
     """Length / punctuation / stopword-density features + a composite
     quality flag (the C4-style heuristic family). With
     ``include_c4_lines`` the C4 line-cleaning audit columns
     (``c4_line_columns``) ride the SAME projection — no join, no second
-    scan."""
+    scan. ``passthrough`` columns (names or Column exprs, e.g. a
+    fingerprint over the text) ride the projection too, so downstream
+    rollups never self-join the scan to get them back."""
     c = F.col(text_col)
     toks = token_count(c)
     chars = char_count(c)
@@ -103,6 +106,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str,
         sw.alias("stopword_ratio"),
         keep.cast("int").alias("quality_keep"),
         *extra,
+        *[F.col(p) if isinstance(p, str) else p for p in passthrough],
     )
 
 

@@ -175,3 +175,97 @@ def url_dedup_latest(df: DataFrame, url_col: str, ts_col: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_canon")
     )
+
+
+def host_stats(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    max_dup_share: float = 0.5,
+    max_quality_fail_share: float = 0.5,
+) -> DataFrame:
+    """Per-host corpus rollup — the host-level blocklist signal every
+    web pipeline computes before document-level work (CCNet/Dolma drop
+    whole domains whose pages are mostly duplicated or low-quality;
+    Gopher §A.1.1 keeps a manual domain blocklist): document and char
+    volume, quality-fail share (the C4-style ``quality_keep`` heuristic
+    from ``textstats.quality_features``), exact-dup-loser share (a doc
+    loses if it is not the min-id holder of its normalized-text
+    fingerprint group — identical to ``dedup.exact_dedup`` keeper
+    choice), language profile (distinct langs, modal lang with bytewise
+    tie-break, its share), and a composed ``host_keep`` verdict.
+
+    Plan shape at 100 TB: ONE scan, one projection (quality columns
+    ride the ``quality_features`` passthrough — no self-join back to
+    the scan for them); the dup-loser bit is ``min(id) over (partition
+    by fp)`` — the same single 16-byte-key shuffle class as exact
+    dedup, no join-back; then ONE (host, lang) groupBy with map-side
+    partial aggregation collapses the corpus to hosts x langs rows, and
+    the host rollup — modal lang included, as ``min(struct(-n, lang))``
+    so no window, no join, no second branch re-scanning the table —
+    runs on that tiny relation. All shares are exact integer-sum /
+    count divisions — no float-accumulation order sensitivity. No
+    collects, no UDFs, whole-stage codegen throughout.
+    """
+    from ragflow_spark.operators.textstats import quality_features
+    from ragflow_spark.functions.text import fingerprint_md5
+
+    base = quality_features(
+        df, id_col, text_col,
+        passthrough=(
+            F.col(host_col).alias("host"),
+            F.col("lang"),
+            fingerprint_md5(F.col(text_col)).alias("_fp"),
+        ),
+    ).withColumn(
+        "_dup_loser",
+        (
+            F.col(id_col)
+            != F.min(id_col).over(Window.partitionBy("_fp"))
+        ).cast("int"),
+    )
+    per_lang = base.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_chars").alias("_chars"),
+        F.sum("n_tokens").alias("_toks"),
+        F.sum("quality_keep").alias("_keep"),
+        F.sum("_dup_loser").alias("_dl"),
+    )
+    # modal lang as an aggregate: struct ordering is field-by-field, so
+    # min over (-count, lang) is "max count, ties to the bytewise-least
+    # lang" — no window, no join-back, no second pass over per_lang
+    modal = F.min(
+        F.struct(
+            (-F.col("_n")).alias("neg_n"), F.col("lang").alias("lang")
+        )
+    )
+    return (
+        per_lang.groupBy("host")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.sum("_chars").alias("n_chars"),
+            F.round(F.sum("_toks") / F.sum("_n"), 6).alias("mean_tokens"),
+            F.round(1.0 - F.sum("_keep") / F.sum("_n"), 6).alias(
+                "quality_fail_share"
+            ),
+            F.round(F.sum("_dl") / F.sum("_n"), 6).alias(
+                "dup_loser_share"
+            ),
+            F.count(F.lit(1)).alias("n_langs"),
+            modal.alias("_modal"),
+        )
+        .withColumn("top_lang", F.col("_modal.lang"))
+        .withColumn(
+            "top_lang_share",
+            F.round(-F.col("_modal.neg_n") / F.col("n_docs"), 6),
+        )
+        .withColumn(
+            "host_keep",
+            (
+                (F.col("dup_loser_share") <= max_dup_share)
+                & (F.col("quality_fail_share") <= max_quality_fail_share)
+            ).cast("int"),
+        )
+        .drop("_modal")
+    )

@@ -220,3 +220,77 @@ def test_every_tracking_param_dropped(spark, tracker):
         [(f"https://s.com/p?{tracker}=v&keep=1",)], "url string")
     got = df.select(weburl.canonical_url(F.col("url")).alias("c")).first().c
     assert got == "https://s.com/p?keep=1"
+
+
+# ---------------------------------------------------------------- host_stats
+
+
+def _host_rows(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = weburl.host_stats(df, "source", "doc_id", "text")
+    return {r["host"]: r.asDict() for r in out.collect()}
+
+
+def test_host_stats_dup_loser_share(spark):
+    """Three identical docs on one host: the min-id doc keeps, the other
+    two are losers (2/3); a unique doc on another host has share 0."""
+    good = "this is a perfectly reasonable sentence with many words"
+    got = _host_rows(spark, [
+        (1, good, "en", "a.com"),
+        (2, good, "en", "a.com"),
+        (3, good, "en", "a.com"),
+        (4, "another unique readable document with plenty of words", "en", "b.com"),
+    ])
+    assert got["a.com"]["dup_loser_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got["b.com"]["dup_loser_share"] == 0.0
+    assert got["a.com"]["n_docs"] == 3 and got["b.com"]["n_docs"] == 1
+
+
+def test_host_stats_dup_groups_cross_hosts(spark):
+    """Duplicate groups span hosts: the keeper's host is charged no
+    loser, the copier's host is — the cross-host spam-mirror signal."""
+    t = "mirrored content that appears on two different hosts today"
+    got = _host_rows(spark, [
+        (1, t, "en", "orig.com"),
+        (2, t, "en", "mirror.com"),
+    ])
+    assert got["orig.com"]["dup_loser_share"] == 0.0
+    assert got["mirror.com"]["dup_loser_share"] == 1.0
+
+
+def test_host_stats_top_lang_tie_breaks_bytewise(spark):
+    """2 en vs 2 de on one host -> 'de' wins the bytewise tie-break."""
+    mk = "completely different sentence number {} with enough words here"
+    got = _host_rows(spark, [
+        (1, mk.format(1), "en", "h"),
+        (2, mk.format(2), "en", "h"),
+        (3, mk.format(3), "de", "h"),
+        (4, mk.format(4), "de", "h"),
+    ])
+    assert got["h"]["top_lang"] == "de"
+    assert got["h"]["top_lang_share"] == pytest.approx(0.5)
+    assert got["h"]["n_langs"] == 2
+
+
+def test_host_stats_host_keep_thresholds(spark):
+    """A host that is mostly dup losers flips host_keep to 0; a clean
+    host keeps 1. Threshold is <= (inclusive)."""
+    junk = "junk page body repeated verbatim across the spam domain now"
+    rows = [(i, junk, "en", "spam.com") for i in range(1, 5)]
+    rows.append((10, "one clean page with normal readable words on it", "en", "ok.com"))
+    got = _host_rows(spark, rows)
+    assert got["spam.com"]["dup_loser_share"] == 0.75
+    assert got["spam.com"]["host_keep"] == 0
+    assert got["ok.com"]["host_keep"] == 1
+
+
+def test_host_stats_quality_fail_share(spark):
+    """quality_keep is the quality_features heuristic: a <5-token doc
+    fails, a normal sentence passes."""
+    got = _host_rows(spark, [
+        (1, "tiny doc", "en", "q.com"),
+        (2, "a full sentence with more than five proper words", "en", "q.com"),
+    ])
+    assert got["q.com"]["quality_fail_share"] == pytest.approx(0.5)
