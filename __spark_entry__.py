@@ -556,6 +556,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lm.charlm_score_corpus(_docs(spark, sf), "doc_id", "text")
 
+    def doc_quality_clf(spark, sf):
+        """fastText-shape quality classifier (CCNet §4.2), weak labels
+        from the quality_keep heuristic: count-based Naive Bayes over
+        md5-hashed presence features, exact int64 micro-nat scores (see
+        operators/clf.py for the shared numerics contract)."""
+        from ragflow_spark.operators import clf
+
+        return clf.nb_quality_clf(_docs(spark, sf), "doc_id", "text")
+
     # -------- embeddings: similarity search
     def emb_cosine_topk(spark, sf):
         e = _emb(spark, sf)
@@ -1167,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_simhash_stages": doc_simhash_stages,
         "doc_char_lm": doc_char_lm,
+        "doc_quality_clf": doc_quality_clf,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_ivf_topk": emb_ivf_topk,
@@ -2104,6 +2114,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sc.nll / 1000000.0 / sc.nb, 6) as ce_nats,
                    round(exp(sc.nll / 1000000.0 / sc.nb), 4) as ppl
             from documents d left join sc using (doc_id)
+        """,
+        "doc_quality_clf": f"""
+            -- NB quality classifier (operators/clf.py numerics
+            -- contract): md5-bucketed distinct-token presence features,
+            -- Laplace-smoothed micro-nat log-odds quantized per class
+            -- THEN subtracted as integers, weak label = quality_keep
+            with base as (
+              select doc_id, text,
+                     len({_toks_sql('text')}) as n_tokens,
+                     round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                           / greatest(len({_toks_sql('text')}), 1), 6) as mwl,
+                     round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                           / greatest(length(text), 1), 6) as pr
+              from documents),
+            d as (
+              select doc_id,
+                     case when n_tokens >= 5 and mwl between 2.0 and 12.0
+                               and pr <= 0.3 then 1 else 0 end as y,
+                     list_distinct(list_transform(
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                       t -> cast(({_hex8_to_int_sql('md5(t)')}) % 4096 as int)
+                     )) as bs
+              from base),
+            ex as (select y, unnest(bs) as b from d),
+            cnt as (select b,
+                           sum(case when y = 1 then 1 else 0 end) as c1,
+                           sum(case when y = 0 then 1 else 0 end) as c0
+                    from ex group by b),
+            tot as (select sum(y) as n1, count(*) - sum(y) as n0 from d),
+            w as (select b,
+                         cast(round(ln((c1 + 1.0) / (n1 + 2.0)) * 1000000, 0) as bigint)
+                       - cast(round(ln((c0 + 1.0) / (n0 + 2.0)) * 1000000, 0) as bigint)
+                           as wv
+                  from cnt, tot),
+            pri as (select cast(round(ln((n1 + 1.0) / (n0 + 1.0)) * 1000000, 0)
+                                as bigint) as p
+                    from tot),
+            db as (select doc_id, unnest(bs) as b from d),
+            ssum as (select db.doc_id, sum(w.wv) as s
+                     from db join w using (b) group by db.doc_id)
+            select d.doc_id, cast(len(d.bs) as int) as n_feats,
+                   cast(pri.p + coalesce(ssum.s, 0) as bigint) as score_micro,
+                   cast(case when pri.p + coalesce(ssum.s, 0) >= 0
+                             then 1 else 0 end as int) as pred,
+                   cast(d.y as int) as label
+            from d cross join pri left join ssum using (doc_id)
         """,
         "media_detector_plan": f"""
             -- generate_scale (vision_prep.py / operators.py:253-275):
