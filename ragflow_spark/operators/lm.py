@@ -54,32 +54,45 @@ K = len(ALPHABET)  # 38; also the add-one smoothing vocabulary size
 
 
 def normalize_text_col(col: Column) -> Column:
-    """The shared normalization: lowercase, every char outside
-    [a-z0-9 ] becomes '#'. Output is pure ASCII from the fixed
-    alphabet."""
+    """The shared normalization CONTRACT: lowercase, every char outside
+    [a-z0-9 ] becomes '#' (one '#' per codepoint). Output is pure ASCII
+    from the fixed alphabet. This Column form documents the contract and
+    is what the DuckDB oracle runs; the HOT path applies the identical
+    mapping inside the Arrow pass (``_batch_codes``) because a JVM
+    regexp_replace over every byte of a corpus costs ~10x the entire
+    numpy stage (measured 34.5 s of a 35 s pass at 131k docs)."""
     return F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "#")
 
 
 def _byte_lut() -> np.ndarray:
-    """byte value -> alphabet code. Inputs are already normalized, so
-    every byte is in the alphabet; unknown bytes map to the '#' code as
-    a belt-and-braces default."""
+    """byte value -> alphabet code, normalization fused in: A-Z fold to
+    the a-z codes, alphabet bytes map to themselves, every other byte
+    (incl. the '?' that ascii-replace substitutes one-per-codepoint for
+    non-ASCII) maps to the '#' code."""
     lut = np.full(256, ALPHABET.index("#"), dtype=np.uint8)
     for i, ch in enumerate(ALPHABET):
         lut[ord(ch)] = i
+    for i in range(26):
+        lut[ord("A") + i] = i
     return lut
 
 
 def _batch_codes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Concatenate a batch of normalized (ASCII) texts into one code
-    array + row offsets, one frombuffer for the whole batch."""
+    """Normalize + concatenate a batch of RAW texts into one code array
+    + row offsets. ``str.lower`` and ``encode('ascii', 'replace')`` are
+    C-speed and emit exactly one byte per codepoint ('?' for non-ASCII,
+    which the LUT sends to '#'), so this is byte-for-byte the
+    ``normalize_text_col`` contract; the residual lower() edge (chars
+    whose lowercase differs across Python/JVM/utf8proc) only moves
+    non-ASCII to non-ASCII — both sides land on '#'."""
+    blobs = [
+        (t or "").lower().encode("ascii", "replace") for t in texts
+    ]
     lens = np.fromiter(
-        (len(t) if t is not None else 0 for t in texts),
-        dtype=np.int64, count=len(texts),
+        (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
     )
     offsets = np.concatenate([[0], np.cumsum(lens)])
-    buf = "".join(t for t in texts if t is not None).encode("ascii")
-    codes = _byte_lut()[np.frombuffer(buf, dtype=np.uint8)]
+    codes = _byte_lut()[np.frombuffer(b"".join(blobs), dtype=np.uint8)]
     return codes, offsets
 
 
@@ -99,7 +112,8 @@ def charlm_bigram_counts(
             F.pmod(F.xxhash64(F.col(id_col), F.lit(41)), mod)
             < int(train_frac * mod)
         )
-    norm = df.select(normalize_text_col(F.col(text_col)).alias("t"))
+    norm = df.select(F.col(text_col).alias("t"))  # normalization is fused
+    # into the Arrow pass (_batch_codes) — see normalize_text_col
 
     def _count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = np.zeros(K * K, dtype=np.int64)
@@ -151,7 +165,8 @@ def charlm_score(
         raise ValueError("model must be int64[K*K] micro-nats")
     norm = df.select(
         F.col(id_col).alias("_id"),
-        normalize_text_col(F.col(text_col)).alias("t"),
+        F.col(text_col).alias("t"),  # normalization fused into the
+        # Arrow pass (_batch_codes) — see normalize_text_col
     )
     mod = model  # closure capture; K² int64 — rides the task binary
 
