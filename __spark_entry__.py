@@ -549,12 +549,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_char_lm(spark, sf):
         """CCNet-style LM quality scoring: train a char-bigram LM on the
-        corpus, score every doc by avg negative log-likelihood
-        (exact micro-nat integers; see operators/lm.py for the shared
-        numerics contract)."""
+        corpus, score every doc by avg negative log-likelihood (exact
+        micro-nat integers; see operators/lm.py for the shared numerics
+        contract), then bucket into head/middle/tail by exact ce
+        terciles (ppl_tiers — CCNet §4.3; approx_percentile is the
+        100 TB path)."""
         from ragflow_spark.operators import lm
 
-        return lm.charlm_score_corpus(_docs(spark, sf), "doc_id", "text")
+        return lm.ppl_tiers(
+            lm.charlm_score_corpus(_docs(spark, sf), "doc_id", "text")
+        )
 
     def doc_quality_clf(spark, sf):
         """fastText-shape quality classifier (CCNet §4.2), weak labels
@@ -2107,13 +2111,26 @@ def oracle_sql() -> dict[str, str]:
               select bg.doc_id, count(*) as nb,
                      cast(-sum(model.lmic) as bigint) as nll
               from bg join model using (b)
-              group by bg.doc_id)
-            select d.doc_id,
-                   coalesce(sc.nb, 0) as n_bigrams,
-                   coalesce(sc.nll, 0) as nll_micro,
-                   round(sc.nll / 1000000.0 / sc.nb, 6) as ce_nats,
-                   round(exp(sc.nll / 1000000.0 / sc.nb), 4) as ppl
-            from documents d left join sc using (doc_id)
+              group by bg.doc_id),
+            res as (
+              select d.doc_id,
+                     coalesce(sc.nb, 0) as n_bigrams,
+                     coalesce(sc.nll, 0) as nll_micro,
+                     round(sc.nll / 1000000.0 / sc.nb, 6) as ce_nats,
+                     round(exp(sc.nll / 1000000.0 / sc.nb), 4) as ppl
+              from documents d left join sc using (doc_id)),
+            -- CCNet head/middle/tail terciles: quantile_cont and
+            -- Spark's percentile share the (n-1)*q linear-interpolation
+            -- definition over the same 6dp-rounded doubles
+            q as (select quantile_cont(ce_nats, [1.0/3, 2.0/3]) as qq
+                  from res)
+            select res.doc_id, res.n_bigrams, res.nll_micro,
+                   res.ce_nats, res.ppl,
+                   case when res.ce_nats is null then 'tail'
+                        when res.ce_nats <= q.qq[1] then 'head'
+                        when res.ce_nats <= q.qq[2] then 'middle'
+                        else 'tail' end as tier
+            from res cross join q
         """,
         "doc_quality_clf": f"""
             -- NB quality classifier (operators/clf.py numerics

@@ -205,10 +205,13 @@ def nb_reference(texts: list[str], labels: list[int],
     split, same md5 bucketing, same smoothing and quantization, no
     numpy."""
     import hashlib
-    import re
+
+    from ragflow_spark.operators.dedup import _java_ws_tokens
 
     def buckets(t: str) -> list[int]:
-        toks = dict.fromkeys(re.split(r"\s+", (t or "").strip().lower()))
+        # _java_ws_tokens mirrors the JVM exactly: trim strips SPACES
+        # only, \s is ASCII-only, empty edge tokens survive the split
+        toks = dict.fromkeys(_java_ws_tokens((t or "").lower()))
         bs = dict.fromkeys(
             int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
             % n_buckets
@@ -247,3 +250,32 @@ def nb_reference(texts: list[str], labels: list[int],
             }
         )
     return out
+
+
+def nb_save(spark, weights: np.ndarray, prior_micro: int, path: str) -> None:
+    """Persist a trained NB model as a (b, w) parquet with the prior at
+    b = -1 — the incremental-crawl path: train once on the historical
+    corpus, score every increment against the stored model (one
+    zero-shuffle pass, history never re-read)."""
+    if weights.dtype != np.int64:
+        raise ValueError("weights must be int64 micro-nats")
+    rows = [(-1, int(prior_micro))] + [
+        (int(b), int(w)) for b, w in enumerate(weights)
+    ]
+    spark.createDataFrame(rows, "b int, w long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def nb_load(spark, path: str) -> tuple[np.ndarray, int]:
+    """Load an nb_save table back into (int64 weights, prior) form."""
+    rows = spark.read.parquet(path).collect()
+    prior = 0
+    n_buckets = max(int(r["b"]) for r in rows) + 1
+    w = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        if int(r["b"]) == -1:
+            prior = int(r["w"])
+        else:
+            w[int(r["b"])] = int(r["w"])
+    return w, prior

@@ -284,3 +284,74 @@ def charlm_reference(texts: list[str]) -> list[dict]:
                 }
             )
     return out
+
+
+def ppl_tiers(
+    scored: DataFrame,
+    ce_col: str = "ce_nats",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet's defining curation step (Wenzek et al. 2020 §4.3): bucket
+    documents into head/middle/tail quality tiers by LM score terciles —
+    head trains the model, tail gets dropped or down-weighted. Input is
+    ``charlm_score``/``charlm_score_corpus`` output (or anything with a
+    per-doc score column); null scores (docs below 2 normalized chars)
+    tier as 'tail'.
+
+    ``exact=True`` computes true terciles (Spark's ``percentile``
+    aggregate — a per-partition value-counts map, fine into the tens of
+    millions of distinct rounded scores; the DuckDB oracle reproduces it
+    bit-for-bit via ``quantile_cont``, both engines applying the same
+    (n-1)*q linear interpolation over identical 6dp-rounded doubles).
+    At 100 TB set ``exact=False``: ``approx_percentile`` with
+    ``accuracy`` (bounded-memory KLL-style sketch; tier boundaries move
+    within the sketch's rank-error guarantee — a boundary shift, not a
+    correctness failure, since the tiers are quantile DEFINITIONS).
+    Either way the boundary collect is O(1) and tagging is one
+    zero-shuffle literal-comparison projection."""
+    if exact:
+        q = scored.agg(
+            F.expr(
+                f"percentile({ce_col}, array(cast(1 as double)/3, "
+                f"cast(2 as double)/3))"
+            ).alias("q")
+        ).first()["q"]
+    else:
+        q = scored.agg(
+            F.expr(
+                f"approx_percentile({ce_col}, array(cast(1 as double)/3, "
+                f"cast(2 as double)/3), {int(accuracy)})"
+            ).alias("q")
+        ).first()["q"]
+    q1, q2 = (float(q[0]), float(q[1])) if q is not None else (None, None)
+    if q1 is None:
+        return scored.withColumn("tier", F.lit("tail"))
+    tier = (
+        F.when(F.col(ce_col).isNull(), "tail")
+        .when(F.col(ce_col) <= q1, "head")
+        .when(F.col(ce_col) <= q2, "middle")
+        .otherwise("tail")
+    )
+    return scored.withColumn("tier", tier)
+
+
+def charlm_save(spark, model: np.ndarray, path: str) -> None:
+    """Persist a trained micro-nat table as a (idx, lmic) parquet — the
+    incremental-crawl path: train once on the historical corpus, score
+    every increment against the stored model (one zero-shuffle pass,
+    history never re-read; same shape as dedup's exact/minhash stores)."""
+    if model.shape != (K * K,) or model.dtype != np.int64:
+        raise ValueError("model must be int64[K*K] micro-nats")
+    spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(model)],
+        "idx int, lmic long",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def charlm_load(spark, path: str) -> np.ndarray:
+    """Load a charlm_save table back into the int64[K*K] closure form."""
+    model = np.zeros(K * K, dtype=np.int64)
+    for r in spark.read.parquet(path).collect():
+        model[int(r["idx"])] = int(r["lmic"])
+    return model

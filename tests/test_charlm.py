@@ -140,3 +140,113 @@ def test_score_requires_valid_model(spark):
         lm.charlm_score(df, "doc_id", "text", np.zeros(7, dtype=np.int64))
     with pytest.raises(ValueError):
         lm.charlm_bigram_counts(df, "text", train_frac=0.5)
+
+
+def test_ppl_tiers_thirds_and_null_tail(spark):
+    """Tiers split ~evenly, nulls land in tail, and the boundary
+    comparisons are inclusive-on-head/middle."""
+    texts = [f"doc number {i} words {'common ' * (i % 7)}" for i in range(30)]
+    texts.append("")  # null ce doc
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = lm.ppl_tiers(lm.charlm_score_corpus(df, "doc_id", "text"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    counts = {}
+    for r in rows.values():
+        counts[r["tier"]] = counts.get(r["tier"], 0) + 1
+    assert set(counts) == {"head", "middle", "tail"}
+    assert rows[30]["ce_nats"] is None and rows[30]["tier"] == "tail"
+    # verify every tag against driver-side boundaries computed with the
+    # same (n-1)*q linear interpolation (np.percentile 'linear'); tied
+    # values land on one side together, so compare VALUES not ranks
+    import numpy as np
+
+    ces = np.array(
+        sorted(r["ce_nats"] for r in rows.values() if r["ce_nats"] is not None)
+    )
+    q1, q2 = np.percentile(ces, [100 / 3, 200 / 3])
+    for r in rows.values():
+        if r["ce_nats"] is None:
+            continue
+        want = (
+            "head" if r["ce_nats"] <= q1
+            else ("middle" if r["ce_nats"] <= q2 else "tail")
+        )
+        assert r["tier"] == want, (r["doc_id"], r["ce_nats"], q1, q2)
+    # ~thirds modulo boundary ties
+    assert 6 <= counts["head"] <= 14 and 6 <= counts["middle"] <= 14
+
+
+def test_ppl_tiers_approx_path(spark):
+    """exact=False (the 100 TB path) still produces the three tiers on
+    a corpus with well-separated scores."""
+    texts = [
+        f"doc {i} " + " ".join(f"tok{j}" for j in range(i))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = lm.ppl_tiers(
+        lm.charlm_score_corpus(df, "doc_id", "text"), exact=False
+    )
+    rows = out.collect()
+    tiers = {r["tier"] for r in rows}
+    assert tiers == {"head", "middle", "tail"}
+    assert all(r["tier"] is not None for r in rows)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """The incremental-crawl path: persist a trained model, reload it,
+    score an increment — bit-identical to scoring with the live model."""
+    hist = spark.createDataFrame(
+        [(i, f"historical doc {i} common words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    counts = [
+        (r["idx"], r["c"])
+        for r in lm.charlm_bigram_counts(hist, "text").collect()
+    ]
+    model = lm.charlm_model(counts)
+    path = str(tmp_path / "charlm_model")
+    lm.charlm_save(spark, model, path)
+    loaded = lm.charlm_load(spark, path)
+    assert (loaded == model).all()
+    inc = spark.createDataFrame(
+        [(100, "a new increment document"), (101, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["nll_micro"]
+         for r in lm.charlm_score(inc, "doc_id", "text", model).collect()}
+    b = {r["doc_id"]: r["nll_micro"]
+         for r in lm.charlm_score(inc, "doc_id", "text", loaded).collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lm.charlm_save(spark, model[:7], path)
+
+
+def test_fused_normalization_matches_contract_column(spark):
+    """The Arrow-pass LUT normalization must agree with the JVM
+    normalize_text_col contract on mixed text (the hot-path fusion)."""
+    texts = [
+        "MiXeD Case 123",
+        "tabs\tand\nnewlines",
+        "Ünïcödé ©® — em-dash",
+        "KELVIN K sign",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = [
+        r["t"]
+        for r in df.select(lm.normalize_text_col(F.col("text")).alias("t"))
+        .orderBy("doc_id" if "doc_id" in df.columns else "t").collect()
+    ]
+    # decode the LUT path back to alphabet chars
+    for t, want in zip(texts, jvm):
+        codes, _ = lm._batch_codes([t])
+        got = "".join(lm.ALPHABET[c] for c in codes)
+        assert got == want, t

@@ -149,3 +149,28 @@ def test_score_requires_int64_weights(spark):
         clf.nb_score(df, "doc_id", "text", np.zeros(16, dtype=np.float64), 0)
     with pytest.raises(ValueError):
         clf.nb_train(df, "text", "doc_id", train_frac=0.5)
+
+
+def test_nb_save_load_roundtrip(spark, tmp_path):
+    """The incremental-crawl path: persist a trained model, reload it,
+    score an increment — bit-identical to scoring with the live model."""
+    train = _df(spark, CORPUS)
+    w, prior = clf.nb_train(
+        train.withColumn(
+            "_label",
+            (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 8).cast("int"),
+        ),
+        "text", "_label", n_buckets=256,
+    )
+    path = str(tmp_path / "nb_model")
+    clf.nb_save(spark, w, prior, path)
+    lw, lp = clf.nb_load(spark, path)
+    assert lp == prior and (lw == w).all() and len(lw) == 256
+    inc = _df(spark, ["a fresh increment document", "zz qq"])
+    a = {r["doc_id"]: r["score_micro"]
+         for r in clf.nb_score(inc, "doc_id", "text", w, prior).collect()}
+    b = {r["doc_id"]: r["score_micro"]
+         for r in clf.nb_score(inc, "doc_id", "text", lw, lp).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        clf.nb_save(spark, w.astype("float64"), prior, path)
