@@ -330,7 +330,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.lit("host_cap").alias("stage"),
             host_of(F.col("url")).alias("value"),
         )
-        return split_rows.unionByName(sample_rows).unionByName(cap_rows)
+        # stage='weighted' (r7 late): per-row-rate deterministic
+        # downsampling — the CCNet tail-downsample / domain-reweight
+        # shape; rates keyed by lang as the demo weighting
+        from ragflow_spark.operators.sampling import weighted_sample
+
+        rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1, "es": 0.75}
+        rate = F.lit(0.5)
+        for k, v in rates.items():
+            rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+        weighted_rows = weighted_sample(
+            d.withColumn("_rate", rate), "doc_id", "_rate", seed=7
+        ).select(
+            "doc_id", F.lit("weighted").alias("stage"),
+            F.col("lang").alias("value"),
+        )
+        return (
+            split_rows.unionByName(sample_rows)
+            .unionByName(cap_rows).unionByName(weighted_rows)
+        )
 
     def doc_pii_scrub(spark, sf):
         """PII redaction audit: deterministic synthetic PII (an email, a
@@ -1764,6 +1782,19 @@ def oracle_sql() -> dict[str, str]:
                      ) as rn
               from documents)
             where rn <= 10
+            union all
+            -- per-row-rate deterministic downsample (weighted_sample,
+            -- seed 7): keep iff md5-bucket < rate(lang) * 1e6
+            select doc_id, 'weighted' as stage, lang as value
+            from (
+              select doc_id, lang,
+                     ({_hex8_to_int_sql("substr(md5(doc_id || ':7'), 1, 8)")})
+                       % 1000000 as bucket7
+              from documents)
+            where bucket7 < cast(1000000 * (case lang
+                     when 'en' then 1.0 when 'de' then 0.5
+                     when 'fr' then 0.25 when 'zh' then 0.1
+                     when 'es' then 0.75 else 0.5 end) as bigint)
         """,
         "doc_pii_scrub": f"""
             with p0 as (

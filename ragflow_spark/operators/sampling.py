@@ -87,3 +87,26 @@ def stratified_sample(
         F.ceil(F.col("_n") * F.lit(float(fraction))), F.lit(min_rows)
     )
     return ranked.filter(F.col("_rk") <= quota).drop("_rk", "_n")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rate,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row independently with its OWN probability — the
+    per-tier/per-domain downsampling step (CCNet keeps head+middle and
+    samples the tail; Gopher/Dolma re-weight domains): ``rate`` is a
+    Column (or column name) in [0, 1] per row, and a row survives iff
+    ``bucket(id, seed) < rate * BUCKETS``. Hash-deterministic like
+    everything in this module — re-running on a backfilled corpus keeps
+    exactly the same survivors for unchanged rows, and nested rates
+    compose (sampling at 0.5 then 0.5 again over the same seed keeps the
+    SAME half, not a quarter — pass distinct seeds for independent
+    draws). Zero shuffle: one projection + filter that composes with the
+    scan (predicate pushdown applies)."""
+    r = F.col(rate) if isinstance(rate, str) else rate
+    return df.filter(
+        _bucket(id_col, seed) < (r * F.lit(BUCKETS)).cast("long")
+    )

@@ -59,3 +59,66 @@ def test_contamination_report_flags_eval_quotes(spark):
     assert rep[2].contaminated == 0
     assert rep[3].contaminated == 0 and rep[3].n_ngrams == 0
     assert len(rep) == 3  # zero-collision docs stay in the audit
+
+
+# ------------------------------------------------------------- weighted
+
+
+def _wdf(spark, n=400):
+    return spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(n)],
+        "doc_id long, lang string",
+    )
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    """Per-row rates hold in expectation and survivors are identical
+    across runs and partitionings (hash-deterministic)."""
+    from ragflow_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = _wdf(spark)
+    rate = F.when(F.col("lang") == "en", 0.9).otherwise(0.1)
+    kept = weighted_sample(df.withColumn("r", rate), "doc_id", "r")
+    rows = kept.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in rows}
+    assert 150 <= by.get("en", 0) <= 200  # 200 docs at 0.9
+    assert 5 <= by.get("zh", 0) <= 40     # 200 docs at 0.1
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(13).withColumn("r", rate), "doc_id", "r"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_nested_same_seed_is_idempotent(spark):
+    """Sampling at 0.5 twice over the SAME seed keeps the same half
+    (documented composition property); a distinct seed draws
+    independently."""
+    from ragflow_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = _wdf(spark).withColumn("r", F.lit(0.5))
+    once = weighted_sample(df, "doc_id", "r")
+    twice = weighted_sample(once, "doc_id", "r")
+    assert sorted(r["doc_id"] for r in once.collect()) == sorted(
+        r["doc_id"] for r in twice.collect()
+    )
+    other = weighted_sample(once, "doc_id", "r", seed=99)
+    assert other.count() < once.count()
+
+
+def test_weighted_sample_extreme_rates(spark):
+    from ragflow_spark.operators.sampling import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = _wdf(spark, 50)
+    assert weighted_sample(
+        df.withColumn("r", F.lit(1.0)), "doc_id", "r"
+    ).count() == 50
+    assert weighted_sample(
+        df.withColumn("r", F.lit(0.0)), "doc_id", "r"
+    ).count() == 0
