@@ -440,3 +440,82 @@ def test_substring_dup_pairs_guarantee_and_guard(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(a < 100 and b < 100 for a, b in pairs), pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_charlm_scoring_plan_is_zero_shuffle(spark):
+    """The lm.py 100 TB contract pinned as plan shape: scoring is scan ->
+    project -> one Arrow pass, with NO Exchange anywhere (the model
+    rides the closure); training's only exchange merges the <=K^2
+    partial count rows."""
+    import numpy as np
+
+    from ragflow_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = np.zeros(lm.K * lm.K, dtype=np.int64)
+    plan = _formatted_plan(lm.charlm_score(docs, "doc_id", "text", model))
+    assert "Exchange" not in plan, plan
+    train_plan = _formatted_plan(lm.charlm_bigram_counts(docs, "text"))
+    assert len([h for h, _ in _nodes(train_plan) if "Exchange" in h]) == 1, (
+        train_plan
+    )
+
+
+def test_nb_scoring_plan_is_zero_shuffle(spark):
+    """Same pin for the classifier: nb_score is scan -> bucket
+    projection -> Arrow gather, no Exchange."""
+    import numpy as np
+
+    from ragflow_spark.operators import clf
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _formatted_plan(
+        clf.nb_score(docs, "doc_id", "text", np.zeros(64, dtype=np.int64), 0)
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_host_stats_plan_single_scan_no_join(spark):
+    """host_stats' one-scan contract: exactly one parquet/LocalTableScan
+    source, no Join nodes (modal lang is the struct-min aggregate), and
+    exactly three exchanges (fp window, (host,lang) agg, host agg)."""
+    from ragflow_spark.operators import weburl
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i}", "en", f"h{i % 3}") for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = _formatted_plan(
+        weburl.host_stats(docs, "source", "doc_id", "text")
+    )
+    scans = [h for h, _ in _nodes(plan)
+             if "Scan" in h and "ReusedExchange" not in h]
+    assert len(scans) == 1, plan
+    assert not [h for h, _ in _nodes(plan) if "Join" in h], plan
+    exchanges = [h for h, _ in _nodes(plan)
+                 if "Exchange" in h and "Reused" not in h]
+    assert len(exchanges) == 3, (exchanges, plan)
+
+
+def test_weighted_sample_plan_is_pushdown_filter(spark, tmpdir_path):
+    """weighted_sample composes with the scan: over parquet the md5
+    bucket predicate appears as a post-scan Filter with no Exchange
+    (zero-shuffle contract)."""
+    from pyspark.sql import functions as F
+
+    from ragflow_spark.operators.sampling import weighted_sample
+
+    path = os.path.join(tmpdir_path, "ws.parquet")
+    spark.range(0, 100).withColumnRenamed("id", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).withColumn("r", F.lit(0.5))
+    plan = _formatted_plan(weighted_sample(df, "doc_id", "r"))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan, plan
