@@ -507,6 +507,8 @@ def test_weighted_sample_plan_is_pushdown_filter(spark, tmpdir_path):
     """weighted_sample composes with the scan: over parquet the md5
     bucket predicate appears as a post-scan Filter with no Exchange
     (zero-shuffle contract)."""
+    import os
+
     from pyspark.sql import functions as F
 
     from ragflow_spark.operators.sampling import weighted_sample
