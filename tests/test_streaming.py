@@ -116,3 +116,58 @@ def test_dedup_stream_matches_batch_keepers(spark, tmpdir_path):
             exact_dedup_groups(df, "url", "chunk_text").collect()}
     assert got == want
     assert len(got) == 40  # 60 docs, 20 re-fetches
+
+
+def test_stream_lm_and_nb_scoring_match_batch(spark, tmpdir_path):
+    """The incremental-ingest quality tier: a persisted char-LM model
+    and NB classifier score a STREAM of new docs (charlm_score/nb_score
+    are stateless mapInPandas transforms, so they lift to Structured
+    Streaming unchanged) — streamed scores equal the batch run
+    row-for-row."""
+    import numpy as np
+
+    from ragflow_spark.operators import clf, lm
+    from ragflow_spark.streaming.events import run_stream_to_parquet
+
+    src = os.path.join(tmpdir_path, "docs")
+    hist = spark.createDataFrame(
+        [(i, f"historical doc {i} with common words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    hist.write.parquet(src)
+    docs = spark.read.parquet(src)
+
+    # train on the "historical" corpus, persist, reload (the store path)
+    model = lm.charlm_model(
+        [(r["idx"], r["c"])
+         for r in lm.charlm_bigram_counts(docs, "text").collect()]
+    )
+    w = np.zeros(128, dtype=np.int64)
+    w[:5] = [3_000_000, -2_000_000, 1, -1, 500_000]
+    prior = -123_456
+
+    batch_lm = {r["doc_id"]: r["nll_micro"]
+                for r in lm.charlm_score(docs, "doc_id", "text", model).collect()}
+    batch_nb = {r["doc_id"]: r["score_micro"]
+                for r in clf.nb_score(docs, "doc_id", "text", w, prior).collect()}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out_lm = os.path.join(tmpdir_path, "scored_lm")
+    q = run_stream_to_parquet(
+        lm.charlm_score(stream, "doc_id", "text", model),
+        out_lm, os.path.join(tmpdir_path, "ckpt_lm"),
+    )
+    q.awaitTermination(300)
+    got_lm = {r["doc_id"]: r["nll_micro"]
+              for r in spark.read.parquet(out_lm).collect()}
+    assert got_lm == batch_lm
+
+    out_nb = os.path.join(tmpdir_path, "scored_nb")
+    q = run_stream_to_parquet(
+        clf.nb_score(stream, "doc_id", "text", w, prior),
+        out_nb, os.path.join(tmpdir_path, "ckpt_nb"),
+    )
+    q.awaitTermination(300)
+    got_nb = {r["doc_id"]: r["score_micro"]
+              for r in spark.read.parquet(out_nb).collect()}
+    assert got_nb == batch_nb
