@@ -40,10 +40,14 @@ everything else follows the published arithmetic exactly):
    a-closes-a — see ``_START_CLOSE``), and stray end tags were already
    dropped, so the dominant real-world misnesting shapes now produce
    libxml2-identical trees (pinned in tests/test_html_readability.py
-   "recovered" section). Residual divergence: inline-formatting overlap
-   across block boundaries (``<b>a<div>b</b>``; libxml2 keeps its own
-   non-HTML5 recovery there), legacy ``center``/``font``/``menu``
-   autoclose entries, and libxml2's implied-head element juggling.
+   "recovered" section). NARROWED AGAIN (r7b): the legacy autoclose
+   entries are now transcribed too — ``center`` closes ``font/b/i/p``,
+   new ``td``/``th``/``tr`` close open inline formatting
+   (``p/span/font/a/b/i/u``), and the ``menu``/``dir``/``listing``/
+   ``xmp`` quirk closers are threaded through the block entries.
+   Residual divergence: inline-formatting overlap across block
+   boundaries (``<b>a<div>b</b>``; libxml2 keeps its own non-HTML5
+   recovery there) and libxml2's implied-head element juggling.
 2. SERIALIZE-REPARSE: the reference serializes the article and re-parses
    it in html_text (dropping attrs via clean_attributes); we hand the
    tree over directly. Text-identical unless re-parsing restructures
@@ -232,11 +236,19 @@ class Node:
 # CURRENT open element while it appears in KEY's set — shallow, one
 # stack-top comparison per pop, exactly libxml2's htmlAutoClose loop (it
 # does NOT search the stack, so ``<p>a<b>x<p>`` still nests: p doesn't
-# close b). Transcribed subset: the pairs that dominate real Common-Crawl
-# misnesting (unclosed p/li/tr/td/th/dt/dd/option, block-closes-p,
-# a-closes-a); rarely-hit legacy entries (center/font, menu/dir quirks)
-# are left out and stay inside divergence class 1.
+# close b). Transcribed from libxml2 HTMLparser.c htmlStartClose: the
+# pairs that dominate real Common-Crawl misnesting (unclosed
+# p/li/tr/td/th/dt/dd/option, block-closes-p, a-closes-a) PLUS (r7) the
+# legacy entries that used to be left out: center-closes-font/b/i,
+# td/th/tr closing open inline formatting (p/span/font/a/b/i/u — the
+# "unclosed <a>/<b> spilling across table cells" shape), and the
+# menu/dir/listing/xmp quirk closers.
 _H16 = {"h1", "h2", "h3", "h4", "h5", "h6"}
+# legacy list-ish/preformatted closers libxml2 threads through most
+# block entries (dl/dt/dd/ul/form/li/table/fieldset)
+_LEGACY = {"menu", "dir", "listing", "xmp"}
+# inline formatting a new table cell/row force-closes in libxml2
+_CELL_INLINE = {"p", "span", "font", "a", "b", "i", "u"}
 _START_CLOSE = {
     "p": {"p", "head"} | _H16,
     "div": {"p", "head"},
@@ -244,20 +256,32 @@ _START_CLOSE = {
     "hr": {"p", "head"},
     "pre": {"p", "head", "ul"},
     "address": {"p", "head", "ul"},
-    "form": {"form", "p", "hr", "dl", "ul", "ol", "address", "pre"} | _H16,
-    "li": {"li", "p", "dl", "address", "pre", "head"} | _H16,
-    "ul": {"p", "head", "ol", "address", "pre"},
+    "listing": {"p", "head"},
+    "xmp": {"p", "head"},
+    "dir": {"p", "head"},
+    "menu": {"p", "head", "ul"},
+    "center": {"font", "b", "i", "p", "head"},
+    "head": {"p"},
+    "title": {"p"},
+    "body": {"head", "style", "link", "meta", "script", "title", "p"},
+    "frameset": {"head", "style", "link", "meta", "script", "title", "p"},
+    "noscript": {"p"},
+    "form": {"form", "p", "hr", "dl", "ul", "ol", "address",
+             "pre"} | _H16 | _LEGACY,
+    "li": {"li", "p", "dl", "address", "pre", "listing", "xmp",
+           "head"} | _H16,
+    "ul": {"p", "head", "ol", "address", "pre"} | _LEGACY,
     "ol": {"p", "head", "ul"},
-    "dl": {"p", "dt", "address", "pre", "head"},
-    "dt": {"dd", "dt", "p", "address", "pre", "head"},
-    "dd": {"dt", "dd", "p", "address", "pre", "head"},
-    "table": {"p", "head", "pre", "a"} | _H16,
+    "dl": {"p", "dt", "address", "pre", "head"} | _LEGACY,
+    "dt": {"dd", "dt", "p", "address", "pre", "head"} | _LEGACY,
+    "dd": {"dt", "dd", "p", "address", "pre", "head"} | _LEGACY,
+    "table": {"p", "head", "pre", "listing", "xmp", "a"} | _H16,
     "caption": {"p"},
     "colgroup": {"caption", "legend", "tr", "col", "colgroup"},
     "col": {"caption", "col", "colgroup", "legend"},
-    "tr": {"tr", "td", "th", "caption", "col", "colgroup"},
-    "td": {"td", "th", "caption", "col", "colgroup"},
-    "th": {"td", "th", "caption", "col", "colgroup"},
+    "tr": {"tr", "td", "th", "caption", "col", "colgroup"} | _CELL_INLINE,
+    "td": {"td", "th", "caption", "col", "colgroup"} | _CELL_INLINE,
+    "th": {"td", "th", "caption", "col", "colgroup"} | _CELL_INLINE,
     "thead": {"caption", "col", "colgroup"},
     "tbody": {"th", "td", "tr", "caption", "col", "colgroup", "thead",
               "tfoot", "tbody"},
@@ -266,7 +290,8 @@ _START_CLOSE = {
     "option": {"option"},
     "optgroup": {"option"},
     "a": {"a"},
-    "fieldset": {"legend", "p", "pre", "a", "head"} | _H16,
+    "fieldset": {"legend", "p", "pre", "listing", "xmp", "a",
+                 "head"} | _H16,
 }
 for _h in _H16:
     _START_CLOSE[_h] = {"p", "head"}

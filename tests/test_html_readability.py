@@ -203,6 +203,61 @@ def test_unclosed_p_article_extracts_fully():
     assert "Home" not in content
 
 
+def test_center_closes_font_b_i_and_p():
+    # libxml2 htmlStartClose: "center" closes font,b,i,p,head — the legacy
+    # shape <center><font>…<center>… found on old-web CC pages
+    t = he.build_tree(
+        "<body><center><font size=3>x<b>y<center>z</center></body>")
+    body = t.children[0].children[0]
+    outer = next(c for c in body.children
+                 if not isinstance(c, str) and c.tag == "center")
+    kids = [c for c in outer.children if not isinstance(c, str)]
+    # font (and the b inside it) was force-closed; the inner center is a
+    # DIRECT child of the outer one (center does not close center)
+    assert [c.tag for c in kids] == ["font", "center"]
+    font = kids[0]
+    assert any(not isinstance(c, str) and c.tag == "b"
+               for c in font.children)
+    assert not any(not isinstance(c, str) and c.tag == "center"
+                   for c in font.children)
+
+
+def test_td_closes_open_inline_formatting():
+    # libxml2: td/th close open p/span/font/a/b/i/u — unclosed <b>/<a>
+    # never spill into the next cell
+    t = he.build_tree(
+        "<table><tr><td><b>bold cell<td>plain cell"
+        "<td><a href='/x'>link cell<td>after</table>")
+    table = t.children[0].children[0].children[0]
+    tr = next(c for c in table.children if not isinstance(c, str))
+    tds = [c for c in tr.children if not isinstance(c, str)]
+    assert [c.tag for c in tds] == ["td", "td", "td", "td"]
+    # the <b> stayed inside cell 0; cell 1 has no element children
+    assert any(not isinstance(c, str) and c.tag == "b"
+               for c in tds[0].children)
+    assert all(isinstance(c, str) for c in tds[1].children)
+    # the <a> stayed inside cell 2
+    assert any(not isinstance(c, str) and c.tag == "a"
+               for c in tds[2].children)
+    assert all(isinstance(c, str) for c in tds[3].children)
+
+
+def test_tr_closes_open_inline_formatting():
+    t = he.build_tree(
+        "<table><tr><td><font color=red>styled<tr><td>next row</table>")
+    table = t.children[0].children[0].children[0]
+    rows = [c for c in table.children if not isinstance(c, str)]
+    assert [r.tag for r in rows] == ["tr", "tr"]
+
+
+def test_menu_dir_listing_quirk_closers():
+    # menu/dir/listing/xmp participate in the block autoclose set
+    t = he.build_tree("<body><p>a<listing>code</listing><p>b<menu>m</body>")
+    body = t.children[0].children[0]
+    tags = [c.tag for c in body.children if not isinstance(c, str)]
+    assert tags == ["p", "listing", "p", "menu"]
+
+
 # -------------------------------- divergence class 2: SERIALIZE-REPARSE
 
 
