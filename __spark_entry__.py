@@ -83,6 +83,11 @@ REGISTRY_CONSOLIDATIONS: dict[str, str] = {
     "doc_minhash_pairs": "doc_minhash_stages",
     "emb_pq_codes": "emb_pq_stages",
     "emb_pq_topk": "emb_pq_stages",
+    # r7 (later): batch event windows/sessions share one tagged union,
+    # freeing the slot doc_pack_windows takes (streaming parity queries
+    # keep their own slots — different execution surface)
+    "events_hourly": "events_stages",
+    "events_sessions": "events_stages",
 }
 
 
@@ -821,11 +826,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return buckets.unionByName(pairs)
 
     # -------- events
-    def events_hourly(spark, sf):
-        return events.windowed_counts(_events(spark, sf))
+    def events_stages(spark, sf):
+        """Batch event-stream analytics in one tagged union (r7
+        consolidation at the 50-entry cap; the legacy names stay benched
+        via legacy_bench_queries()): stage='hourly' is the tumbling
+        hourly window count/sum per event type, stage='session' is the
+        30-min-gap sessionization rollup. Timestamps stay typed (ts_a /
+        ts_b) so the driver's value hashing follows the proven path."""
+        h = events.windowed_counts(_events(spark, sf)).select(
+            F.lit("hourly").alias("stage"),
+            F.col("event_type").alias("grp"),
+            F.col("window_start").alias("ts_a"),
+            F.lit(None).cast("timestamp").alias("ts_b"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("sum_value"),
+        )
+        s = events.sessionize(_events(spark, sf)).select(
+            F.lit("session").alias("stage"),
+            F.concat(
+                F.col("user_id").cast("string"), F.lit(":"),
+                F.col("session_seq").cast("string"),
+            ).alias("grp"),
+            F.col("session_start").alias("ts_a"),
+            F.col("session_end").alias("ts_b"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("sum_value"),
+        )
+        return h.unionByName(s)
 
-    def events_sessions(spark, sf):
-        return events.sessionize(_events(spark, sf))
+    def doc_pack_windows(spark, sf):
+        """Sequence packing (concat-and-chunk training-window planning):
+        documents in ascending doc_id order are concatenated as token
+        streams and split every 256 tokens; one row per (doc, window)
+        overlap with the doc's [start, end) slice and its position in
+        the window. Token counts are the whitespace contract
+        (functions.text.token_count == oracle _toks_sql). Scale shape:
+        bucketed two-level cumulative sum — the only unpartitioned
+        Window runs over the per-bucket totals, never the corpus
+        (operators/packing.py)."""
+        from ragflow_spark.functions.text import token_count
+        from ragflow_spark.operators.packing import pack_windows
+
+        d = _docs(spark, sf).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        return pack_windows(d, "doc_id", "n_tokens", ctx_len=256)
 
     def events_stream_hourly(spark, sf):
         """Structured Streaming windowed agg, drained with availableNow.
@@ -1211,8 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_table_cells": pdf_table_cells,
         "host_stats": host_stats,
         "table_row_chunks": table_row_chunks,
-        "events_hourly": events_hourly,
-        "events_sessions": events_sessions,
+        "events_stages": events_stages,
+        "doc_pack_windows": doc_pack_windows,
         "events_stream_hourly": events_stream_hourly,
         "events_stream_sessions": events_stream_sessions,
         "tpch_pricing_summary": tpch_pricing_summary,
@@ -1236,7 +1281,7 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
     names so bench.py's per-query lines stay comparable round over
     round. Each builds exactly the DataFrame the registry entry built
     before its consolidation."""
-    from ragflow_spark.operators import dedup, similarity
+    from ragflow_spark.operators import dedup, events, similarity
 
     def doc_simhash(spark, sf):
         return dedup.simhash64(_docs(spark, sf), "doc_id", "text")
@@ -1264,6 +1309,12 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_minhash_pairs": doc_minhash_pairs,
         "emb_pq_topk": emb_pq_topk,
+        "events_hourly": lambda spark, sf: events.windowed_counts(
+            _events(spark, sf)
+        ),
+        "events_sessions": lambda spark, sf: events.sessionize(
+            _events(spark, sf)
+        ),
     }
 
 
@@ -2440,13 +2491,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(null as bigint) as n_vecs, p.cos
             from ({_near_dup_lsh_oracle()}) p
         """,
-        "events_hourly": """
-            select date_trunc('hour', ts) as window_start, event_type,
-                   cast(count(*) as bigint) as n_events,
-                   round(sum(value), 4) as sum_value
-            from events group by 1, 2
-        """,
-        "events_sessions": """
+        "events_stages": """
             with g as (
               select user_id, ts, value,
                      case when epoch(ts) - lag(epoch(ts))
@@ -2458,11 +2503,48 @@ def oracle_sql() -> dict[str, str]:
                          sum(new_session) over (partition by user_id order by ts
                             rows between unbounded preceding and current row) as session_seq
                   from g)
-            select user_id, cast(session_seq as bigint) as session_seq,
-                   min(ts) as session_start, max(ts) as session_end,
+            select 'hourly' as stage, event_type as grp,
+                   date_trunc('hour', ts) as ts_a,
+                   cast(null as timestamp) as ts_b,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 4) as sum_value
+            from events group by 2, 3
+            union all
+            select 'session' as stage,
+                   cast(user_id as varchar) || ':'
+                     || cast(session_seq as varchar) as grp,
+                   min(ts) as ts_a, max(ts) as ts_b,
                    cast(count(*) as bigint) as n_events,
                    round(sum(value), 4) as sum_value
             from s group by user_id, session_seq
+        """,
+        "doc_pack_windows": f"""
+            -- concat-and-chunk packing plan, ctx_len=256: running token
+            -- offsets in ascending doc_id order, then one row per window
+            -- the doc overlaps (generate_series is inclusive)
+            with t as (
+              select doc_id,
+                     cast(len({_toks_sql('text')}) as bigint) as toks
+              from documents),
+            c as (
+              select doc_id, toks,
+                     cast(coalesce(sum(toks) over (order by doc_id
+                        rows between unbounded preceding and 1 preceding),
+                        0) as bigint) as off
+              from t where toks > 0),
+            x as (
+              select doc_id, toks, off,
+                     unnest(generate_series(off // 256,
+                                            (off + toks - 1) // 256)) as w
+              from c)
+            select cast(w as bigint) as window_id, doc_id,
+                   cast(greatest(0, w * 256 - off) as bigint)
+                     as doc_tok_start,
+                   cast(least(toks, (w + 1) * 256 - off) as bigint)
+                     as doc_tok_end,
+                   cast(greatest(0, off - w * 256) as bigint)
+                     as win_tok_start
+            from x
         """,
         "events_stream_hourly": """
             -- append-mode contract: only windows closed by the final

@@ -266,7 +266,8 @@ def main() -> None:
     for name in ("emb_ivf_pq_topk", "table_row_chunks"):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
     # round-7 additions append after the frozen earlier sets
-    for name in ("doc_char_lm", "host_stats", "doc_quality_clf"):
+    for name in ("doc_char_lm", "host_stats", "doc_quality_clf",
+                 "doc_pack_windows"):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
