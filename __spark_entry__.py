@@ -39,6 +39,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tpch_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _tpch_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    # dims broadcast; fact-fact join shuffles on the key
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # materialization root for the extraction-tier structural oracles (the
 # Spark query writes here, the DuckDB oracle reads the same parquet)
 _ORACLE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,6 +126,10 @@ REGISTRY_CONSOLIDATIONS: dict[str, str] = {
     # keep their own slots — different execution surface)
     "events_hourly": "events_stages",
     "events_sessions": "events_stages",
+    # r7 (later): the two TPC-H showcase queries share one long-form
+    # union, freeing the slot doc_dsir takes
+    "tpch_pricing_summary": "tpch_stages",
+    "tpch_revenue_by_nation": "tpch_stages",
 }
 
 
@@ -924,41 +966,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # -------- relational competence (TPC-H-style over the star schema)
-    def tpch_pricing_summary(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        return (
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                ).alias("sum_disc_price"),
-                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                F.count(F.lit(1)).alias("count_order"),
-            )
-            .orderBy("l_returnflag", "l_linestatus")
+    def tpch_stages(spark, sf):
+        """Both TPC-H showcase queries in one long-form union (r7
+        consolidation at the 50-entry cap; legacy names stay benched):
+        stage='pricing' unstacks the Q1 pricing summary into
+        (k1=returnflag, k2=linestatus, metric, value) rows, stage=
+        'revenue' the 3-join revenue rollup into (k1=n_name, ...)."""
+        p = _tpch_pricing(spark, sf).selectExpr(
+            "'pricing' as stage", "l_returnflag as k1",
+            "l_linestatus as k2",
+            "stack(5, 'sum_qty', sum_qty,"
+            " 'sum_base_price', sum_base_price,"
+            " 'sum_disc_price', sum_disc_price,"
+            " 'avg_qty', avg_qty,"
+            " 'count_order', cast(count_order as double))"
+            " as (metric, value)",
         )
+        r = _tpch_revenue(spark, sf).selectExpr(
+            "'revenue' as stage", "n_name as k1",
+            "cast(null as string) as k2",
+            "stack(2, 'revenue', revenue,"
+            " 'n_items', cast(n_items as double)) as (metric, value)",
+        )
+        return p.unionByName(r)
 
-    def tpch_revenue_by_nation(spark, sf):
-        li = _t(spark, sf, "lineitem")
-        o = _t(spark, sf, "orders")
-        c = _t(spark, sf, "customer")
-        n = _t(spark, sf, "nation")
-        # dims broadcast; fact-fact join shuffles on the key
-        return (
-            li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .groupBy("n_name")
-            .agg(
-                F.round(
-                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-                ).alias("revenue"),
-                F.count(F.lit(1)).alias("n_items"),
+    def doc_dsir(spark, sf):
+        """DSIR importance resampling (Xie et al. 2023) toward the
+        English slice of the corpus as the target distribution, in one
+        tagged union (operators/dsir.py, exact micro-nat integers —
+        the lm.py numerics contract): stage='ratio' is the O(B)
+        per-bucket model (k=bucket, v1=target count, v2=raw count,
+        v3=λ_micro), stage='weight' every raw doc's gram count /
+        Σλ weight / Gumbel-noised key (k=doc_id, v1=n_grams,
+        v2=weight_micro, v3=key_micro), stage='select' the Gumbel
+        top-100 (k=doc_id, v3=key_micro). Scale shape: gram strings die
+        map-side into int buckets, model is O(B) broadcast back, one
+        doc-id shuffle, TakeOrderedAndProject top-k."""
+        from ragflow_spark.operators import dsir
+
+        # small-SF parquet is one scan split, which would serialize the
+        # gram explode + md5 pass — a tiny cost-equalizing exchange
+        # spreads it across cores (the doc_repetition precedent; at
+        # crawl scale the scan is already thousands of splits)
+        d = _docs(spark, sf).repartition(32)
+        nb, k, seed = 1024, 100, 42
+        raw_dbc = dsir.doc_bucket_counts(d, "doc_id", "text", nb)
+        tgt_g = dsir.gram_buckets(
+            d.where(F.col("lang") == "en"), "doc_id", "text", nb
+        )
+        raw_counts = raw_dbc.groupBy("bucket").agg(
+            F.sum("n").alias("n")
+        )
+        ratios = dsir.dsir_log_ratios(
+            dsir.bucket_counts(tgt_g), raw_counts, nb
+        )
+        w = dsir.dsir_weights(raw_dbc, ratios, "doc_id").withColumn(
+            "key_micro",
+            F.col("weight_micro") + dsir.gumbel_micro("doc_id", seed),
+        )
+        ratio_rows = ratios.select(
+            F.lit("ratio").alias("stage"),
+            F.col("bucket").cast("long").alias("k"),
+            F.col("c_p").alias("v1"), F.col("c_q").alias("v2"),
+            F.col("lambda_micro").alias("v3"),
+        )
+        weight_rows = w.select(
+            F.lit("weight").alias("stage"),
+            F.col("doc_id").cast("long").alias("k"),
+            F.col("n_grams").cast("long").alias("v1"),
+            F.col("weight_micro").alias("v2"),
+            F.col("key_micro").alias("v3"),
+        )
+        sel_rows = (
+            w.orderBy(F.desc("key_micro"), F.col("doc_id"))
+            .limit(k)
+            .select(
+                F.lit("select").alias("stage"),
+                F.col("doc_id").cast("long").alias("k"),
+                F.lit(None).cast("long").alias("v1"),
+                F.lit(None).cast("long").alias("v2"),
+                F.col("key_micro").alias("v3"),
             )
         )
+        return ratio_rows.unionByName(weight_rows).unionByName(sel_rows)
 
     # -------- extraction tier (no SQL oracle: sequential per-doc templates;
     # gated byte-identically by tests/test_pipeline.py)
@@ -1260,8 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_windows": doc_pack_windows,
         "events_stream_hourly": events_stream_hourly,
         "events_stream_sessions": events_stream_sessions,
-        "tpch_pricing_summary": tpch_pricing_summary,
-        "tpch_revenue_by_nation": tpch_revenue_by_nation,
+        "tpch_stages": tpch_stages,
+        "doc_dsir": doc_dsir,
         "extract_chunks_docs": extract_chunks_docs,
         "extract_pipeline_pages": extract_pipeline_pages,
         "extract_manifest": extract_manifest,
@@ -1315,6 +1405,8 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "events_sessions": lambda spark, sf: events.sessionize(
             _events(spark, sf)
         ),
+        "tpch_pricing_summary": _tpch_pricing,
+        "tpch_revenue_by_nation": _tpch_revenue,
     }
 
 
@@ -2582,27 +2674,117 @@ def oracle_sql() -> dict[str, str]:
             where session_seq < (select max(session_seq) from agg a2
                                  where a2.user_id = agg.user_id)
         """,
-        "tpch_pricing_summary": """
-            select l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) as sum_qty,
-                   round(sum(l_extendedprice), 2) as sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
-                   round(avg(l_quantity), 4) as avg_qty,
-                   cast(count(*) as bigint) as count_order
-            from lineitem
-            where l_shipdate <= timestamp '1998-09-02'
-            group by l_returnflag, l_linestatus
-            order by l_returnflag, l_linestatus
+        "tpch_stages": """
+            with p as (
+              select l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) as sum_qty,
+                     round(sum(l_extendedprice), 2) as sum_base_price,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                     round(avg(l_quantity), 4) as avg_qty,
+                     cast(count(*) as bigint) as count_order
+              from lineitem
+              where l_shipdate <= timestamp '1998-09-02'
+              group by l_returnflag, l_linestatus),
+            r as (
+              select n_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                     cast(count(*) as bigint) as n_items
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              join nation on c_nationkey = n_nationkey
+              group by n_name)
+            select 'pricing' as stage, l_returnflag as k1,
+                   l_linestatus as k2, 'sum_qty' as metric,
+                   sum_qty as value from p
+            union all
+            select 'pricing', l_returnflag, l_linestatus,
+                   'sum_base_price', sum_base_price from p
+            union all
+            select 'pricing', l_returnflag, l_linestatus,
+                   'sum_disc_price', sum_disc_price from p
+            union all
+            select 'pricing', l_returnflag, l_linestatus,
+                   'avg_qty', avg_qty from p
+            union all
+            select 'pricing', l_returnflag, l_linestatus,
+                   'count_order', cast(count_order as double) from p
+            union all
+            select 'revenue', n_name, cast(null as varchar),
+                   'revenue', revenue from r
+            union all
+            select 'revenue', n_name, cast(null as varchar),
+                   'n_items', cast(n_items as double) from r
         """,
-        "tpch_revenue_by_nation": """
-            select n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
-                   cast(count(*) as bigint) as n_items
-            from lineitem
-            join orders on l_orderkey = o_orderkey
-            join customer on o_custkey = c_custkey
-            join nation on c_nationkey = n_nationkey
-            group by n_name
+        "doc_dsir": f"""
+            -- DSIR (hashed unigram+bigram buckets, B=1024, k=100,
+            -- seed 42): target = lang='en' docs, raw = all docs;
+            -- λ in micro-nats, one ln per bucket, half-away rounding —
+            -- the lm.py exact-integer contract
+            with rawt as (
+              select doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') as t
+              from documents),
+            rg as (
+              select doc_id, unnest(list_concat(t,
+                       case when len(t) >= 2 then
+                         list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i + 1])
+                       else [] end)) as g
+              from rawt),
+            rb as (
+              select doc_id,
+                     ({_hex8_to_int_sql("substr(md5(g), 1, 8)")})
+                       % 1024 as bucket
+              from rg),
+            tb as (
+              select rb.bucket
+              from rb join documents d using (doc_id)
+              where d.lang = 'en'),
+            cq as (select bucket, cast(count(*) as bigint) as n
+                   from rb group by bucket),
+            cp as (select bucket, cast(count(*) as bigint) as n
+                   from tb group by bucket),
+            tot as (select (select coalesce(sum(n), 0) from cp) as np,
+                           (select coalesce(sum(n), 0) from cq) as nq),
+            lam as (
+              select coalesce(cp.bucket, cq.bucket) as bucket,
+                     coalesce(cp.n, 0) as c_p, coalesce(cq.n, 0) as c_q,
+                     cast(round(ln(
+                       ((coalesce(cp.n, 0) + 1)
+                          / cast(tot.np + 1024 as double))
+                       / ((coalesce(cq.n, 0) + 1)
+                          / cast(tot.nq + 1024 as double))
+                     ) * 1e6) as bigint) as lambda_micro
+              from cp full outer join cq using (bucket), tot),
+            w as (
+              select rb.doc_id,
+                     cast(count(*) as bigint) as n_grams,
+                     cast(sum(lam.lambda_micro) as bigint) as weight_micro
+              from rb join lam using (bucket)
+              group by rb.doc_id),
+            keyed as (
+              select doc_id, n_grams, weight_micro,
+                     weight_micro + cast(round(
+                       -ln(-ln((({_hex8_to_int_sql(
+                           "substr(md5(doc_id || ':42'), 1, 8)")})
+                           % 1000000 + 0.5) / 1000000.0)) * 1e6)
+                       as bigint) as key_micro
+              from w)
+            select 'ratio' as stage, cast(bucket as bigint) as k,
+                   c_p as v1, c_q as v2, lambda_micro as v3
+            from lam
+            union all
+            select 'weight', doc_id, n_grams, weight_micro, key_micro
+            from keyed
+            union all
+            select * from (
+              select 'select' as stage, doc_id as k,
+                     cast(null as bigint) as v1,
+                     cast(null as bigint) as v2, key_micro as v3
+              from keyed
+              order by key_micro desc, doc_id
+              limit 100)
         """,
         # Winnowing oracle: the rolling k-gram hash unrolls into pure list
         # algebra — per position, an 8-step Horner fold in HUGEINT with the

@@ -1,0 +1,219 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+public — arXiv:2302.03169). Select raw-corpus documents whose hashed
+n-gram distribution matches a TARGET corpus: fit bag-of-hashed-ngrams
+multinomials p (target) and q (raw), weight every raw doc by its log
+importance ratio log w(x) = Σ_grams [log p(bucket) − log q(bucket)],
+then draw k docs without replacement via the Gumbel top-k trick.
+
+The reference (RAGFlow) has no data-selection tier; this belongs to the
+training-data-pipeline layer alongside the CCNet LM and Gopher/C4 rules
+(build brief), and follows the same exact-integer numerics contract as
+operators/lm.py so the DuckDB oracle is bit-exact:
+
+- tokens: ``regexp_split_to_array(trim(lower(text)), '\\s+')`` — the
+  house whitespace contract, lowercased.
+- grams: unigrams + space-joined bigrams (the paper's features).
+- bucket(gram) = first-8-hex-digits of md5(gram) mod ``num_buckets`` —
+  the engine-portable hash the sampling tier already uses.
+- log ratios quantized to integer micro-nats:
+  ``λ[b] = round(1e6 · ln( ((c_p[b]+1)/(N_p+B)) / ((c_q[b]+1)/(N_q+B)) ))``
+  with each division one correctly-rounded double op and a single ln —
+  the same measure-zero cross-engine wobble argument as lm.py.
+- per-doc weight: ``Σ λ[bucket(gram)]`` summed as int64 over the gram
+  MULTISET — exact, order-independent, safe under partial aggregation.
+- Gumbel keys: u = (md5-bucket(doc_id, seed) + 0.5)/1e6 in (0,1),
+  g = −ln(−ln(u)), quantized to micro-nats; selection key =
+  weight_micro + gumbel_micro, ties broken by ascending id.
+
+Scale shape (100 TB): the gram explode is map-side and projects each
+gram STRING to its int bucket before anything shuffles; model counts are
+one groupBy to O(B) rows (B ~ 10k — the paper's size), collected once
+per corpus so λ is computed driver-side (the lm.py model-collect
+precedent) and broadcast back; per-doc weights are ONE shuffle on the
+doc id with map-side partial sums; top-k is TakeOrderedAndProject (no
+global sort materialization). Nothing driver-side exceeds O(B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_BUCKETS = 10_000
+_GUMBEL_RES = 1_000_000  # md5-bucket resolution for the uniform draw
+
+
+def _hash_bucket(col: Column, num_buckets: int) -> Column:
+    """Engine-portable gram hash: int(md5(gram)[:8], 16) % B."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+
+
+def _grams(text: Column) -> Column:
+    """Unigrams + space-joined bigrams of the lowercased whitespace
+    tokens (element_at is 1-indexed, matching the oracle's DuckDB list
+    indexing)."""
+    t = F.split(F.trim(F.lower(text)), r"\s+")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bi)
+
+
+def gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Explode every document into (id, bucket) rows — one per gram
+    OCCURRENCE. The gram string dies inside the projection; only the
+    int bucket survives to any shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_grams(F.col(text_col))).alias("__gram"),
+    ).select(
+        id_col, _hash_bucket(F.col("__gram"), num_buckets).alias("bucket")
+    )
+
+
+def bucket_counts(grams: DataFrame) -> DataFrame:
+    """O(B)-row model: occurrences per bucket."""
+    return grams.groupBy("bucket").agg(F.count("*").alias("n"))
+
+
+def doc_bucket_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-(doc, bucket) gram occurrence counts — each gram is hashed
+    exactly ONCE; both the corpus model (re-aggregate by bucket) and the
+    per-doc weights (join λ, weighted sum) derive from this frame, so
+    its exchange is shared (ReusedExchange) instead of re-running the
+    explode+md5 pass per consumer."""
+    return (
+        gram_buckets(df, id_col, text_col, num_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def dsir_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-bucket quantized log importance ratios λ (micro-nats) over
+    the union of buckets present in either corpus, Laplace-smoothed over
+    the full bucket space.
+
+    The model is computed DRIVER-SIDE from the two O(B)-row count
+    collects (the lm.py O(K²)-model precedent, B ≤ ~10k): one job per
+    corpus instead of separate total-collect + join jobs, so the
+    upstream gram explode runs exactly once per corpus here. The
+    arithmetic is the identical IEEE sequence the oracle runs — two
+    exact divisions, one ln, half-away micro-nat rounding."""
+    import math
+
+    spark = target_counts.sparkSession
+    cp = {r["bucket"]: r["n"] for r in target_counts.collect()}
+    cq = {r["bucket"]: r["n"] for r in raw_counts.collect()}
+    n_p = sum(cp.values())
+    n_q = sum(cq.values())
+    rows = []
+    for b in sorted(set(cp) | set(cq)):
+        c_p, c_q = cp.get(b, 0), cq.get(b, 0)
+        lam = math.log(
+            ((c_p + 1) / float(n_p + num_buckets))
+            / ((c_q + 1) / float(n_q + num_buckets))
+        ) * 1e6
+        rows.append((int(b), int(c_p), int(c_q),
+                     int(math.copysign(math.floor(abs(lam) + 0.5), lam))))
+    return spark.createDataFrame(
+        rows, "bucket long, c_p long, c_q long, lambda_micro long"
+    )
+
+
+def dsir_weights(
+    raw_doc_counts: DataFrame,
+    ratios: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Per-doc log importance weights from the (doc, bucket, n) frame:
+    Σ n·λ over the doc's buckets (identical int64 total to summing λ per
+    gram occurrence). λ rides a broadcast join; the only shuffle is the
+    map-side-combined sum on the doc id. Every raw bucket is present in
+    ``ratios`` by construction (raw counts include it)."""
+    lam = ratios.select("bucket", "lambda_micro")
+    return (
+        raw_doc_counts.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.col("n") * F.col("lambda_micro")).alias(
+                "weight_micro"
+            ),
+        )
+    )
+
+
+def gumbel_micro(id_col: str, seed: int = 42) -> Column:
+    """Deterministic seeded Gumbel(0,1) noise in micro-nats from the
+    house md5 bucket: u = (bucket + 0.5)/1e6, g = −ln(−ln(u))."""
+    h8 = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                          F.lit(str(seed)))),
+        1, 8,
+    )
+    b = F.pmod(F.conv(h8, 16, 10).cast("long"), F.lit(_GUMBEL_RES))
+    u = (b + F.lit(0.5)) / F.lit(float(_GUMBEL_RES))
+    return F.round(-F.log(-F.log(u)) * 1e6, 0).cast("long")
+
+
+def dsir_resample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Gumbel top-k: sample k docs without replacement with probability
+    ∝ exp(weight). orderBy+limit compiles to TakeOrderedAndProject —
+    a per-partition top-k plus a k-row merge, never a global sort."""
+    keyed = weights.withColumn(
+        "gumbel_micro", gumbel_micro(id_col, seed)
+    ).withColumn(
+        "key_micro", F.col("weight_micro") + F.col("gumbel_micro")
+    )
+    return keyed.orderBy(F.desc("key_micro"), F.col(id_col)).limit(k)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_buckets: int = DEFAULT_BUCKETS,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end DSIR: featurize both corpora, fit the ratio model,
+    weight every raw doc, Gumbel-top-k. Returns the k selected rows
+    (id, n_grams, weight_micro, gumbel_micro, key_micro)."""
+    raw_dbc = doc_bucket_counts(raw, id_col, text_col, num_buckets)
+    tgt_g = gram_buckets(target, id_col, text_col, num_buckets)
+    raw_counts = raw_dbc.groupBy("bucket").agg(F.sum("n").alias("n"))
+    ratios = dsir_log_ratios(
+        bucket_counts(tgt_g), raw_counts, num_buckets
+    )
+    return dsir_resample(
+        dsir_weights(raw_dbc, ratios, id_col), id_col, k, seed
+    )
