@@ -392,9 +392,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.lit("weighted").alias("stage"),
             F.col("lang").alias("value"),
         )
+        # stage='keep_best' (r7 late): quality-aware canonical selection
+        # — per exact-fp cluster keep the member with the most tokens
+        # (tie: min id), the RefinedWeb keep-one-representative policy;
+        # value packs n_members:best_score for the oracle to pin
+        from ragflow_spark.functions.text import (
+            fingerprint_md5,
+            token_count,
+        )
+        from ragflow_spark.operators.dedup import keep_best
+
+        members = d.select(
+            "doc_id",
+            fingerprint_md5(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("toks"),
+        )
+        kb_rows = keep_best(members, "fp", "doc_id", "toks").select(
+            F.col("keep_id").alias("doc_id"),
+            F.lit("keep_best").alias("stage"),
+            F.concat(
+                F.col("n_members").cast("string"), F.lit(":"),
+                F.col("best_score").cast("string"),
+            ).alias("value"),
+        )
         return (
             split_rows.unionByName(sample_rows)
             .unionByName(cap_rows).unionByName(weighted_rows)
+            .unionByName(kb_rows)
         )
 
     def doc_pii_scrub(spark, sf):
@@ -1938,6 +1962,22 @@ def oracle_sql() -> dict[str, str]:
                      when 'en' then 1.0 when 'de' then 0.5
                      when 'fr' then 0.25 when 'zh' then 0.1
                      when 'es' then 0.75 else 0.5 end) as bigint)
+            union all
+            -- keep_best: per exact-fp cluster keep the most-token member
+            -- (tie: min doc_id); value = n_members:best_score
+            select doc_id, 'keep_best' as stage,
+                   cast(nm as varchar) || ':' || cast(bs as varchar)
+                     as value
+            from (
+              select doc_id,
+                     row_number() over (partition by fp
+                        order by toks desc, doc_id) as rn,
+                     count(*) over (partition by fp) as nm,
+                     max(toks) over (partition by fp) as bs
+              from (select doc_id, md5({_norm_sql('text')}) as fp,
+                           len({_toks_sql('text')}) as toks
+                    from documents))
+            where rn = 1
         """,
         "doc_pii_scrub": f"""
             with p0 as (

@@ -90,6 +90,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def keep_best(
+    members: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware canonical-representative selection: per cluster
+    keep the member with the HIGHEST score, ties broken by ascending
+    numeric id — the RefinedWeb/CCNet keep-one-representative policy,
+    vs the min-id convention of ``exact_dedup``/``dup_clusters`` (which
+    is cheaper but keeps an arbitrary member). Works over any cluster
+    assignment: exact fp groups, ``dup_clusters`` components, LSH
+    buckets.
+
+    Returns (cluster, keep_id, n_members, best_score). ONE groupBy on
+    the cluster key — max_by over a (score, -id) struct, so there is no
+    window, no second shuffle, and map-side partial aggregation applies.
+    """
+    return members.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("neg_id"),
+            ),
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(score_col).alias("best_score"),
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 import re as _re

@@ -122,3 +122,37 @@ def test_weighted_sample_extreme_rates(spark):
     assert weighted_sample(
         df.withColumn("r", F.lit(0.0)), "doc_id", "r"
     ).count() == 0
+
+
+# ------------------------------------------------ keep_best (r7 late)
+
+
+def test_keep_best_argmax_and_tiebreak(spark):
+    from ragflow_spark.operators.dedup import keep_best
+
+    rows = [
+        # cluster A: 11 wins on score
+        (1, "A", 5), (2, "A", 9), (11, "A", 12),
+        # cluster B: score tie 7-7 -> min id 3 wins
+        (3, "B", 7), (4, "B", 7),
+        # singleton keeps itself
+        (9, "C", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cl string, score long")
+    got = {r.cl: (r.keep_id, r.n_members, r.best_score)
+           for r in keep_best(df, "cl", "doc_id", "score").collect()}
+    assert got == {"A": (11, 3, 12), "B": (3, 2, 7), "C": (9, 1, 1)}
+
+
+def test_keep_best_single_shuffle_plan(spark):
+    """One hash aggregate pair around one exchange — no window, no join."""
+    from ragflow_spark.operators.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 5}", i % 13) for i in range(60)],
+        "doc_id long, cl string, score long",
+    )
+    plan = keep_best(df, "cl", "doc_id", "score") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
