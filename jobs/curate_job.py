@@ -12,6 +12,8 @@ crawl corpus takes between extraction and tokenization:
         [--nb-clf] [--nb-model <path>] [--save-nb-model <path>]
         [--host-max-dup 0.5] [--host-max-qfail 0.5]
         [--tail-rate 0.1] [--summary <path>]
+        [--dsir-target <parquet> | --dsir-model <path>] [--dsir-k N]
+        [--dsir-buckets 10000] [--save-dsir-model <path>]
 
 Stages (each optional, composed in the order a real pipeline runs them):
 
@@ -30,6 +32,11 @@ Stages (each optional, composed in the order a real pipeline runs them):
    distilled quality classifier (trained here or ``--nb-model`` loaded);
    kept as a column, not a gate, unless a loaded model is given AND
    ``--nb-gate`` is set.
+5. DSIR selection (``--dsir-target``/``--dsir-model`` + ``--dsir-k``) —
+   importance-resample the survivors toward a target distribution
+   (Gumbel top-k over hashed-n-gram log ratios); the ratio model
+   persists like the LM/NB models so crawl increments score against
+   yesterday's target fit (unseen buckets get the smoothed default).
 
 Writes the curated docs (original columns + audit columns) to --output
 and, with --summary, a per-outcome docs/tokens audit table. Models train
@@ -71,6 +78,19 @@ def main() -> None:
                          "heuristic would just re-apply the heuristic)")
     ap.add_argument("--host-max-dup", type=float, default=0.5)
     ap.add_argument("--host-max-qfail", type=float, default=0.5)
+    ap.add_argument("--dsir-target", default=None,
+                    help="target-corpus parquet (same id/text col names): "
+                         "fit a DSIR ratio model and keep the --dsir-k "
+                         "Gumbel-top-k survivors closest to its "
+                         "distribution")
+    ap.add_argument("--dsir-model", default=None,
+                    help="load a saved ratio model instead of fitting "
+                         "(crawl increments score against yesterday's "
+                         "model; unseen buckets get the smoothed default)")
+    ap.add_argument("--save-dsir-model", default=None)
+    ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--dsir-buckets", type=int, default=10_000)
+    ap.add_argument("--dsir-seed", type=int, default=42)
     ap.add_argument("--summary", default=None)
     args = ap.parse_args()
 
@@ -174,6 +194,40 @@ def main() -> None:
                     "same-run distilled model re-applies the heuristic)"
                 )
             kept = kept.filter(F.col("nb_pred") == 1)
+
+    # 5. DSIR selection toward a target distribution
+    if args.dsir_target or args.dsir_model:
+        if not args.dsir_k:
+            raise SystemExit("--dsir-k is required with "
+                             "--dsir-target/--dsir-model")
+        from ragflow_spark.operators import dsir as dsir_ops
+
+        if args.dsir_model:
+            ratios, nb, default_lam = dsir_ops.dsir_load(
+                spark, args.dsir_model)
+        else:
+            nb, default_lam = args.dsir_buckets, None
+            target = spark.read.parquet(args.dsir_target)
+            raw_counts_src = dsir_ops.doc_bucket_counts(
+                kept, idc, txt, nb)
+            ratios = dsir_ops.dsir_log_ratios(
+                dsir_ops.bucket_counts(
+                    dsir_ops.gram_buckets(target, idc, txt, nb)),
+                raw_counts_src.groupBy("bucket").agg(
+                    F.sum("n").alias("n")),
+                nb,
+            )
+        if args.save_dsir_model:
+            dsir_ops.dsir_save(ratios, nb, args.save_dsir_model)
+        w = dsir_ops.dsir_weights(
+            dsir_ops.doc_bucket_counts(kept, idc, txt, nb),
+            ratios, idc, default_lambda_micro=default_lam,
+        )
+        sel = dsir_ops.dsir_resample(
+            w, idc, args.dsir_k, seed=args.dsir_seed
+        ).select(idc, "weight_micro", "key_micro")
+        # k selected ids are tiny next to docs — broadcast semi shape
+        kept = kept.join(F.broadcast(sel), on=idc)
 
     kept.write.mode("overwrite").parquet(args.output)
     if args.summary:

@@ -147,22 +147,71 @@ def dsir_weights(
     raw_doc_counts: DataFrame,
     ratios: DataFrame,
     id_col: str,
+    default_lambda_micro: int | None = None,
 ) -> DataFrame:
     """Per-doc log importance weights from the (doc, bucket, n) frame:
     Σ n·λ over the doc's buckets (identical int64 total to summing λ per
     gram occurrence). λ rides a broadcast join; the only shuffle is the
-    map-side-combined sum on the doc id. Every raw bucket is present in
-    ``ratios`` by construction (raw counts include it)."""
+    map-side-combined sum on the doc id.
+
+    When the model was FIT ON THIS CORPUS every raw bucket is present in
+    ``ratios`` by construction and the join is inner. When scoring a NEW
+    increment against a LOADED model, pass ``default_lambda_micro``
+    (``unseen_lambda_micro``) so buckets the model never saw get the
+    both-counts-zero smoothed ratio instead of being dropped."""
     lam = ratios.select("bucket", "lambda_micro")
-    return (
-        raw_doc_counts.join(F.broadcast(lam), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.sum("n").alias("n_grams"),
-            F.sum(F.col("n") * F.col("lambda_micro")).alias(
-                "weight_micro"
-            ),
+    if default_lambda_micro is None:
+        joined = raw_doc_counts.join(F.broadcast(lam), "bucket")
+        lam_col = F.col("lambda_micro")
+    else:
+        joined = raw_doc_counts.join(F.broadcast(lam), "bucket", "left")
+        lam_col = F.coalesce(
+            F.col("lambda_micro"),
+            F.lit(int(default_lambda_micro)).cast("long"),
         )
+    return joined.groupBy(id_col).agg(
+        F.sum("n").alias("n_grams"),
+        F.sum(F.col("n") * lam_col).alias("weight_micro"),
+    )
+
+
+def unseen_lambda_micro(n_p: int, n_q: int, num_buckets: int) -> int:
+    """λ for a bucket neither corpus populated — the same IEEE sequence
+    as ``dsir_log_ratios`` with both counts 0."""
+    import math
+
+    lam = math.log(
+        ((0 + 1) / float(n_p + num_buckets))
+        / ((0 + 1) / float(n_q + num_buckets))
+    ) * 1e6
+    return int(math.copysign(math.floor(abs(lam) + 0.5), lam))
+
+
+def dsir_save(ratios: DataFrame, num_buckets: int, path: str) -> None:
+    """Persist the O(B) ratio model (one parquet, ``num_buckets``
+    stamped on every row) — the crawl-increment pattern: tomorrow's raw
+    batch scores against today's target model without re-counting."""
+    ratios.select(
+        "bucket", "c_p", "c_q", "lambda_micro",
+        F.lit(int(num_buckets)).alias("num_buckets"),
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_load(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Load a saved ratio model. Returns (ratios, num_buckets,
+    default λ for unseen buckets) — the default reconstructs the corpus
+    totals from the saved counts (Σc_p / Σc_q over populated buckets =
+    the training totals)."""
+    df = spark.read.parquet(path)
+    head = df.select(
+        F.first("num_buckets").alias("nb"),
+        F.sum("c_p").alias("np"), F.sum("c_q").alias("nq"),
+    ).first()
+    nb = int(head["nb"])
+    return (
+        df.select("bucket", "c_p", "c_q", "lambda_micro"),
+        nb,
+        unseen_lambda_micro(int(head["np"]), int(head["nq"]), nb),
     )
 
 

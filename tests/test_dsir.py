@@ -154,3 +154,43 @@ def test_dsir_plan_shapes(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_save_load_and_unseen_default(spark, tmpdir_path):
+    """The crawl-increment pattern: a saved model reloads bit-identical,
+    and an increment whose grams hash to UNSEEN buckets gets the
+    both-counts-zero smoothed default instead of silently dropping."""
+    import os
+
+    raw, target = _corpora()
+    rdf, tdf = _dfs(spark, raw, target)
+    raw_dbc = dsir.doc_bucket_counts(rdf, "doc_id", "text", B)
+    ratios = dsir.dsir_log_ratios(
+        dsir.bucket_counts(dsir.gram_buckets(tdf, "doc_id", "text", B)),
+        raw_dbc.groupBy("bucket").agg(F.sum("n").alias("n")), B,
+    )
+    path = os.path.join(tmpdir_path, "dsir_model")
+    dsir.dsir_save(ratios, B, path)
+    loaded, nb, default = dsir.dsir_load(spark, path)
+    assert nb == B
+    assert (sorted(tuple(r) for r in loaded.collect())
+            == sorted(tuple(r) for r in ratios.collect()))
+    # default matches the hand-computed both-zero ratio
+    lam, _, _ = _brute(raw, target, k=1)
+    n_p = sum(len(_grams(t)) for t in target.values())
+    n_q = sum(len(_grams(t)) for t in raw.values())
+    assert default == _half_away(
+        1e6 * math.log((1 / float(n_p + B)) / (1 / float(n_q + B))))
+    # an increment doc made of unseen grams scores n_grams * default
+    inc = spark.createDataFrame(
+        [(999, "zzqx wvvk pplm")], "doc_id long, text string")
+    inc_dbc = dsir.doc_bucket_counts(inc, "doc_id", "text", B)
+    # drop its buckets from the model to force the unseen path
+    inc_buckets = {r.bucket for r in inc_dbc.collect()}
+    pruned = loaded.filter(~F.col("bucket").isin(*inc_buckets))
+    w = dsir.dsir_weights(inc_dbc, pruned, "doc_id",
+                          default_lambda_micro=default).first()
+    assert w.n_grams == 5  # 3 unigrams + 2 bigrams
+    assert w.weight_micro == 5 * default
+    # without the default, the inner join would have dropped the doc
+    assert dsir.dsir_weights(inc_dbc, pruned, "doc_id").count() == 0
