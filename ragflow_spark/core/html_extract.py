@@ -45,9 +45,12 @@ everything else follows the published arithmetic exactly):
    new ``td``/``th``/``tr`` close open inline formatting
    (``p/span/font/a/b/i/u``), and the ``menu``/``dir``/``listing``/
    ``xmp`` quirk closers are threaded through the block entries.
-   Residual divergence: inline-formatting overlap across block
-   boundaries (``<b>a<div>b</b>``; libxml2 keeps its own non-HTML5
-   recovery there) and libxml2's implied-head element juggling.
+   NARROWED AGAIN (r7b, second pass): the end-tag path now applies
+   libxml2's ``htmlEndPriority`` rule — a mismatched end tag only
+   auto-closes lower-priority open elements, so ``<b>a<div>b</b>``
+   keeps ``b`` open (the stray ``</b>`` is ignored) while ``</td>`` /
+   ``</table>`` still force-close open inline runs. Residual
+   divergence: libxml2's implied-head element juggling.
 2. SERIALIZE-REPARSE: the reference serializes the article and re-parses
    it in html_text (dropping attrs via clean_attributes); we hand the
    tree over directly. Text-identical unless re-parsing restructures
@@ -296,6 +299,11 @@ _START_CLOSE = {
 for _h in _H16:
     _START_CLOSE[_h] = {"p", "head"}
 
+# libxml2 htmlEndPriority: a mismatched END tag may only auto-close open
+# elements whose priority is not higher than its own (default 100)
+_END_PRIORITY = {"div": 150, "td": 160, "table": 170, "head": 180,
+                 "body": 190, "html": 200}
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self):
@@ -340,10 +348,18 @@ class _TreeBuilder(HTMLParser):
             return
         if self._cdata_depth or tag in _VOID:
             return
-        # pop to the nearest matching open tag; tolerate misnesting
+        # pop to the nearest matching open tag, but a mismatched end tag
+        # may only auto-close elements of LOWER end priority — libxml2's
+        # htmlEndPriority rule (HTMLparser.c): </b> never reaches across
+        # an open div/td/table; the stray end tag is ignored instead
+        # (the r7b fix for the inline-overlap divergence class:
+        # <b>a<div>b</b> keeps b OPEN, as lxml builds it)
+        prio = _END_PRIORITY.get(tag, 100)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
+                return
+            if _END_PRIORITY.get(self.stack[i].tag, 100) > prio:
                 return
 
     def handle_data(self, data):

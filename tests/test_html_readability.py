@@ -250,6 +250,56 @@ def test_tr_closes_open_inline_formatting():
     assert [r.tag for r in rows] == ["tr", "tr"]
 
 
+def test_end_tag_priority_blocks_cross_block_close():
+    # libxml2 htmlEndPriority: </b> (prio 100) may not reach across an
+    # open <div> (prio 150) — the stray end tag is IGNORED and b stays
+    # open, so following text lands inside the div
+    t = he.build_tree("<body><b>a<div>b</div>c</b>d</body>")
+    body = t.children[0].children[0]
+    b = next(c for c in body.children if not isinstance(c, str))
+    assert b.tag == "b"
+    kids = [c.tag for c in b.children if not isinstance(c, str)]
+    assert kids == ["div"]
+    # 'c' (after </div>) and 'd' (after the VALID </b>) split correctly
+    assert any(isinstance(c, str) and "c" in c for c in b.children)
+    assert any(isinstance(c, str) and "d" in c for c in body.children)
+
+
+def test_end_tag_priority_ignored_inside_block():
+    # </b> with no </div> first: ignored entirely, b swallows the rest
+    t = he.build_tree("<body><b>a<div>b</b>c</div></body>")
+    body = t.children[0].children[0]
+    b = next(c for c in body.children if not isinstance(c, str))
+    assert b.tag == "b"
+    div = next(c for c in b.children if not isinstance(c, str))
+    assert div.tag == "div"
+    assert any(isinstance(c, str) and "c" in c for c in div.children)
+
+
+def test_end_tag_crosses_equal_priority_inline():
+    # </b> across <i> (both prio 100) closes i then b — allowed
+    t = he.build_tree("<body><b>a<i>x</b>y</body>")
+    body = t.children[0].children[0]
+    b = next(c for c in body.children if not isinstance(c, str))
+    assert [c.tag for c in b.children if not isinstance(c, str)] == ["i"]
+    assert any(isinstance(c, str) and "y" in c for c in body.children)
+
+
+def test_table_end_closes_open_inline_runs():
+    # </td>/</table> have HIGH priority: they still force-close inline
+    t = he.build_tree(
+        "<table><tr><td><b>x</td><td>y</td></tr></table>z")
+    doc_body = t.children[0].children[0]
+    table = next(c for c in doc_body.children if not isinstance(c, str))
+    assert table.tag == "table"
+    tr = next(c for c in table.children if not isinstance(c, str))
+    tds = [c for c in tr.children if not isinstance(c, str)]
+    assert [c.tag for c in tds] == ["td", "td"]
+    assert all(isinstance(c, str) for c in tds[1].children)
+    # 'z' after </table> is back at body level
+    assert any(isinstance(c, str) and "z" in c for c in doc_body.children)
+
+
 def test_menu_dir_listing_quirk_closers():
     # menu/dir/listing/xmp participate in the block autoclose set
     t = he.build_tree("<body><p>a<listing>code</listing><p>b<menu>m</body>")
