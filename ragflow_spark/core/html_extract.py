@@ -49,8 +49,17 @@ everything else follows the published arithmetic exactly):
    libxml2's ``htmlEndPriority`` rule — a mismatched end tag only
    auto-closes lower-priority open elements, so ``<b>a<div>b</b>``
    keeps ``b`` open (the stray ``</b>`` is ignored) while ``</td>`` /
-   ``</table>`` still force-close open inline runs. Residual
-   divergence: libxml2's implied-head element juggling.
+   ``</table>`` still force-close open inline runs. NARROWED AGAIN
+   (r7c): the implied-skeleton machinery is now ported too —
+   ``htmlCheckImplied`` (auto-inserted html/head/body, the
+   ctxt->html 3/10 once-only state), ``htmlCheckParagraph`` (stray
+   character data at document/html/head level wrapped in an implied
+   ``<p>``), the misplaced html/head/body start-tag discards with
+   libxml2's ctxt->depth end-tag swallowing, and areBlanks' ignorable
+   whitespace in skeleton contexts. Residual divergence: exotic
+   post-</body> content placement (we normalize to one body where the
+   C code can emit sibling bodies on malformed input — documented in
+   ``_TreeBuilder.__init__``) and areBlanks' not-before-a-tag corner.
 2. SERIALIZE-REPARSE: the reference serializes the article and re-parses
    it in html_text (dropping attrs via clean_attributes); we hand the
    tree over directly. Text-identical unless re-parsing restructures
@@ -304,6 +313,12 @@ for _h in _H16:
 _END_PRIORITY = {"div": 150, "td": 160, "table": 170, "head": 180,
                  "body": 190, "html": 200}
 
+# libxml2 htmlCheckImplied's two element lists (HTMLparser.c): a start tag
+# from this set at top level implies <head>; any OTHER tag (same list minus
+# title/base quirks — the C code spells both lists out and they coincide)
+# implies <body> when neither head nor body is open
+_HEAD_IMPLIED = {"script", "style", "meta", "link", "title", "base"}
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self):
@@ -312,12 +327,61 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
         self._order = 0
         self._cdata_depth = 0
+        # libxml2 ctxt->html skeleton state: 3 = head seen/implied,
+        # 10 = body seen/implied (we also set these on ACCEPTED explicit
+        # head/body — a small normalization over the C code, which only
+        # sets them on the implied path; this prevents double skeletons
+        # on exotic inputs like <html><head/></head><title>)
+        self._html_state = 0
+        # libxml2 ctxt->depth: counts DISCARDED misplaced html/head/body
+        # start tags so their matching end tags are swallowed too
+        self._discard_depth = 0
 
     def _autoclose(self, tag):
         closes = _START_CLOSE.get(tag)
         if closes:
             while len(self.stack) > 1 and self.stack[-1].tag in closes:
                 self.stack.pop()
+
+    def _push_implied(self, tag):
+        # re-enter an existing sibling instead of creating a duplicate
+        # skeleton node (content after </html> or </body> re-parents into
+        # the one skeleton, as browsers do; the C code can emit sibling
+        # roots here — the documented normalization divergence)
+        if tag in ("html", "body"):
+            for c in self.stack[-1].children:
+                if isinstance(c, Node) and c.tag == tag:
+                    self.stack.append(c)
+                    return
+        self._order += 1
+        node = Node(tag, {}, self.stack[-1], self._order)
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def _check_implied(self, tag):
+        """libxml2 ``htmlCheckImplied`` (HTMLparser.c, public source):
+        auto-insert the html/head/body skeleton around out-of-skeleton
+        content. <html> is implied under the document root; a top-level
+        head-only element implies <head> (once); any other element
+        implies <body> when neither head nor body is open (once)."""
+        if tag == "html":
+            return
+        if len(self.stack) <= 1:
+            self._push_implied("html")
+        if tag in ("body", "head"):
+            return
+        if len(self.stack) <= 2 and tag in _HEAD_IMPLIED:
+            if self._html_state >= 3:
+                return  # head already seen/implied: tag stays under html
+            self._push_implied("head")
+            self._html_state = 3
+        elif tag not in _HEAD_IMPLIED:
+            if self._html_state >= 10:
+                return
+            if any(n.tag in ("body", "head") for n in self.stack[1:]):
+                return
+            self._push_implied("body")
+            self._html_state = 10
 
     def handle_starttag(self, tag, attrs):
         if tag in _CDATA:
@@ -328,7 +392,28 @@ class _TreeBuilder(HTMLParser):
         if tag in _VOID:
             self.handle_startendtag(tag, attrs)
             return
+        # libxml2 htmlParseStartTag misplaced-skeleton-tag discards
+        # (checked against the stack BEFORE auto-closure, as in the C):
+        # a second <html>, a <head> not at nameNr==1, or a <body> while
+        # one is open are dropped — but their auto-close/implied side
+        # effects still run, and the matching end tag is swallowed
+        discard = False
+        if tag == "html":
+            discard = len(self.stack) > 1
+        elif tag == "head":
+            discard = len(self.stack) != 2 or self._html_state >= 3
+        elif tag == "body":
+            discard = any(n.tag == "body" for n in self.stack)
+        if discard:
+            self._discard_depth += 1
         self._autoclose(tag)
+        self._check_implied(tag)
+        if discard:
+            return
+        if tag == "head":
+            self._html_state = max(self._html_state, 3)
+        elif tag == "body":
+            self._html_state = 10
         self._order += 1
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)
@@ -338,6 +423,8 @@ class _TreeBuilder(HTMLParser):
         if self._cdata_depth or tag in _CDATA:
             return
         self._autoclose(tag)  # void tags auto-close too (<hr> closes <p>)
+        self._check_implied(tag)  # <meta> first implies html+head; <img>,
+        # <hr>, <br>… imply html+body, exactly like non-void start tags
         self._order += 1
         node = Node(tag, dict(attrs), self.stack[-1], self._order)
         self.stack[-1].children.append(node)
@@ -347,6 +434,9 @@ class _TreeBuilder(HTMLParser):
             self._cdata_depth = max(0, self._cdata_depth - 1)
             return
         if self._cdata_depth or tag in _VOID:
+            return
+        if (tag in ("html", "head", "body")) and self._discard_depth > 0:
+            self._discard_depth -= 1  # end tag of a discarded start tag
             return
         # pop to the nearest matching open tag, but a mismatched end tag
         # may only auto-close elements of LOWER end priority — libxml2's
@@ -365,14 +455,30 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if self._cdata_depth:
             return
-        if data:
-            # merge adjacent runs so .text/.tail semantics match lxml's
-            # single-string model (charref boundaries split handle_data)
-            ch = self.stack[-1].children
-            if ch and isinstance(ch[-1], str):
-                ch[-1] += data
-            else:
-                ch.append(data)
+        if not data:
+            return
+        cur = self.stack[-1]
+        if cur.tag in ("[document]", "html", "head"):
+            if not data.strip():
+                return  # libxml2 areBlanks: blanks in skeleton context
+                # are ignorable whitespace, never text nodes
+            # libxml2 htmlCheckParagraph (htmlNoContentElements =
+            # {html, head}): stray character data at document/html/head
+            # level is wrapped in an implied <p> — auto-close first (p
+            # closes an open head via htmlStartClose), then imply the
+            # skeleton, then open the paragraph
+            self._autoclose("p")
+            self._check_implied("p")
+            self._push_implied("p")
+        elif cur.tag == "body" and not cur.children and not data.strip():
+            return  # leading blank run in an empty body is ignorable
+        # merge adjacent runs so .text/.tail semantics match lxml's
+        # single-string model (charref boundaries split handle_data)
+        ch = self.stack[-1].children
+        if ch and isinstance(ch[-1], str):
+            ch[-1] += data
+        else:
+            ch.append(data)
 
 
 def build_tree(html: str) -> Node:

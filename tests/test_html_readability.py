@@ -308,6 +308,87 @@ def test_menu_dir_listing_quirk_closers():
     assert tags == ["p", "listing", "p", "menu"]
 
 
+# ------- class 1 RECOVERED shapes (libxml2 htmlCheckImplied, r7c): the
+# implied html/head/body skeleton and htmlCheckParagraph's implied <p>
+# around stray chardata now materialize at parse time, so fragment-ish
+# pages get the same tree lxml's document_fromstring builds.
+
+
+def test_bare_fragment_gets_implied_skeleton_and_p():
+    # libxml2: leading chardata at document level → html>body>p
+    t = he.build_tree("hello<p>world</p>")
+    body = t.children[0].children[0]
+    assert t.children[0].tag == "html" and body.tag == "body"
+    assert [c.tag for c in body.children] == ["p", "p"]
+    assert body.children[0].children == ["hello"]
+
+
+def test_top_level_title_implies_head_div_implies_body():
+    t = he.build_tree("<title>T</title><div>x</div>")
+    html = t.children[0]
+    assert [c.tag for c in html.children] == ["head", "body"]
+    assert html.children[0].children[0].tag == "title"
+    assert html.children[1].children[0].tag == "div"
+
+
+def test_meta_void_implies_head_too():
+    # the implied-skeleton path runs for void elements as well
+    t = he.build_tree("<meta charset='utf-8'><p>x</p>")
+    html = t.children[0]
+    assert [c.tag for c in html.children] == ["head", "body"]
+    assert html.children[0].children[0].tag == "meta"
+
+
+def test_chardata_in_head_closes_head_and_implies_body_p():
+    # htmlCheckParagraph auto-closes p (whose htmlStartClose set holds
+    # head), so text inside <head> lands in an implied body>p
+    t = he.build_tree("<head>Oops<div>d</div>")
+    html = t.children[0]
+    assert [c.tag for c in html.children] == ["body"]
+    body = html.children[0]
+    assert [c.tag for c in body.children] == ["p", "div"]
+    assert body.children[0].children == ["Oops"]
+
+
+def test_chardata_between_head_and_body_becomes_paragraph():
+    t = he.build_tree(
+        "<html><head><title>T</title></head>mid<body><p>x</p></body>")
+    html = t.children[0]
+    assert [c.tag for c in html.children] == ["head", "body"]
+    body = html.children[1]
+    assert [c.tag for c in body.children] == ["p", "p"]
+    assert body.children[0].children == ["mid"]
+
+
+def test_misplaced_duplicate_skeleton_tags_are_discarded():
+    # a second <body> while one is open is dropped, and its end tag is
+    # swallowed by the ctxt->depth counter (libxml2 htmlParseStartTag)
+    t = he.build_tree("<body><p>a</p><body><p>b</p></body><p>c</p></body>")
+    html = t.children[0]
+    assert [c.tag for c in html.children] == ["body"]
+    assert [c.tag for c in html.children[0].children] == ["p", "p", "p"]
+
+
+def test_skeleton_blanks_are_ignorable_whitespace():
+    # areBlanks: whitespace at document/html/head level and leading
+    # blanks in an empty body never become text nodes
+    t = he.build_tree(
+        "\n  <html>\n <head><title>T</title></head>\n<body> <p>x</p>"
+        "</body></html>\n")
+    html = t.children[0]
+    assert all(not isinstance(c, str) for c in html.children)
+    body = html.children[1]
+    assert not isinstance(body.children[0], str)
+
+
+def test_content_after_close_reenters_single_skeleton():
+    # normalization divergence (documented): tail content re-parents into
+    # the one skeleton root instead of growing sibling html roots
+    t = he.build_tree("<html><body><p>a</p></body></html><p>tail</p>")
+    htmls = [c for c in t.children if not isinstance(c, str)]
+    assert [c.tag for c in htmls] == ["html"]
+
+
 # -------------------------------- divergence class 2: SERIALIZE-REPARSE
 
 
