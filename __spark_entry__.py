@@ -77,6 +77,59 @@ def _tpch_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_stream_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming windowed agg, drained with availableNow.
+    Oracle-checked: append mode emits exactly the windows CLOSED by the
+    final watermark (max event ts − 2h), so the batch oracle applies the
+    same closed-window filter."""
+    import tempfile
+
+    from ragflow_spark.streaming.events import (
+        run_stream_to_parquet,
+        windowed_counts_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="rs_stream_")
+    ev = _events(spark, sf)
+    src = os.path.join(d, "src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = run_stream_to_parquet(
+        windowed_counts_stream(stream, watermark="2 hours"),
+        os.path.join(d, "out"), os.path.join(d, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(d, "out"))
+
+
+def _events_stream_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessions, emitted once a later event closes them — so the
+    output equals the batch sessionizer's rows minus each user's
+    trailing (still-open) session, which is exactly what the oracle
+    computes."""
+    import tempfile
+
+    from ragflow_spark.streaming.events import (
+        run_stream_to_parquet,
+        sessionize_stateful,
+    )
+
+    d = tempfile.mkdtemp(prefix="rs_state_")
+    ev = _events(spark, sf)
+    src = os.path.join(d, "src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = run_stream_to_parquet(
+        sessionize_stateful(stream),
+        os.path.join(d, "out"), os.path.join(d, "ckpt"),
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(d, "out")).withColumn(
+        "sum_value", F.round("sum_value", 4)
+    )
+
+
 # materialization root for the extraction-tier structural oracles (the
 # Spark query writes here, the DuckDB oracle reads the same parquet)
 _ORACLE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -130,6 +183,10 @@ REGISTRY_CONSOLIDATIONS: dict[str, str] = {
     # union, freeing the slot doc_dsir takes
     "tpch_pricing_summary": "tpch_stages",
     "tpch_revenue_by_nation": "tpch_stages",
+    # r7 (final): the two STREAMING parity queries share one tagged
+    # union, freeing the slot web_linkgraph_stages takes
+    "events_stream_hourly": "events_stream_stages",
+    "events_stream_sessions": "events_stream_stages",
 }
 
 
@@ -938,56 +995,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pack_windows(d, "doc_id", "n_tokens", ctx_len=256)
 
-    def events_stream_hourly(spark, sf):
-        """Structured Streaming windowed agg, drained with availableNow.
-        Oracle-checked: append mode emits exactly the windows CLOSED by the
-        final watermark (max event ts − 2h), so the batch oracle applies the
-        same closed-window filter."""
-        import tempfile
-
-        from ragflow_spark.streaming.events import (
-            run_stream_to_parquet,
-            windowed_counts_stream,
+    def events_stream_stages(spark, sf):
+        """Both STREAMING parity queries in one tagged union (r7 final
+        consolidation at the 50-entry cap; the legacy names stay benched
+        via legacy_bench_queries()): stage='hourly' is the watermarked
+        tumbling-window count/sum drained with availableNow (append mode
+        emits exactly the windows closed by the final watermark),
+        stage='session' is the applyInPandasWithState sessionizer
+        (closed sessions only). Same union shape as events_stages."""
+        h = _events_stream_hourly(spark, sf).select(
+            F.lit("hourly").alias("stage"),
+            F.col("event_type").alias("grp"),
+            F.col("window_start").alias("ts_a"),
+            F.lit(None).cast("timestamp").alias("ts_b"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("sum_value"),
         )
-
-        d = tempfile.mkdtemp(prefix="rs_stream_")
-        ev = _events(spark, sf)
-        src = os.path.join(d, "src")
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = run_stream_to_parquet(
-            windowed_counts_stream(stream, watermark="2 hours"),
-            os.path.join(d, "out"), os.path.join(d, "ckpt"),
+        s = _events_stream_sessions(spark, sf).select(
+            F.lit("session").alias("stage"),
+            F.col("user_id").cast("string").alias("grp"),
+            F.col("session_start").alias("ts_a"),
+            F.col("session_end").alias("ts_b"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").alias("sum_value"),
         )
-        q.awaitTermination(300)
-        return spark.read.parquet(os.path.join(d, "out"))
+        return h.unionByName(s)
 
-    def events_stream_sessions(spark, sf):
-        """Custom stateful streaming operator (applyInPandasWithState):
-        per-user sessions, emitted once a later event closes them — so the
-        output equals the batch sessionizer's rows minus each user's
-        trailing (still-open) session, which is exactly what the oracle
-        computes."""
-        import tempfile
+    def web_linkgraph_stages(spark, sf):
+        """Link-graph tier over a deterministic anchor corpus: pages are
+        synthesized from documents.doc_id by pure modular arithmetic
+        (20 content hosts h0..h19 + the sink host h20 that never links
+        out), their HTML carries one absolute, one protocol-relative,
+        one root-relative (self-host), one javascript: and one
+        fragment-only anchor — then the REAL operators run: outlink
+        harvest (regexp projection), href resolution, canonical host
+        edges, degree totals, and 3 iterations of exact fixed-point
+        PageRank with dangling-mass redistribution. The oracle rebuilds
+        the same edges by the same arithmetic in SQL and unrolls the
+        BIGINT power iteration, so any extraction/resolution/rank error
+        breaks the hash. stage='edge' (a=src, b=dst, n=weight),
+        stage='outdeg'/'indeg' (a=host, n=weight total),
+        stage='rank' (a=host, n=rank in nano-units)."""
+        from ragflow_spark.operators import linkgraph as lgr
 
-        from ragflow_spark.streaming.events import (
-            run_stream_to_parquet,
-            sessionize_stateful,
+        d = F.col("doc_id").cast("long")
+        pages = _docs(spark, sf).select(
+            F.format_string(
+                "https://h%d.example.com/dir/page%d.html", (d * 7) % 20, d
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><body><p>t</p><a href="https://h'),
+                ((d * 13 + 1) % 20).cast("string"),
+                F.format_string(".example.com/p%d\">a</a>", d % 7),
+                F.lit("<a href='//h"),
+                ((d * 13 + 2) % 20).cast("string"),
+                F.lit(".example.com/q'>b</a>"),
+                F.format_string('<a href="/local/%d">c</a>', d % 5),
+                F.when(
+                    d % 10 == 0,
+                    F.lit('<a href="https://h20.example.com/sink">s</a>'),
+                ).otherwise(F.lit("")),
+                F.lit('<a href="javascript:void(0)">j</a>'
+                      '<a href="#frag">f</a></body></html>'),
+            ).alias("html"),
         )
-
-        d = tempfile.mkdtemp(prefix="rs_state_")
-        ev = _events(spark, sf)
-        src = os.path.join(d, "src")
-        ev.write.mode("overwrite").parquet(src)
-        stream = spark.readStream.schema(ev.schema).parquet(src)
-        q = run_stream_to_parquet(
-            sessionize_stateful(stream),
-            os.path.join(d, "out"), os.path.join(d, "ckpt"),
+        edges = lgr.host_edges(lgr.extract_outlinks(pages))
+        e = edges.select(
+            F.lit("edge").alias("stage"),
+            F.col("src_host").alias("a"),
+            F.col("dst_host").alias("b"),
+            F.col("weight").alias("n"),
         )
-        q.awaitTermination(300)
-        return spark.read.parquet(os.path.join(d, "out")).withColumn(
-            "sum_value", F.round("sum_value", 4)
+        deg = lgr.degree_stats(edges)
+        dd = deg.select(
+            F.lit("outdeg").alias("stage"), F.col("host").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.col("out_w").alias("n"),
+        ).unionByName(deg.select(
+            F.lit("indeg").alias("stage"), F.col("host").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.col("in_w").alias("n"),
+        ))
+        r = lgr.pagerank(edges, iterations=3).select(
+            F.lit("rank").alias("stage"), F.col("host").alias("a"),
+            F.lit(None).cast("string").alias("b"),
+            F.col("rank_u").alias("n"),
         )
+        return e.unionByName(dd).unionByName(r)
 
     # -------- relational competence (TPC-H-style over the star schema)
     def tpch_stages(spark, sf):
@@ -1372,8 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_row_chunks": table_row_chunks,
         "events_stages": events_stages,
         "doc_pack_windows": doc_pack_windows,
-        "events_stream_hourly": events_stream_hourly,
-        "events_stream_sessions": events_stream_sessions,
+        "events_stream_stages": events_stream_stages,
+        "web_linkgraph_stages": web_linkgraph_stages,
         "tpch_stages": tpch_stages,
         "doc_dsir": doc_dsir,
         "extract_chunks_docs": extract_chunks_docs,
@@ -1431,6 +1525,8 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
         ),
         "tpch_pricing_summary": _tpch_pricing,
         "tpch_revenue_by_nation": _tpch_revenue,
+        "events_stream_hourly": _events_stream_hourly,
+        "events_stream_sessions": _events_stream_sessions,
     }
 
 
@@ -2678,20 +2774,23 @@ def oracle_sql() -> dict[str, str]:
                      as win_tok_start
             from x
         """,
-        "events_stream_hourly": """
-            -- append-mode contract: only windows closed by the final
-            -- watermark (max ts - 2h) are emitted; a window [s, s+1h) is
-            -- closed when s+1h <= watermark
-            select date_trunc('hour', ts) as window_start, event_type,
-                   cast(count(*) as bigint) as n_events,
-                   round(sum(value), 4) as sum_value
-            from events
-            group by 1, 2
-            having date_trunc('hour', ts) + interval 1 hour
-                   <= (select max(ts) from events) - interval 2 hours
-        """,
-        "events_stream_sessions": """
-            with g as (
+        "events_stream_stages": """
+            -- both streaming parity contracts in one union:
+            -- hourly: append mode emits exactly the windows CLOSED by
+            -- the final watermark (max ts - 2h); a window [s, s+1h) is
+            -- closed when s+1h <= watermark.
+            -- session: only sessions CLOSED by a later event are
+            -- emitted, i.e. everything but each user's trailing session
+            with hourly as (
+              select date_trunc('hour', ts) as window_start, event_type,
+                     cast(count(*) as bigint) as n_events,
+                     round(sum(value), 4) as sum_value
+              from events
+              group by 1, 2
+              having date_trunc('hour', ts) + interval 1 hour
+                     <= (select max(ts) from events) - interval 2 hours
+            ),
+            g as (
               select user_id, ts, value,
                      case when epoch(ts) - lag(epoch(ts))
                                over (partition by user_id order by ts) > 1800
@@ -2706,13 +2805,104 @@ def oracle_sql() -> dict[str, str]:
                            min(ts) as session_start, max(ts) as session_end,
                            cast(count(*) as bigint) as n_events,
                            round(sum(value), 4) as sum_value
-                    from s group by user_id, session_seq)
-            -- append-mode contract: only sessions CLOSED by a later event
-            -- are emitted, i.e. everything but each user's trailing session
-            select user_id, session_start, session_end, n_events, sum_value
-            from agg
-            where session_seq < (select max(session_seq) from agg a2
-                                 where a2.user_id = agg.user_id)
+                    from s group by user_id, session_seq),
+            sess as (
+              select user_id, session_start, session_end, n_events, sum_value
+              from agg
+              where session_seq < (select max(session_seq) from agg a2
+                                   where a2.user_id = agg.user_id))
+            select 'hourly' as stage, event_type as grp,
+                   window_start as ts_a, cast(null as timestamp) as ts_b,
+                   n_events, sum_value
+            from hourly
+            union all
+            select 'session', cast(user_id as varchar), session_start,
+                   session_end, n_events, sum_value
+            from sess
+        """,
+        "web_linkgraph_stages": """
+            -- the anchor corpus is pure modular arithmetic over doc_id,
+            -- so the oracle rebuilds the host edges WITHOUT parsing
+            -- HTML: any error in the Spark-side regexp harvest, href
+            -- resolution or canonicalization breaks the edge rows, and
+            -- the unrolled BIGINT power iteration (floor division //,
+            -- exactly Spark's div) pins the pagerank stage bit-exact
+            with d as (select cast(doc_id as bigint) as d from documents),
+            links as (
+              select 'h' || cast((d*7)%20 as varchar) || '.example.com' as src,
+                     'h' || cast((d*13+1)%20 as varchar) || '.example.com' as dst
+              from d
+              union all
+              select 'h' || cast((d*7)%20 as varchar) || '.example.com',
+                     'h' || cast((d*13+2)%20 as varchar) || '.example.com'
+              from d
+              union all -- the root-relative anchor resolves to a self edge
+              select 'h' || cast((d*7)%20 as varchar) || '.example.com',
+                     'h' || cast((d*7)%20 as varchar) || '.example.com'
+              from d
+              union all -- every 10th doc links the sink host (dangling)
+              select 'h' || cast((d*7)%20 as varchar) || '.example.com',
+                     'h20.example.com'
+              from d where d % 10 = 0
+            ),
+            edges as (select src, dst, cast(count(*) as bigint) as w
+                      from links group by 1, 2),
+            nodes as (select distinct h from
+                      (select src as h from edges
+                       union all select dst from edges)),
+            nn as (select cast(count(*) as bigint) as n from nodes),
+            outw as (select src, sum(w) as ow from edges group by 1),
+            r0 as (select h, cast(1000000000 as bigint) // (select n from nn) as r
+                   from nodes),
+            d1 as (select coalesce(sum(r), 0) as dm from r0
+                   where h not in (select src from outw)),
+            c1 as (select e.dst as h, sum((r.r * e.w) // o.ow) as c
+                   from edges e join r0 r on r.h = e.src
+                   join outw o on o.src = e.src group by 1),
+            r1 as (select n.h,
+                     (cast(1000000000 as bigint) * 15) // (100 * (select n from nn))
+                     + (85 * (coalesce(c.c, 0)
+                              + (select dm from d1) // (select n from nn)))
+                       // 100 as r
+                   from nodes n left join c1 c on c.h = n.h),
+            d2 as (select coalesce(sum(r), 0) as dm from r1
+                   where h not in (select src from outw)),
+            c2 as (select e.dst as h, sum((r.r * e.w) // o.ow) as c
+                   from edges e join r1 r on r.h = e.src
+                   join outw o on o.src = e.src group by 1),
+            r2 as (select n.h,
+                     (cast(1000000000 as bigint) * 15) // (100 * (select n from nn))
+                     + (85 * (coalesce(c.c, 0)
+                              + (select dm from d2) // (select n from nn)))
+                       // 100 as r
+                   from nodes n left join c2 c on c.h = n.h),
+            d3 as (select coalesce(sum(r), 0) as dm from r2
+                   where h not in (select src from outw)),
+            c3 as (select e.dst as h, sum((r.r * e.w) // o.ow) as c
+                   from edges e join r2 r on r.h = e.src
+                   join outw o on o.src = e.src group by 1),
+            r3 as (select n.h,
+                     (cast(1000000000 as bigint) * 15) // (100 * (select n from nn))
+                     + (85 * (coalesce(c.c, 0)
+                              + (select dm from d3) // (select n from nn)))
+                       // 100 as r
+                   from nodes n left join c3 c on c.h = n.h),
+            degs as (select n.h,
+                       coalesce((select sum(w) from edges e
+                                 where e.src = n.h), 0) as out_w,
+                       coalesce((select sum(w) from edges e
+                                 where e.dst = n.h), 0) as in_w
+                     from nodes n)
+            select 'edge' as stage, src as a, dst as b, w as n from edges
+            union all
+            select 'outdeg', h, cast(null as varchar), cast(out_w as bigint)
+            from degs
+            union all
+            select 'indeg', h, cast(null as varchar), cast(in_w as bigint)
+            from degs
+            union all
+            select 'rank', h, cast(null as varchar), cast(r as bigint)
+            from r3
         """,
         "tpch_stages": """
             with p as (

@@ -1,0 +1,211 @@
+"""Web link-graph tier: outlink harvest, host-graph aggregation, degree
+stats and fixed-point PageRank centrality.
+
+The reference parses one page at a time and has no link-graph stage
+(its HTML path, deepdoc/parser/html_parser.py:26-46, never looks at
+anchors); this tier fills the training-data-pipeline gap — the
+host-level quality / crawl-prioritization signal every CC-scale
+curation stack derives from the anchor graph (Common Crawl publishes
+exactly this as its host-level web graph; CCNet/RefinedWeb use host
+reputation as a filter input alongside the content signals this repo
+already computes in weburl.host_stats).
+
+Plan shapes at 100 TB:
+
+- ``extract_outlinks`` is one native projection (``regexp_extract_all``
+  -> ``explode`` -> resolve/canonicalize expression tree): zero Python,
+  zero shuffles, runs inside whole-stage codegen right off the page
+  scan; column pruning reaches the parquet reader (only url + html are
+  read).
+- ``host_edges`` is one groupBy(src,dst) with map-side partial
+  aggregation — the same single-shuffle shape as exact dedup.
+- ``degree_stats`` is two aliased aggregations of the (already tiny)
+  edge table joined host-to-host.
+- ``pagerank`` keeps two distributed tables (ranks, out-weighted
+  edges); each iteration is one join (shuffle on src) + one aggregation
+  (shuffle on dst). The only driver traffic is N (one count) and the
+  dangling-mass scalar per iteration — the dup_clusters precedent.
+  ``localCheckpoint`` per iteration cuts the growing lineage. Hot
+  destination hosts skew the dst aggregation, but sum is algebraic so
+  map-side partial aggregation absorbs the skew before the shuffle; no
+  salting needed.
+- All rank mass is BIGINT nano-units with floor division (``div``), so
+  sums are order-free and the DuckDB oracle matches bit-exact — the
+  DSIR micro-nat / winnowing HUGEINT pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ragflow_spark.operators.weburl import _URL_RE, canonical_url, host_of
+
+# href values: group 1 of the first href attribute inside an <a ...> tag;
+# both quote styles, attribute order free. Java regex only (codegen).
+_HREF_RE = r"(?i)<a\s[^>]*?href\s*=\s*[\"']([^\"'<>]*)[\"']"
+
+# schemes that never yield a fetchable document edge
+_NON_FETCH_RE = r"(?i)^(javascript|mailto|tel|data|about):"
+
+
+def resolve_href(base_url: Column, href: Column) -> Column:
+    """Absolutize ``href`` against ``base_url`` (RFC 3986 §5 merge, the
+    subset real anchors hit): full URLs pass through, ``//host/x`` takes
+    the base scheme, ``/x`` takes the base origin, relative paths merge
+    onto the base path's directory. Pure expression tree, no UDF."""
+    href = F.trim(F.regexp_replace(href, r"#.*$", ""))  # fragment: client-side only
+    scheme = F.lower(F.regexp_extract(base_url, _URL_RE, 1))
+    origin = F.concat(
+        scheme, F.lit("://"), F.lower(F.regexp_extract(base_url, _URL_RE, 2))
+    )
+    base_dir = F.regexp_replace(
+        F.regexp_extract(base_url, _URL_RE, 3), r"[^/]*$", ""
+    )
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    return (
+        F.when(href.rlike(r"(?i)^[a-z][a-z0-9+.\-]*:"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+
+
+def extract_outlinks(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per (page, anchor): src_url, raw href, resolved canonical
+    dst_url, src_host, dst_host. Binary html decodes as UTF-8 (the pages
+    contract); empty/fragment-only/non-fetchable hrefs are dropped."""
+    html_str = F.col(html_col).cast("string")
+    raw = df.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1))
+        ).alias("href"),
+    )
+    href = F.trim(F.regexp_replace(F.col("href"), r"#.*$", ""))
+    resolved = resolve_href(F.col("src_url"), F.col("href"))
+    return (
+        raw.where(
+            (href != "") & ~href.rlike(_NON_FETCH_RE)
+        )
+        .select(
+            "src_url",
+            "href",
+            canonical_url(resolved).alias("dst_url"),
+            host_of(F.col("src_url")).alias("src_host"),
+            host_of(resolved).alias("dst_host"),
+        )
+    )
+
+
+def host_edges(outlinks: DataFrame) -> DataFrame:
+    """Host-level weighted edge list: one shuffle with map-side combine.
+    Self-edges are kept (they carry the root-relative-link signal and
+    PageRank handles them like any edge); unparseable hosts drop."""
+    return (
+        outlinks.where((F.col("src_host") != "") & (F.col("dst_host") != ""))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-host link-weight totals: out_w / in_w (0 when absent). The
+    classic spam shape is high out_w with near-zero in_w."""
+    out_w = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("weight").alias("out_w")
+    )
+    in_w = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("weight").alias("in_w")
+    )
+    return (
+        out_w.join(in_w, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+        )
+    )
+
+
+SCALE = 10**9  # total rank mass in nano-units
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank by power iteration in exact BIGINT nano-units.
+
+    rank_0(v)   = SCALE div N
+    contrib(v)  = sum over in-edges (u,v,w): rank(u) * w div out_w(u)
+    rank_i+1(v) = SCALE*(den-num) div (den*N)
+                  + num * (contrib(v) + dangling div N) div den
+
+    where dangling is the rank mass sitting on hosts with no out-edges,
+    redistributed uniformly. Every operation is integer floor division
+    on non-negative values, so Spark ``div`` and DuckDB ``//`` agree
+    bit-for-bit and sums are order-independent — the oracle needs no
+    float rounding. Total mass stays <= SCALE (floors only shed mass),
+    so rank_u * w stays far under bigint range for any real host fan-in.
+
+    Returns (host, rank_u) with sum(rank_u) ~= SCALE.
+    """
+    e = edges.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("weight").cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("host", F.lit(0).cast("long").alias("rank_u"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e_n = e.join(out_w, "src").localCheckpoint()  # reused every iteration
+    out_hosts = out_w.select(F.col("src").alias("host")).localCheckpoint()
+    base = (SCALE * (damping_den - damping_num)) // (damping_den * n)
+    r = nodes.select(
+        "host", F.lit(SCALE // n).cast("long").alias("rank_u")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        dangling = (
+            r.join(out_hosts, "host", "left_anti")
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).alias("d"))
+            .collect()[0]["d"]
+        )  # one scalar to the driver per iteration
+        share = int(dangling) // n
+        contrib = (
+            e_n.join(r.withColumnRenamed("host", "src"), "src")
+            .select(
+                "dst", F.expr("(rank_u * w) div out_w").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        r = (
+            nodes.join(
+                contrib, nodes["host"] == contrib["dst"], "left"
+            )
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(contrib, 0L) + {share}))"
+                        f" div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_u"),
+            )
+            .localCheckpoint()
+        )
+    return r

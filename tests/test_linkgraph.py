@@ -1,0 +1,159 @@
+"""Link-graph tier: outlink harvest, host edges, degree stats, and the
+fixed-point PageRank — Spark results checked against an independent
+pure-Python reimplementation of the same integer arithmetic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators import linkgraph as lg
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+# ------------------------------------------------- outlink extraction
+
+
+def test_extract_outlinks_resolution_branches(spark):
+    html = (
+        '<p>x</p>'
+        '<a href="https://other.com/abs">abs</a>'
+        "<a href='//proto.com/p'>proto</a>"
+        '<a href="/root/r">root</a>'
+        '<a href="sib.html">rel</a>'
+        '<a href="#frag">frag-only</a>'
+        '<a href="/keep#frag">frag-strip</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:a@b.c">mail</a>'
+        '<a class="x" href="https://Attr.Order.com/">attr</a>'
+    )
+    df = _pages(spark, [("https://src.com/dir/page.html", html)])
+    out = lg.extract_outlinks(df).orderBy("href").collect()
+    by_href = {r["href"]: r for r in out}
+    assert "javascript:void(0)" not in by_href
+    assert "mailto:a@b.c" not in by_href
+    assert "#frag" not in by_href and "" not in by_href
+    assert by_href["https://other.com/abs"]["dst_host"] == "other.com"
+    assert by_href["//proto.com/p"]["dst_url"] == "https://proto.com/p"
+    assert by_href["/root/r"]["dst_url"] == "https://src.com/root/r"
+    # relative path merges onto the base directory
+    assert by_href["sib.html"]["dst_url"] == "https://src.com/dir/sib.html"
+    # fragment stripped before resolution
+    assert by_href["/keep#frag"]["dst_url"] == "https://src.com/keep"
+    # canonicalization lowercases the host
+    assert by_href['https://Attr.Order.com/']["dst_host"] == "attr.order.com"
+    assert all(r["src_host"] == "src.com" for r in out)
+
+
+def test_extract_outlinks_binary_html_and_quotes(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/", bytearray(b'<a href="https://b.com/x">l</a>'))],
+        "url string, html binary",
+    )
+    out = lg.extract_outlinks(df).collect()
+    assert len(out) == 1 and out[0]["dst_host"] == "b.com"
+
+
+def test_extract_outlinks_is_pure_projection(spark):
+    df = _pages(spark, [("https://a.com/", "<a href='/x'>y</a>")])
+    plan = lg.extract_outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: harvest is a projection
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ------------------------------------------------- edges and degrees
+
+
+def _edges(spark):
+    rows = [
+        ("a.com", "b.com", 3),
+        ("a.com", "c.com", 1),
+        ("b.com", "a.com", 2),
+        ("b.com", "b.com", 1),  # self edge
+        ("c.com", "sink.com", 5),  # sink.com: dangling (no out-edges)
+    ]
+    return spark.createDataFrame(
+        rows, "src_host string, dst_host string, weight long"
+    )
+
+
+def test_host_edges_aggregates_and_keeps_self(spark):
+    pages = _pages(
+        spark,
+        [
+            ("https://a.com/1", '<a href="https://b.com/x">l</a>'
+             '<a href="https://b.com/y">l</a><a href="/self">s</a>'),
+            ("https://a.com/2", '<a href="https://b.com/z">l</a>'),
+        ],
+    )
+    edges = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in lg.host_edges(lg.extract_outlinks(pages)).collect()
+    }
+    assert edges == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+
+
+def test_degree_stats(spark):
+    d = {r["host"]: (r["out_w"], r["in_w"])
+         for r in lg.degree_stats(_edges(spark)).collect()}
+    assert d["a.com"] == (4, 2)
+    assert d["b.com"] == (3, 4)
+    assert d["c.com"] == (5, 1)
+    assert d["sink.com"] == (0, 5)  # classic dangling sink
+
+
+# ------------------------------------------------------ pagerank math
+
+
+def _pagerank_py(edges, iterations=3, num=85, den=100):
+    """Independent reimplementation: same integer contract, plain dicts."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: lg.SCALE // n for v in nodes}
+    base = lg.SCALE * (den - num) // (den * n)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in out_w)
+        share = dangling // n
+        contrib = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += r[s] * w // out_w[s]
+        r = {v: base + num * (contrib[v] + share) // den for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_pagerank_matches_reference_math(spark, iterations):
+    rows = [
+        ("a.com", "b.com", 3), ("a.com", "c.com", 1), ("b.com", "a.com", 2),
+        ("b.com", "b.com", 1), ("c.com", "sink.com", 5),
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_host string, dst_host string, weight long"
+    )
+    got = {r["host"]: r["rank_u"]
+           for r in lg.pagerank(edges, iterations=iterations).collect()}
+    assert got == _pagerank_py(rows, iterations=iterations)
+
+
+def test_pagerank_mass_conservation_and_sink_gain(spark):
+    res = {r["host"]: r["rank_u"]
+           for r in lg.pagerank(_edges(spark), iterations=3).collect()}
+    total = sum(res.values())
+    # floors only shed mass: total within n*iters*small of SCALE
+    assert lg.SCALE * 0.98 < total <= lg.SCALE
+    # the sink receives a heavy in-edge: it must out-rank its source
+    assert res["sink.com"] > res["c.com"]
+
+
+def test_pagerank_plan_has_no_cartesian_or_python(spark):
+    edges = _edges(spark)
+    plan = (
+        lg.pagerank(edges, iterations=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
