@@ -1081,7 +1081,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("b"),
             F.col("rank_u").alias("n"),
         )
-        return e.unionByName(dd).unionByName(r)
+        # stage='anchor': the well-formed-anchor text harvest (inner
+        # tags stripped); the synthetic corpus labels anchors a/b/c/s
+        # with arithmetic multiplicities, so the counts pin the
+        # anchor-pair extraction and its filters
+        at = (
+            lgr.extract_anchor_texts(pages)
+            .groupBy("text")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.lit("anchor").alias("stage"), F.col("text").alias("a"),
+                F.lit(None).cast("string").alias("b"), F.col("n"),
+            )
+        )
+        return e.unionByName(dd).unionByName(r).unionByName(at)
 
     # -------- relational competence (TPC-H-style over the star schema)
     def tpch_stages(spark, sf):
@@ -2903,6 +2916,17 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'rank', h, cast(null as varchar), cast(r as bigint)
             from r3
+            union all -- anchor texts: a/b/c on every page, s on every
+                      -- 10th; javascript: and fragment-only anchors
+                      -- must not be counted
+            select 'anchor', t.t, cast(null as varchar),
+                   cast(count(*) as bigint)
+            from d cross join (values ('a'), ('b'), ('c')) t(t)
+            group by t.t
+            union all
+            select 'anchor', 's', cast(null as varchar),
+                   cast(count(*) as bigint)
+            from d where d % 10 = 0
         """,
         "tpch_stages": """
             with p as (

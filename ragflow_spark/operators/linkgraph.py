@@ -99,6 +99,45 @@ def extract_outlinks(
     )
 
 
+# a WELL-FORMED anchor: opening tag with href + inner content + close.
+# Two extract_all runs over the same pattern align index-for-index, so
+# arrays_zip pairs each href with its own inner HTML. Unclosed anchors
+# (which extract_outlinks still harvests) simply don't match here.
+_ANCHOR_RE = (
+    r"(?i)<a\s[^>]*?href\s*=\s*[\"']([^\"'<>]*)[\"'][^>]*>"
+    r"((?:(?!</?a[\s>/]).)*)</a>"  # inner run stops at any nested <a
+)  # -- so an unclosed anchor never swallows its well-formed successor
+
+
+def extract_anchor_texts(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per well-formed anchor: (src_url, href, text) with inner
+    tags stripped and whitespace collapsed — the anchor-text signal
+    (link-context quality, title enrichment, anchor-based labels).
+    Same zero-UDF / zero-shuffle projection shape as the href harvest;
+    non-fetchable and empty hrefs drop under the same rules."""
+    html_str = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), F.lit(1)),
+        F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), F.lit(2)),
+    )
+    raw = df.select(
+        F.col(url_col).alias("src_url"), F.explode(pairs).alias("pr")
+    ).select(
+        "src_url",
+        F.col("pr")["0"].alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("pr")["1"], r"<[^>]*>", " "),
+                r"\s+", " ",
+            )
+        ).alias("text"),
+    )
+    href = F.trim(F.regexp_replace(F.col("href"), r"#.*$", ""))
+    return raw.where((href != "") & ~href.rlike(_NON_FETCH_RE))
+
+
 def host_edges(outlinks: DataFrame) -> DataFrame:
     """Host-level weighted edge list: one shuffle with map-side combine.
     Self-edges are kept (they carry the root-relative-link signal and

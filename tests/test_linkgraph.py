@@ -62,6 +62,29 @@ def test_extract_outlinks_is_pure_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_extract_anchor_texts(spark):
+    html = (
+        '<a href="https://b.com/x"><b>Bold</b>  link</a>'
+        '<a href="/y">plain</a>'
+        '<a href="javascript:x">js</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="/unclosed">no close'
+        '<a href="/z" class="c">with attrs</a>'
+    )
+    df = _pages(spark, [("https://a.com/", html)])
+    rows = sorted(
+        (r["href"], r["text"])
+        for r in lg.extract_anchor_texts(df).collect()
+    )
+    # tags stripped + whitespace collapsed; javascript/fragment-only
+    # filtered; the unclosed anchor neither appears nor swallows /z
+    assert rows == [
+        ("/y", "plain"),
+        ("/z", "with attrs"),
+        ("https://b.com/x", "Bold link"),
+    ]
+
+
 # ------------------------------------------------- edges and degrees
 
 
