@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Cluster entrypoint for the link-graph tier: pages in, host graph +
+centrality out — the host-reputation side-channel the curation tier
+joins against (weburl.host_stats carries the content signals; this job
+carries the graph signals).
+
+    spark-submit --py-files dist/ragflow_spark.zip jobs/linkgraph_job.py \
+        --input  <pages parquet: url + html(binary|string)> \
+        --output <dir: edges/ degrees/ ranks/ written beneath> \
+        [--url-col url] [--html-col html] [--iterations 3]
+        [--anchors]   also write anchors/ (href + cleaned anchor text)
+
+Outputs (all parquet):
+- edges/    (src_host, dst_host, weight) — one aggregation shuffle
+- degrees/  (host, out_w, in_w)
+- ranks/    (host, rank_u) — fixed-point PageRank in nano-units of
+  total mass 1e9; deterministic for a given graph regardless of
+  partitioning (BIGINT floor arithmetic, order-free sums)
+- anchors/  (src_url, href, text) when --anchors is given
+
+Build the zip with: python tools/package.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--html-col", default="html")
+    ap.add_argument("--iterations", type=int, default=3)
+    ap.add_argument("--anchors", action="store_true")
+    args = ap.parse_args()
+
+    from ragflow_spark.operators import linkgraph as lg
+    from ragflow_spark.session import get_spark
+
+    spark = get_spark(app_name="ragflow_spark_linkgraph")
+    pages = spark.read.parquet(args.input)
+
+    outlinks = lg.extract_outlinks(pages, args.url_col, args.html_col)
+    edges = lg.host_edges(outlinks)
+    edges.write.mode("overwrite").parquet(
+        os.path.join(args.output, "edges"))
+    # reread so degree/rank iterate over the materialized (tiny) edge
+    # table instead of re-scanning the page corpus per iteration
+    edges = spark.read.parquet(os.path.join(args.output, "edges"))
+
+    lg.degree_stats(edges).write.mode("overwrite").parquet(
+        os.path.join(args.output, "degrees"))
+    lg.pagerank(edges, iterations=args.iterations).write.mode(
+        "overwrite").parquet(os.path.join(args.output, "ranks"))
+
+    if args.anchors:
+        lg.extract_anchor_texts(
+            pages, args.url_col, args.html_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "anchors"))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
