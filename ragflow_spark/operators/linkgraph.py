@@ -43,6 +43,10 @@ from ragflow_spark.operators.weburl import _URL_RE, canonical_url, host_of
 # href values: group 1 of the first href attribute inside an <a ...> tag;
 # both quote styles, attribute order free. Java regex only (codegen).
 _HREF_RE = r"(?i)<a\s[^>]*?href\s*=\s*[\"']([^\"'<>]*)[\"']"
+# the unquoted variant browsers/libxml2 also accept (<a href=/x rel=y>):
+# value runs to the first whitespace or '>', first char must not be a
+# quote so the two patterns never double-count one anchor
+_HREF_UNQ_RE = r"(?i)<a\s[^>]*?href\s*=\s*([^\"'\s>][^\s>]*)"
 
 # schemes that never yield a fetchable document edge
 _NON_FETCH_RE = r"(?i)^(javascript|mailto|tel|data|about):"
@@ -80,7 +84,12 @@ def extract_outlinks(
     raw = df.select(
         F.col(url_col).alias("src_url"),
         F.explode(
-            F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1))
+            F.concat(
+                F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1)),
+                F.regexp_extract_all(
+                    html_str, F.lit(_HREF_UNQ_RE), F.lit(1)
+                ),
+            )
         ).alias("href"),
     )
     href = F.trim(F.regexp_replace(F.col("href"), r"#.*$", ""))

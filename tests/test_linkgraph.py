@@ -46,6 +46,17 @@ def test_extract_outlinks_resolution_branches(spark):
     assert all(r["src_host"] == "src.com" for r in out)
 
 
+def test_extract_outlinks_unquoted_href(spark):
+    html = ('<a href=/rel rel=nofollow>u</a>'
+            '<a href=https://q.com/x>abs</a>'
+            '<a href="/quoted">q</a>')
+    df = _pages(spark, [("https://a.com/", html)])
+    got = sorted(r["dst_url"] for r in lg.extract_outlinks(df).collect())
+    assert got == [
+        "https://a.com/quoted", "https://a.com/rel", "https://q.com/x",
+    ]
+
+
 def test_extract_outlinks_binary_html_and_quotes(spark):
     df = spark.createDataFrame(
         [("https://a.com/", bytearray(b'<a href="https://b.com/x">l</a>'))],
