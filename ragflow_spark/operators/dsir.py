@@ -32,6 +32,15 @@ per corpus so λ is computed driver-side (the lm.py model-collect
 precedent) and broadcast back; per-doc weights are ONE shuffle on the
 doc id with map-side partial sums; top-k is TakeOrderedAndProject (no
 global sort materialization). Nothing driver-side exceeds O(B).
+
+The raw corpus is featurized exactly ONCE: ``dsir_select`` persists the
+per-(doc, bucket) count frame so the model-fit collect materializes it
+and the scoring query reads the cache instead of re-running the
+explode+md5 pass (the dedup ``_rs_cached``/``release`` convention). At
+crawl scale the same two-phase shape writes that frame to a table
+between the model job and the scoring job — persist is the in-session
+analogue, and the frame is the post-aggregation slim one (ints only,
+grams already dead), not the corpus.
 """
 
 from __future__ import annotations
@@ -256,13 +265,20 @@ def dsir_select(
 ) -> DataFrame:
     """End-to-end DSIR: featurize both corpora, fit the ratio model,
     weight every raw doc, Gumbel-top-k. Returns the k selected rows
-    (id, n_grams, weight_micro, gumbel_micro, key_micro)."""
-    raw_dbc = doc_bucket_counts(raw, id_col, text_col, num_buckets)
+    (id, n_grams, weight_micro, gumbel_micro, key_micro).
+
+    The raw featurized frame is persisted (see module docstring): the
+    raw-model collect materializes it, the returned query reads the
+    cache. Release via ``ragflow_spark.operators.dedup.release`` after
+    the consuming action."""
+    raw_dbc = doc_bucket_counts(raw, id_col, text_col, num_buckets).persist()
     tgt_g = gram_buckets(target, id_col, text_col, num_buckets)
     raw_counts = raw_dbc.groupBy("bucket").agg(F.sum("n").alias("n"))
     ratios = dsir_log_ratios(
         bucket_counts(tgt_g), raw_counts, num_buckets
     )
-    return dsir_resample(
+    out = dsir_resample(
         dsir_weights(raw_dbc, ratios, id_col), id_col, k, seed
     )
+    out._rs_cached = [raw_dbc]
+    return out
