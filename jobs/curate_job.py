@@ -205,31 +205,35 @@ def main() -> None:
         if args.dsir_model:
             ratios, nb, default_lam = dsir_ops.dsir_load(
                 spark, args.dsir_model)
+            dbc = dsir_ops.doc_bucket_counts(kept, idc, txt, nb)
         else:
             nb, default_lam = args.dsir_buckets, None
             target = spark.read.parquet(args.dsir_target)
-            raw_counts_src = dsir_ops.doc_bucket_counts(
-                kept, idc, txt, nb)
+            # persisted: the model-fit collect materializes the
+            # featurized frame, the weight pass reads the cache — one
+            # corpus pass (dsir.py module docstring)
+            dbc = dsir_ops.doc_bucket_counts(
+                kept, idc, txt, nb).persist()
             ratios = dsir_ops.dsir_log_ratios(
                 dsir_ops.bucket_counts(
                     dsir_ops.gram_buckets(target, idc, txt, nb)),
-                raw_counts_src.groupBy("bucket").agg(
-                    F.sum("n").alias("n")),
+                dbc.groupBy("bucket").agg(F.sum("n").alias("n")),
                 nb,
             )
         if args.save_dsir_model:
             dsir_ops.dsir_save(ratios, nb, args.save_dsir_model)
         w = dsir_ops.dsir_weights(
-            dsir_ops.doc_bucket_counts(kept, idc, txt, nb),
-            ratios, idc, default_lambda_micro=default_lam,
+            dbc, ratios, idc, default_lambda_micro=default_lam,
         )
         sel = dsir_ops.dsir_resample(
             w, idc, args.dsir_k, seed=args.dsir_seed
         ).select(idc, "weight_micro", "key_micro")
         # k selected ids are tiny next to docs — broadcast semi shape
         kept = kept.join(F.broadcast(sel), on=idc)
-
-    kept.write.mode("overwrite").parquet(args.output)
+        kept.write.mode("overwrite").parquet(args.output)
+        dbc.unpersist()
+    else:
+        kept.write.mode("overwrite").parquet(args.output)
     if args.summary:
         curation_summary(flags).write.mode("overwrite").parquet(args.summary)
     spark.stop()
