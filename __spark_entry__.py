@@ -1506,8 +1506,38 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
     REGISTRY_CONSOLIDATIONS) but kept timeable under their original
     names so bench.py's per-query lines stay comparable round over
     round. Each builds exactly the DataFrame the registry entry built
-    before its consolidation."""
-    from ragflow_spark.operators import dedup, events, similarity
+    before its consolidation.
+
+    Also carries BENCH-ONLY queries that never had a registry slot (the
+    50-cap): ``web_url_quality``, whose bit-exact correctness gate is
+    the DuckDB twin in tests/test_weburl.py instead of a driver oracle
+    row."""
+    from ragflow_spark.operators import dedup, events, similarity, weburl
+
+    def web_url_quality(spark, sf):
+        """RefinedWeb-style URL word-score scrub over synthesized urls
+        (1-in-7 hard-hit hosts, 1-in-5 triple-soft paths — the
+        curate_job --url-col demo distribution)."""
+        d = _docs(spark, sf)
+        urls = d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("https://freeporn"),
+                         F.col("doc_id").cast("string"),
+                         F.lit(".example/x")),
+            ).when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("https://adult-dating-webcam.example/p/"),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(
+                F.concat(F.lit("https://www.site"),
+                         (F.col("doc_id") % 20).cast("string"),
+                         F.lit(".com/p/"),
+                         F.col("doc_id").cast("string")),
+            ).alias("url"),
+        )
+        return weburl.url_quality_flags(urls, "url", id_col="doc_id")
 
     def doc_simhash(spark, sf):
         return dedup.simhash64(_docs(spark, sf), "doc_id", "text")
@@ -1545,6 +1575,7 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
         "tpch_revenue_by_nation": _tpch_revenue,
         "events_stream_hourly": _events_stream_hourly,
         "events_stream_sessions": _events_stream_sessions,
+        "web_url_quality": web_url_quality,
     }
 
 

@@ -78,6 +78,11 @@ def main() -> None:
                          "heuristic would just re-apply the heuristic)")
     ap.add_argument("--host-max-dup", type=float, default=0.5)
     ap.add_argument("--host-max-qfail", type=float, default=0.5)
+    ap.add_argument("--url-col", default=None,
+                    help="opt the RefinedWeb-style URL word-score gate in "
+                         "as the FIRST curation rule (drop_reason "
+                         "'bad_url')")
+    ap.add_argument("--url-fail-milli", type=int, default=1000)
     ap.add_argument("--dsir-target", default=None,
                     help="target-corpus parquet (same id/text col names): "
                          "fit a DSIR ratio model and keep the --dsir-k "
@@ -129,6 +134,8 @@ def main() -> None:
         max_dup_bigram=args.max_dup_bigram,
         gopher_quality=args.gopher,
         c4_page_rules=args.c4_pages,
+        url_col=args.url_col,
+        url_fail_milli=args.url_fail_milli,
     )
     kept = docs.join(flags.filter(F.col("keep") == 1), on=idc)
 

@@ -41,12 +41,21 @@ def curate(
     max_dup_bigram: float = 0.2,
     gopher_quality: bool = False,
     c4_page_rules: bool = False,
+    url_col: str | None = None,
+    url_fail_milli: int = 1000,
 ) -> DataFrame:
     """One row per document: language, token count, per-family keep flags,
     the composed ``keep`` bit and the FIRST failing rule as ``drop_reason``
-    (precedence: too_short → too_long → bad_lang → low_quality →
-    repetitive → [gopher_quality → c4_page] → duplicate; duplicates keep
-    their min-id representative, matching ``exact_dedup_groups``).
+    (precedence: [bad_url →] too_short → too_long → bad_lang →
+    low_quality → repetitive → [gopher_quality → c4_page] → duplicate;
+    duplicates keep their min-id representative, matching
+    ``exact_dedup_groups``).
+
+    ``url_col`` opts the RefinedWeb-style URL word-score gate
+    (weburl.url_quality_columns) into the same projection as the FIRST
+    rule — URL filtering precedes every content rule in the published
+    pipelines because it needs zero content bytes; the output then also
+    carries ``url_keep``.
 
     ``gopher_quality`` / ``c4_page_rules`` opt the full published rule
     sets (textstats.gopher_quality_columns / c4_line_columns) into the
@@ -100,10 +109,33 @@ def curate(
     )
     repetition_keep = (dup_word <= max_dup_word) & (dup_bigram <= max_dup_bigram)
 
+    url_keep_col = []
+    if url_col is not None:
+        from ragflow_spark.operators.weburl import (
+            host_of,
+            url_quality_columns,
+            url_words,
+        )
+
+        # stage the word array / host once per row (url_words docstring:
+        # the lambda-filter is outside codegen, so an inlined copy would
+        # re-split the URL per bank word; CollapseProject keeps a
+        # non-cheap multi-referenced stage)
+        df = df.withColumns({
+            "_uwords": url_words(F.col(url_col)),
+            "_uhost": host_of(F.col(url_col)),
+        })
+        uq = url_quality_columns(
+            F.col(url_col), fail_milli=url_fail_milli,
+            words=F.col("_uwords"), host=F.col("_uhost"),
+        )
+        url_keep_col = [uq["url_keep"].cast("boolean").alias("_uk")]
+
     staged = df.select(
         F.col(id_col),
         n.alias("n_tokens"),
         pred.alias("pred_lang"),
+        *url_keep_col,
         quality_keep.alias("_qk"),
         repetition_keep.alias("_rk"),
         # auditable PII volume (r7): counts only, masking is a separate
@@ -134,8 +166,12 @@ def curate(
         if allowed_langs
         else F.lit(False)
     )
+    reason = F.when(F.lit(False), "never")
+    if url_col is not None:
+        reason = reason.when(~F.col("_uk"), "bad_url")
     reason = (
-        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        reason
+        .when(F.col("n_tokens") < min_tokens, "too_short")
         .when(F.col("n_tokens") > max_tokens, "too_long")
         .when(bad_lang, "bad_lang")
         .when(~F.col("_qk"), "low_quality")
@@ -150,6 +186,10 @@ def curate(
         F.col(id_col),
         "pred_lang",
         "n_tokens",
+        *(
+            [F.col("_uk").cast("int").alias("url_keep")]
+            if url_col is not None else []
+        ),
         F.col("_qk").cast("int").alias("quality_keep"),
         F.col("_rk").cast("int").alias("repetition_keep"),
         "pii_hits",

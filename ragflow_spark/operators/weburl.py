@@ -118,9 +118,13 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
 
 def host_of(url: Column) -> Column:
     """Lowercased host of an absolute URL ('' when unparseable) — the
-    grouping key for per-domain stats and caps."""
+    grouping key for per-domain stats and caps. Userinfo-safe (r7,
+    matching ``canonical_url``): ``user:pass@host`` yields ``host``,
+    not ``user``."""
     return F.lower(
-        F.regexp_extract(F.regexp_extract(url, _URL_RE, 2), r"^([^:]*)", 1)
+        F.regexp_extract(
+            F.regexp_extract(url, _URL_RE, 2), r"^(?:[^@]*@)?([^:@]*)", 1
+        )
     )
 
 
@@ -269,3 +273,192 @@ def host_stats(
         )
         .drop("_modal")
     )
+
+
+# ------------------------------------------------------------ URL quality
+
+# (word, weight_milli, hard) — the RefinedWeb-style URL word bank
+# (Penedo et al. 2023 §3.1: URL filtering by a weighted banned-word
+# score BEFORE any content is parsed; C4 applied the same idea with its
+# public badwords list). HARD words are unambiguous and also match as
+# SUBSTRINGS of the host (concatenated-word domains); SOFT words are
+# ambiguous in isolation and match only as whole URL words — substring
+# matching of soft words is deliberately off (the documented C4 failure
+# mode: "sex" as a substring bans essex.ac.uk / sussex.ac.uk). One hard
+# hit reaches the default fail threshold on its own; soft words need
+# three distinct hits. The bank is a PARAMETER (production swaps in the
+# UT1-scale list); this built-in set is the demo default, sized for
+# tests.
+URL_WORD_BANK: list[tuple[str, int, bool]] = [
+    ("porn", 1000, True),
+    ("xxx", 1000, True),
+    ("hentai", 1000, True),
+    ("viagra", 1000, True),
+    ("warez", 1000, True),
+    ("sex", 334, False),
+    ("adult", 334, False),
+    ("escort", 334, False),
+    ("casino", 334, False),
+    ("poker", 334, False),
+    ("torrent", 334, False),
+    ("pills", 334, False),
+    ("dating", 334, False),
+    ("webcam", 334, False),
+]
+
+URL_FAIL_MILLI = 1000
+
+# shared verbatim with the DuckDB twin: URL words are the non-empty
+# maximal [a-z0-9] runs of the lowercased URL
+_URL_WORD_SPLIT = r"[^a-z0-9]+"
+
+
+def url_words(url: Column) -> Column:
+    """The URL's word array (non-empty maximal [a-z0-9] runs of the
+    lowercased URL) — pre-stage this in a narrow select when the bank is
+    scored over it: the lambda-filter keeps the projection out of
+    whole-stage codegen, so subexpression elimination never runs and an
+    inlined copy would re-split the URL once per bank word.
+    CollapseProject leaves a staged non-cheap column alone when it is
+    referenced more than once, so the stage survives optimization."""
+    return F.filter(F.split(F.lower(url), _URL_WORD_SPLIT), lambda x: x != "")
+
+
+def url_quality_columns(
+    url: Column,
+    bank: list[tuple[str, int, bool]] | None = None,
+    fail_milli: int = URL_FAIL_MILLI,
+    words: Column | None = None,
+    host: Column | None = None,
+) -> dict[str, Column]:
+    """URL-only quality signals as named native expressions — the
+    cheapest filter a web pipeline owns, running before a single content
+    byte is parsed (RefinedWeb §3.1 runs it first for exactly that
+    reason). Zero UDFs, zero shuffles: a word-array build, a flat sum of
+    presence terms over the bank, and a few host regexes, one projection.
+
+    Pass pre-staged ``words`` / ``host`` columns (``url_words`` /
+    ``host_of`` selected once in a parent projection) so the split and
+    the host extraction run once per row instead of once per bank word —
+    see ``url_words`` for why codegen can't do this for free here.
+
+    Columns: ``url_host`` (userinfo-safe lowercased host), ``url_len``,
+    ``is_ip_host`` (dotted-quad host), ``host_digit_milli`` (per-mille
+    digit share of the host), ``n_path_segments``, ``url_score_milli``
+    (Σ weight over distinct bank hits; hard words also substring-match
+    the host, counted once), ``url_keep`` (score < ``fail_milli``).
+    All integer arithmetic — bit-exact across engines."""
+    if bank is None:
+        bank = URL_WORD_BANK
+    if host is None:
+        host = host_of(url)
+    if words is None:
+        words = url_words(url)
+    score = F.lit(0)
+    for word, weight, hard in bank:
+        word_hit = F.array_contains(words, word)
+        hit = (word_hit | (F.instr(host, word) > 0)) if hard else word_hit
+        score = score + F.when(hit, F.lit(weight)).otherwise(F.lit(0))
+    score = score.cast("int")
+    path = F.regexp_extract(url, _URL_RE, 3)
+    return {
+        "url_host": host,
+        "url_len": F.length(url).cast("int"),
+        "is_ip_host": host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$").cast(
+            "int"
+        ),
+        "host_digit_milli": F.when(
+            F.length(host) > 0,
+            F.floor(
+                F.length(F.regexp_replace(host, r"[^0-9]", "")) * 1000
+                / F.length(host)
+            ),
+        ).otherwise(F.lit(0)).cast("int"),
+        "n_path_segments": F.size(
+            F.filter(F.split(path, "/"), lambda x: x != "")
+        ).cast("int"),
+        "url_score_milli": score,
+        "url_keep": (score < F.lit(fail_milli)).cast("int"),
+    }
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str,
+    id_col: str | None = None,
+    bank: list[tuple[str, int, bool]] | None = None,
+    fail_milli: int = URL_FAIL_MILLI,
+) -> DataFrame:
+    """One row per input row: the URL plus every ``url_quality_columns``
+    signal — the auditable URL-scrub table. Two-level projection: the
+    word array and host are staged once per row, the bank scores over
+    the staged columns (see ``url_words``)."""
+    head = [F.col(id_col)] if id_col else []
+    staged = df.select(
+        *head,
+        F.col(url_col),
+        url_words(F.col(url_col)).alias("_words"),
+        host_of(F.col(url_col)).alias("_host"),
+    )
+    cols = url_quality_columns(
+        F.col(url_col), bank, fail_milli,
+        words=F.col("_words"), host=F.col("_host"),
+    )
+    return staged.select(
+        *head, F.col(url_col), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def url_quality_oracle_exprs(
+    url_sql: str,
+    bank: list[tuple[str, int, bool]] | None = None,
+    fail_milli: int = URL_FAIL_MILLI,
+) -> dict[str, str]:
+    """DuckDB twins of ``url_quality_columns`` over the SQL expression
+    ``url_sql`` — same split regex, same bank, same integer arithmetic
+    (used by the pytest twin gate; kept next to the Spark expressions so
+    the two banks can never drift)."""
+    if bank is None:
+        bank = URL_WORD_BANK
+    host = (
+        "lower(coalesce(regexp_extract(regexp_extract({u}, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 2), "
+        "'^(?:[^@]*@)?([^:@]*)', 1), ''))"
+    ).format(u=url_sql)
+    words = (
+        "list_filter(string_split_regex(lower({u}), '[^a-z0-9]+'), "
+        "x -> x <> '')"
+    ).format(u=url_sql)
+    terms = []
+    for word, weight, hard in bank:
+        word_hit = f"list_contains({words}, '{word}')"
+        hit = (
+            f"({word_hit} or position('{word}' in {host}) > 0)"
+            if hard
+            else word_hit
+        )
+        terms.append(f"case when {hit} then {weight} else 0 end")
+    score = "(" + " + ".join(terms) + ")::int"
+    path = (
+        "coalesce(regexp_extract({u}, "
+        "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$', 3), '')"
+    ).format(u=url_sql)
+    return {
+        "url_host": host,
+        "url_len": f"length({url_sql})::int",
+        "is_ip_host": (
+            f"(regexp_matches({host}, "
+            "'^[0-9]{1,3}(\\.[0-9]{1,3}){3}$'))::int"
+        ),
+        "host_digit_milli": (
+            f"case when length({host}) > 0 then "
+            f"floor(length(regexp_replace({host}, '[^0-9]', '', 'g')) "
+            f"* 1000 / length({host})) else 0 end::int"
+        ),
+        "n_path_segments": (
+            f"length(list_filter(string_split({path}, '/'), "
+            "x -> x <> ''))::int"
+        ),
+        "url_score_milli": score,
+        "url_keep": f"({score} < {fail_milli})::int",
+    }

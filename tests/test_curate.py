@@ -84,3 +84,28 @@ def test_curate_optin_gopher_and_c4_reasons(spark):
         1: None, 2: None, 3: None
     }
     assert "drop_reason" in base.columns and len(base.columns) == 9
+
+
+def test_curate_url_gate_first_and_optin_shape(spark):
+    good = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+            "tempor incididunt labore dolore magna aliqua veniam")
+    rows = [
+        (1, good, "https://www.example.com/articles/cooking"),
+        # bad URL wins over EVERY content rule — the text here is also
+        # too_short, but bad_url has precedence (zero content bytes read)
+        (2, "x", "https://freeporn.example/x"),
+        (3, good, "https://adult-dating-webcam.example/x"),
+        # soft single hit keeps; content rules still apply after
+        (4, "x", "https://sussex-dating.com/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = {r.doc_id: r for r in curate(
+        df, "doc_id", "text", url_col="url"
+    ).collect()}
+    assert out[1].drop_reason is None and out[1].url_keep == 1
+    assert out[2].drop_reason == "bad_url" and out[2].url_keep == 0
+    assert out[3].drop_reason == "bad_url"
+    assert out[4].drop_reason == "too_short" and out[4].url_keep == 1
+    # opt-in adds exactly the url_keep column; default shape untouched
+    assert len(out[1].asDict()) == 10
+    assert len(curate(df, "doc_id", "text").columns) == 9

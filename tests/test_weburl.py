@@ -294,3 +294,81 @@ def test_host_stats_quality_fail_share(spark):
         (2, "a full sentence with more than five proper words", "en", "q.com"),
     ])
     assert got["q.com"]["quality_fail_share"] == pytest.approx(0.5)
+
+
+# ------------------------------------------------------------ URL quality
+
+URLQ_CASES = [
+    # (url, expected url_keep, note)
+    ("https://www.example.com/articles/cooking-pasta", 1, "clean"),
+    ("https://bestporn.example/x", 0, "hard word as host substring"),
+    ("https://site.com/free-viagra-pills", 0, "hard word in path"),
+    ("https://www.essex.ac.uk/courses", 1,
+     "the C4 false-positive guard: soft 'sex' never substring-matches"),
+    ("https://sussex-dating.com/p", 1, "one soft word (334 < 1000)"),
+    ("https://adult-dating-webcam.example/x", 0, "three soft words"),
+    ("https://casino.example/poker", 1, "two soft words keep"),
+    ("http://93.184.216.34/page", 1, "IP host flags but keeps"),
+]
+
+
+@pytest.mark.parametrize("url,keep,note", URLQ_CASES)
+def test_url_quality_keep_goldens(spark, url, keep, note):
+    df = spark.createDataFrame([(url,)], "url string")
+    row = weburl.url_quality_flags(df, "url").first()
+    assert row["url_keep"] == keep, (note, row.asDict())
+
+
+def test_url_quality_structural_columns(spark):
+    df = spark.createDataFrame(
+        [("http://93.184.216.34/a/b/c?q=1",),
+         ("https://user:pw@Site99.com/x",),
+         ("not a url",)],
+        "url string",
+    )
+    out = {r["url"]: r.asDict()
+           for r in weburl.url_quality_flags(df, "url").collect()}
+    ip = out["http://93.184.216.34/a/b/c?q=1"]
+    assert ip["is_ip_host"] == 1
+    assert ip["url_host"] == "93.184.216.34"
+    assert ip["n_path_segments"] == 3
+    assert ip["host_digit_milli"] == 769  # 10 digits / 13 chars
+    site = out["https://user:pw@Site99.com/x"]
+    assert site["url_host"] == "site99.com"  # userinfo-safe, lowercased
+    assert site["host_digit_milli"] == 200  # 2 / 10
+    bad = out["not a url"]
+    assert bad["url_host"] == "" and bad["url_keep"] == 1
+    assert bad["n_path_segments"] == 0 and bad["is_ip_host"] == 0
+
+
+def test_url_quality_duckdb_twin(spark):
+    """Bit-exact cross-engine gate: every url_quality column agrees with
+    the DuckDB twin expressions over a corpus covering every bank word,
+    hard-substring hosts, IP hosts, userinfo, and unparseable input."""
+    import duckdb
+
+    urls = [f"https://www.example{i}.com/kw/{w}" for i, (w, _, _)
+            in enumerate(weburl.URL_WORD_BANK)]
+    urls += [
+        "https://freeporn-hub.example/x",        # hard substring host
+        "https://xxxmovies.example/clips",       # hard substring host
+        "https://www.essex.ac.uk/courses",       # soft non-hit
+        "https://adult-dating-webcam.example/x", # 3 softs
+        "http://10.0.0.1:8080/a/b",              # ip + port
+        "https://u:p@h0st5.com/q?x=1",           # userinfo + digits
+        "HTTPS://UPPER.COM/PORN",                # case folding
+        "not a url", "",                          # unparseable
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    sp = weburl.url_quality_flags(df, "url").toPandas().set_index("url")
+
+    exprs = weburl.url_quality_oracle_exprs("url")
+    sel = ", ".join(f"{sql} as {name}" for name, sql in exprs.items())
+    con = duckdb.connect()
+    con.execute("create table t(url varchar)")
+    con.executemany("insert into t values (?)", [(u,) for u in urls])
+    dk = con.execute(f"select url, {sel} from t").df().set_index("url")
+
+    for name in exprs:
+        for u in urls:
+            assert sp.loc[u, name] == dk.loc[u, name], (name, u)
