@@ -88,6 +88,27 @@ def main() -> None:
     result["cap_sec"] = round(time.perf_counter() - t0, 2)
     assert spam_left == 64, spam_left
 
+    # URL quality scrub: every 33rd row gains a hard bank word in its
+    # path, every 7th (not also 33rd) three soft words — the expected
+    # fail set is exact arithmetic, so the 1M verdict is asserted not
+    # just timed
+    t0 = time.perf_counter()
+    noisy = pages.select(
+        "doc_id",
+        F.concat(
+            F.col("url"),
+            F.when(F.col("doc_id") % 33 == 0, F.lit("/viagra")).when(
+                F.col("doc_id") % 7 == 0, F.lit("/adult-dating-webcam")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    flagged = weburl.url_quality_flags(noisy, "url", id_col="doc_id")
+    n_fail = flagged.filter(F.col("url_keep") == 0).count()
+    result["urlq_fail"] = n_fail
+    result["urlq_sec"] = round(time.perf_counter() - t0, 2)
+    expected_fail = len([k for k in range(n) if k % 33 == 0 or k % 7 == 0])
+    assert n_fail == expected_fail, (n_fail, expected_fail)
+
     pages.unpersist()
     result["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
     print(json.dumps(result))
@@ -103,11 +124,14 @@ rows) stresses the cap's skew lane. Measured {result['ts']}:
 | canonical_url (countDistinct) | {result['canon_sec']} | {result['canon_distinct']:,} distinct canonicals |
 | url_dedup_latest (newest fetch per canonical) | {result['dedup_sec']} | kept exactly the {result['dedup_kept']:,} newer fetches (asserted) |
 | cap_per_host(64) | {result['cap_sec']} | mega-host crushed to 64 survivors (asserted), {result['cap_survivors']:,} total |
+| url_quality_flags (word-score scrub) | {result['urlq_sec']} | {result['urlq_fail']:,} planted bad URLs failed (exact count asserted) |
 
 canonical_url is a pure codegen projection (no shuffle); the dedup and
 cap are each ONE window shuffle on their key. The mega-host funnels into
 a single partition only for its rank pass — rows past the cap drop
-inside the window stage, nothing else moves.
+inside the window stage, nothing else moves. The quality scrub is a
+two-level shuffle-free projection (word array + host staged once per
+row, the bank scores over the staged columns).
 """
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
     if os.path.exists(out_md):
