@@ -39,6 +39,10 @@ def main() -> None:
                     help="per-domain anti-spam cap: keep at most N pages "
                          "per host (deterministic raw-url rank), applied "
                          "after --url-dedup and before parsing")
+    ap.add_argument("--respect-noindex", action="store_true",
+                    help="drop pages whose head carries a meta-robots "
+                         "noindex/none directive (page author opted out "
+                         "of indexing) before any parse work")
     ap.add_argument("--template-cfg", default=None,
                     help="JSON parser config passed to every template, "
                          "e.g. '{\"ocr_backend\": \"fake\"}' to route "
@@ -71,6 +75,7 @@ def main() -> None:
         num_partitions=args.partitions,
         attempt=args.attempt,
         template_cfg=template_cfg,
+        respect_noindex=args.respect_noindex,
     )
     spark.stop()
 

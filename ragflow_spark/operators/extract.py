@@ -39,6 +39,44 @@ from ragflow_spark.plans.partitioning import (
 # F1: reject docs over the reference's 128 MB cap (rag/settings.py:33)
 DOC_MAXIMUM_SIZE = 128 * 1024 * 1024
 
+# meta-robots gate: bytes of the page head scanned for the directive —
+# real documents declare it inside <head>, far under this
+NOINDEX_HEAD_BYTES = 8192
+
+# shared verbatim with the DuckDB twin in tests/test_noindex.py — only
+# RE2-compatible constructs (no lookaround, inline (?i) only)
+NOINDEX_META_TAG_RE = r"(?i)(<meta[^>]*>)"
+NOINDEX_NAME_RE = r"(?i)\bname\s*=\s*['\"]?robots\b"
+NOINDEX_CONTENT_RE = r"(?i)\bcontent\s*=\s*['\"]?[^'\">]*\b(noindex|none)\b"
+
+
+def page_noindex(html, head_bytes: int = NOINDEX_HEAD_BYTES):
+    """True when the page head carries a ``<meta name=robots>`` directive
+    with a ``noindex`` (or the ``none`` shorthand) token — the standard
+    crawl-pipeline exclusion every CC-derived corpus honors (the page
+    author opted out of indexing; Common Crawl itself ships such pages,
+    the curation step drops them).
+
+    Native and RE2-portable: extract every ``<meta ...>`` tag from the
+    decoded head slice, then test each for BOTH the robots name and the
+    noindex token — two independent per-tag regexes instead of one
+    lookahead (RE2, hence the DuckDB twin, has no lookahead), so
+    attribute order never matters. The head slice is decoded as
+    ISO-8859-1: every byte is a valid char there (UTF-8 decode throws on
+    malformed input under ANSI), and the directive tokens being matched
+    are pure ASCII, where the two encodings agree byte-for-byte — so
+    arbitrary binary (truncated multibyte, legacy codepages) can neither
+    error nor corrupt a match. Known overreach: a literal
+    ``<meta name=robots content=noindex>`` inside a code sample in the
+    first 8 KB also matches — the conservative direction (over-drop,
+    never over-keep)."""
+    head = F.decode(F.substring(html, 1, head_bytes), "ISO-8859-1")
+    tags = F.regexp_extract_all(head, F.lit(NOINDEX_META_TAG_RE), 1)
+    return F.exists(
+        tags,
+        lambda t: t.rlike(NOINDEX_NAME_RE) & t.rlike(NOINDEX_CONTENT_RE),
+    )
+
 CHUNKS_SCHEMA = (
     "url string, warc_ts timestamp, chunk_idx int, chunk_text string, "
     "tag_text string, "
@@ -193,9 +231,14 @@ def run_extraction_job(
     num_partitions: int | None = None,
     attempt: int = 1,
     template_cfg: dict | None = None,
+    respect_noindex: bool = False,
 ) -> None:
     """Full resumable job: resume-filter → extract → write chunks (dynamic
-    partition overwrite on partition_id) → append manifest."""
+    partition overwrite on partition_id) → append manifest.
+
+    ``respect_noindex`` drops pages whose head carries a meta-robots
+    noindex directive (``page_noindex``) — the filter rides the same
+    scan as the size cap, before any parse work."""
     from ragflow_spark.plans.manifest import (
         check_resume_compatible,
         read_manifest,
@@ -207,12 +250,12 @@ def run_extraction_job(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    staged = with_partition_id(
-        pages.select("url", "warc_ts", "html", "lang", "parser", "fmt").filter(
-            F.length(F.col("html")) <= DOC_MAXIMUM_SIZE
-        ),
-        num_partitions,
-    )
+    pruned = pages.select(
+        "url", "warc_ts", "html", "lang", "parser", "fmt"
+    ).filter(F.length(F.col("html")) <= DOC_MAXIMUM_SIZE)
+    if respect_noindex:
+        pruned = pruned.filter(~page_noindex(F.col("html")))
+    staged = with_partition_id(pruned, num_partitions)
     manifest = read_manifest(spark, manifest_path)
     # partition_id = pmod(xxhash64(url), num_partitions): resuming under a
     # different modulus remaps ids → silent skips; refuse instead
