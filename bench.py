@@ -267,7 +267,7 @@ def main() -> None:
         bench(name, lambda name=name: qs[name](spark, sf_dir))
     # round-7 additions append after the frozen earlier sets
     for name in ("doc_char_lm", "host_stats", "doc_quality_clf",
-                 "doc_pack_windows", "doc_dsir"):
+                 "doc_pack_windows", "doc_dsir", "web_url_quality"):
         bench(name, lambda name=name: qs[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
