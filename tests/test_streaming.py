@@ -171,3 +171,47 @@ def test_stream_lm_and_nb_scoring_match_batch(spark, tmpdir_path):
     got_nb = {r["doc_id"]: r["score_micro"]
               for r in spark.read.parquet(out_nb).collect()}
     assert got_nb == batch_nb
+
+
+def test_stream_extraction_checkpoint_resume_no_reprocess(spark, tmpdir_path):
+    """The streaming face of the north rule's resume contract: a drained
+    availableNow run, then NEW landing-zone files, then a RESTART from the
+    same checkpoint — the second run processes only the new files and no
+    chunk is emitted twice (exactly-once via the sink checkpoint, the
+    streaming twin of the manifest protocol's batch resume)."""
+    src = os.path.join(tmpdir_path, "pages")
+    out = os.path.join(tmpdir_path, "chunks")
+    ckpt = os.path.join(tmpdir_path, "ckpt")
+
+    first = pages_src.generate_pages_df(spark, 32, parallelism=2)
+    first.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = run_stream_to_parquet(
+            extract_chunks_stream(stream, num_partitions=8), out, ckpt
+        )
+        q.awaitTermination(300)
+
+    drain()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # crawler lands a second batch (urls disjoint by construction)
+    second = pages_src.generate_pages_df(spark, 48, parallelism=2).filter(
+        ~F.col("url").isin([r.url for r in first.select("url").collect()])
+    )
+    n_new_pages = second.count()
+    assert n_new_pages > 0
+    second.write.mode("append").parquet(src)
+
+    drain()  # restart from the same checkpoint
+    chunks = spark.read.parquet(out)
+    # no duplicates: every (url, chunk_idx) appears exactly once
+    assert chunks.count() == chunks.select("url", "chunk_idx").distinct().count()
+    # and the restart actually added the new batch's work
+    assert chunks.count() > n_first
+    # third drain with nothing new is a strict no-op
+    drain()
+    assert spark.read.parquet(out).count() == chunks.count()
