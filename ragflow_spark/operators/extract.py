@@ -66,7 +66,11 @@ def page_noindex(html, head_bytes: int = NOINDEX_HEAD_BYTES):
     malformed input under ANSI), and the directive tokens being matched
     are pure ASCII, where the two encodings agree byte-for-byte — so
     arbitrary binary (truncated multibyte, legacy codepages) can neither
-    error nor corrupt a match. Known overreach: a literal
+    error nor corrupt a match. Reads the STORED bytes: a row whose html
+    is gzip-member-compressed (transparently decoded later in the parse
+    UDF) passes the gate unexamined — there is no native gunzip
+    expression, and the conservative failure mode there is keep-then-
+    parse, never a wrong drop. Known overreach: a literal
     ``<meta name=robots content=noindex>`` inside a code sample in the
     first 8 KB also matches — the conservative direction (over-drop,
     never over-keep)."""
@@ -92,6 +96,9 @@ def _extract_batches(batches, template_cfg: dict | None = None) -> Iterator:
     Arrow batch out. ``template_cfg`` is the job-level parser config
     (the reference's per-task ``parser_config``, task_executor.py) — e.g.
     ``{"ocr_backend": "fake"}`` to enable the scanned-PDF OCR fallback."""
+    import gzip
+    import zlib
+
     import pandas as pd
 
     from ragflow_spark.core.templates import run_template
@@ -122,6 +129,17 @@ def _extract_batches(batches, template_cfg: dict | None = None) -> Iterator:
         for row in pdf.itertuples():
             try:
                 blob = bytes(row.html) if row.html is not None else b""
+                if blob[:2] == b"\x1f\x8b":
+                    # transparent per-row gzip: CC-style landing zones
+                    # often store the WARC payload member-compressed; a
+                    # corrupt member falls through to run_template, whose
+                    # format-level error path reports it per doc. (The
+                    # 128 MB size cap and the noindex gate read the
+                    # STORED bytes — both documented as pre-decode.)
+                    try:
+                        blob = gzip.decompress(blob)
+                    except (OSError, EOFError, zlib.error):
+                        pass
                 chunks = run_template(
                     row.parser, blob, row.fmt, row.lang,
                     cfg=dict(template_cfg) if template_cfg else None,
