@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--html-col", default="html")
     ap.add_argument("--iterations", type=int, default=3)
     ap.add_argument("--anchors", action="store_true")
+    ap.add_argument("--skip-nofollow", action="store_true",
+                    help="drop anchors whose rel carries nofollow/ugc/"
+                         "sponsored (rank-pipeline endorsement edges "
+                         "only); default keeps every edge (frontier "
+                         "semantics)")
     args = ap.parse_args()
 
     from ragflow_spark.operators import linkgraph as lg
@@ -43,7 +48,8 @@ def main() -> None:
     spark = get_spark(app_name="ragflow_spark_linkgraph")
     pages = spark.read.parquet(args.input)
 
-    outlinks = lg.extract_outlinks(pages, args.url_col, args.html_col)
+    outlinks = lg.extract_outlinks(pages, args.url_col, args.html_col,
+                                   skip_nofollow=args.skip_nofollow)
     edges = lg.host_edges(outlinks)
     edges.write.mode("overwrite").parquet(
         os.path.join(args.output, "edges"))

@@ -51,6 +51,13 @@ _HREF_UNQ_RE = r"(?i)<a\s[^>]*?href\s*=\s*([^\"'\s>][^\s>]*)"
 # schemes that never yield a fetchable document edge
 _NON_FETCH_RE = r"(?i)^(javascript|mailto|tel|data|about):"
 
+# whole <a ...> open tags, for the rel-aware harvest (skip_nofollow)
+_A_TAG_RE = r"(?i)(<a\s[^>]*>)"
+# rel values that opt the link out of endorsement semantics: nofollow
+# (the original), plus the ugc/sponsored refinements that rank pipelines
+# treat the same way
+_REL_NOFOLLOW_RE = r"(?i)\brel\s*=\s*[\"']?[^\"'>]*\b(nofollow|ugc|sponsored)\b"
+
 
 def resolve_href(base_url: Column, href: Column) -> Column:
     """Absolutize ``href`` against ``base_url`` (RFC 3986 §5 merge, the
@@ -75,23 +82,47 @@ def resolve_href(base_url: Column, href: Column) -> Column:
 
 
 def extract_outlinks(
-    df: DataFrame, url_col: str = "url", html_col: str = "html"
+    df: DataFrame, url_col: str = "url", html_col: str = "html",
+    skip_nofollow: bool = False,
 ) -> DataFrame:
     """One row per (page, anchor): src_url, raw href, resolved canonical
     dst_url, src_host, dst_host. Binary html decodes as UTF-8 (the pages
-    contract); empty/fragment-only/non-fetchable hrefs are dropped."""
+    contract); empty/fragment-only/non-fetchable hrefs are dropped.
+
+    ``skip_nofollow`` drops anchors whose rel carries a
+    nofollow/ugc/sponsored token — the standard rank-pipeline reading of
+    the author's non-endorsement — by harvesting whole ``<a>`` open tags
+    and extracting each tag's href (quoted form first, else unquoted),
+    so the rel test binds to its own anchor. Default OFF: the plain
+    harvest keeps every edge (a crawl-frontier consumer wants them all)
+    and is the oracle-pinned shape."""
     html_str = F.col(html_col).cast("string")
-    raw = df.select(
-        F.col(url_col).alias("src_url"),
-        F.explode(
-            F.concat(
-                F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1)),
-                F.regexp_extract_all(
-                    html_str, F.lit(_HREF_UNQ_RE), F.lit(1)
-                ),
-            )
-        ).alias("href"),
-    )
+    if skip_nofollow:
+        tags = F.filter(
+            F.regexp_extract_all(html_str, F.lit(_A_TAG_RE), F.lit(1)),
+            lambda t: ~t.rlike(_REL_NOFOLLOW_RE),
+        )
+        quoted = F.regexp_extract(F.col("_tag"), _HREF_RE, 1)
+        unq = F.regexp_extract(F.col("_tag"), _HREF_UNQ_RE, 1)
+        raw = df.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(tags).alias("_tag"),
+        ).select(
+            "src_url",
+            F.when(quoted != "", quoted).otherwise(unq).alias("href"),
+        )
+    else:
+        raw = df.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.concat(
+                    F.regexp_extract_all(html_str, F.lit(_HREF_RE), F.lit(1)),
+                    F.regexp_extract_all(
+                        html_str, F.lit(_HREF_UNQ_RE), F.lit(1)
+                    ),
+                )
+            ).alias("href"),
+        )
     href = F.trim(F.regexp_replace(F.col("href"), r"#.*$", ""))
     resolved = resolve_href(F.col("src_url"), F.col("href"))
     return (

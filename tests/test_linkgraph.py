@@ -191,3 +191,47 @@ def test_pagerank_plan_has_no_cartesian_or_python(spark):
     )
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_skip_nofollow_drops_only_optout_anchors(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://keep1.com/a">k1</a>'
+        '<a rel="nofollow" href="https://drop1.com/x">d1</a>'
+        '<a href="https://drop2.com/y" rel=ugc>d2</a>'
+        "<a rel='sponsored noopener' href='https://drop3.com/z'>d3</a>"
+        '<a rel="noopener" href="https://keep2.com/b">k2</a>'
+        '<a href=https://keep3.com/c rel=author>k3</a>'
+        '</body></html>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://src.com/p", html)], "url string, html binary"
+    )
+    from ragflow_spark.operators import linkgraph as lg
+
+    default = {r["dst_host"] for r in lg.extract_outlinks(df).collect()}
+    assert default == {"keep1.com", "keep2.com", "keep3.com",
+                       "drop1.com", "drop2.com", "drop3.com"}
+    follow = {r["dst_host"]
+              for r in lg.extract_outlinks(df, skip_nofollow=True).collect()}
+    assert follow == {"keep1.com", "keep2.com", "keep3.com"}
+
+
+def test_skip_nofollow_harvest_matches_default_without_rel(spark):
+    """On rel-free pages the tag-based harvest and the default harvest
+    emit the SAME edge multiset (quoted + unquoted forms both)."""
+    html = (
+        '<div><a href="https://a.com/1">x</a>'
+        "<a href=https://b.com/2 class=c>y</a>"
+        '<a href="/rel/path">z</a></div>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://src.com/d/p", html)], "url string, html binary"
+    )
+    from ragflow_spark.operators import linkgraph as lg
+
+    d = sorted((r["href"], r["dst_url"])
+               for r in lg.extract_outlinks(df).collect())
+    t = sorted((r["href"], r["dst_url"])
+               for r in lg.extract_outlinks(df, skip_nofollow=True).collect())
+    assert d == t and len(d) == 3
