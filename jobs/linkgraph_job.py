@@ -40,6 +40,14 @@ def main() -> None:
                          "sponsored (rank-pipeline endorsement edges "
                          "only); default keeps every edge (frontier "
                          "semantics)")
+    ap.add_argument("--frontier", action="store_true",
+                    help="also write <output>/frontier: canonical dst "
+                         "URLs the corpus does not yet contain, with "
+                         "citation-count priority signals (the crawl "
+                         "loop's next fetch list)")
+    ap.add_argument("--frontier-max-per-host", type=int, default=None,
+                    help="politeness cap: at most N frontier URLs per "
+                         "host (top-cited first)")
     args = ap.parse_args()
 
     from ragflow_spark.operators import linkgraph as lg
@@ -67,6 +75,12 @@ def main() -> None:
             pages, args.url_col, args.html_col
         ).write.mode("overwrite").parquet(
             os.path.join(args.output, "anchors"))
+    if args.frontier:
+        lg.frontier_urls(
+            outlinks, pages, args.url_col,
+            max_per_host=args.frontier_max_per_host,
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "frontier"))
     spark.stop()
 
 

@@ -36,7 +36,7 @@ Plan shapes at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ragflow_spark.operators.weburl import _URL_RE, canonical_url, host_of
 
@@ -288,3 +288,47 @@ def pagerank(
             .localCheckpoint()
         )
     return r
+
+
+def frontier_urls(
+    outlinks: DataFrame,
+    pages: DataFrame,
+    url_col: str = "url",
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Crawl-frontier discovery: canonical dst URLs harvested from the
+    corpus that the corpus does not yet contain — the next fetch list of
+    the crawl loop. One row per new URL with its host, in-corpus
+    citation count, and distinct citing hosts (the standard frontier
+    priority signals).
+
+    Plan shape at 100 TB: the outlink side aggregates FIRST (one shuffle
+    on dst_url, map-side combined — the hub page cited everywhere
+    collapses to one row before any join), then LEFT ANTI against the
+    corpus's canonical keys on the same key — Catalyst plans a shuffle
+    join with the already-partitioned aggregate reused. ``max_per_host``
+    adds the per-domain politeness cap (one window shuffle, the
+    cap_per_host shape) so a link-farm host can't flood the frontier."""
+    from ragflow_spark.operators.weburl import canonical_url
+
+    known = pages.select(canonical_url(F.col(url_col)).alias("dst_url"))
+    cand = (
+        outlinks.where(F.col("dst_url").rlike(r"^https?://"))
+        .groupBy("dst_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_citations"),
+            F.countDistinct("src_host").alias("n_citing_hosts"),
+            F.min("dst_host").alias("host"),
+        )
+    )
+    out = cand.join(known, "dst_url", "left_anti")
+    if max_per_host is not None:
+        w = Window.partitionBy("host").orderBy(
+            F.desc("n_citations"), F.asc("dst_url")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_host)
+            .drop("_rn")
+        )
+    return out

@@ -235,3 +235,47 @@ def test_skip_nofollow_harvest_matches_default_without_rel(spark):
     t = sorted((r["href"], r["dst_url"])
                for r in lg.extract_outlinks(df, skip_nofollow=True).collect())
     assert d == t and len(d) == 3
+
+
+def test_frontier_urls_discovers_only_unknown(spark):
+    html = (
+        '<a href="https://known.com/a">k</a>'
+        '<a href="https://new1.com/x">n</a>'
+        '<a href="https://new1.com/x">n again</a>'
+        '<a href="https://new2.com/y?utm_source=z">tracked</a>'
+        '<a href="mailto:a@b.c">m</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://src.com/p", html),
+         ("https://known.com/a/", b"<p>already crawled</p>"),
+         ("https://new2.com/y", b"<p>crawled under the canonical key</p>")],
+        "url string, html binary",
+    )
+    from ragflow_spark.operators import linkgraph as lg
+
+    out = {r["dst_url"]: r for r in lg.frontier_urls(
+        lg.extract_outlinks(pages), pages).collect()}
+    # known.com/a/ canonicalizes to known.com/a -> NOT in the frontier;
+    # new2.com's tracked variant canonicalizes onto the crawled key too
+    assert set(out) == {"https://new1.com/x"}
+    assert out["https://new1.com/x"]["n_citations"] == 2
+    assert out["https://new1.com/x"]["n_citing_hosts"] == 1
+
+
+def test_frontier_urls_host_cap(spark):
+    anchors = "".join(
+        f'<a href="https://farm.com/p{i}">x</a>' for i in range(10)
+    ) + '<a href="https://solo.com/q">y</a>'
+    pages = spark.createDataFrame(
+        [("https://src.com/p", anchors.encode())],
+        "url string, html binary",
+    )
+    from ragflow_spark.operators import linkgraph as lg
+
+    out = lg.frontier_urls(lg.extract_outlinks(pages), pages,
+                           max_per_host=3).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r["dst_url"])
+    assert len(by_host["farm.com"]) == 3
+    assert by_host["solo.com"] == ["https://solo.com/q"]
