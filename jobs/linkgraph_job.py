@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--frontier-max-per-host", type=int, default=None,
                     help="politeness cap: at most N frontier URLs per "
                          "host (top-cited first)")
+    ap.add_argument("--sitemaps", action="store_true",
+                    help="also write <output>/sitemap_urls: <loc> "
+                         "harvest from sitemap/sitemapindex documents "
+                         "in the corpus (the other frontier seed)")
     args = ap.parse_args()
 
     from ragflow_spark.operators import linkgraph as lg
@@ -81,6 +85,11 @@ def main() -> None:
             max_per_host=args.frontier_max_per_host,
         ).write.mode("overwrite").parquet(
             os.path.join(args.output, "frontier"))
+    if args.sitemaps:
+        lg.extract_sitemap_urls(
+            pages, args.url_col, args.html_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(args.output, "sitemap_urls"))
     spark.stop()
 
 

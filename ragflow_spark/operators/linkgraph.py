@@ -332,3 +332,44 @@ def frontier_urls(
             .drop("_rn")
         )
     return out
+
+
+# sitemap <loc> values; (?is) lets the value's entity run cross lines
+_SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+_SITEMAP_DOC_RE = r"(?is)<\s*(urlset|sitemapindex)[\s>]"
+
+
+def extract_sitemap_urls(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per ``<loc>`` of every sitemap document in the corpus
+    (``<urlset>`` page lists and ``<sitemapindex>`` nested indexes) —
+    the OTHER standard frontier seed beside anchor outlinks: src_url,
+    canonical dst_url, and ``is_nested_sitemap`` (the loc points at a
+    further sitemap to fetch, by the sitemap.xml[.gz] name convention).
+
+    Same zero-UDF projection shape as ``extract_outlinks``; the five XML
+    character entities are decoded (sitemap locs legally carry
+    ``&amp;`` in query strings), non-http(s) locs drop."""
+    body = F.col(html_col).cast("string")
+    loc = F.col("loc")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return (
+        df.where(body.rlike(_SITEMAP_DOC_RE))
+        .select(
+            F.col(url_col).alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(body, F.lit(_SITEMAP_LOC_RE), F.lit(1))
+            ).alias("loc"),
+        )
+        .where(loc.rlike(r"(?i)^https?://"))
+        .select(
+            "src_url",
+            canonical_url(loc).alias("dst_url"),
+            loc.rlike(r"(?i)sitemap[^/]*\.xml(\.gz)?([?#].*)?$")
+            .cast("int")
+            .alias("is_nested_sitemap"),
+        )
+    )

@@ -279,3 +279,39 @@ def test_frontier_urls_host_cap(spark):
         by_host.setdefault(r["host"], []).append(r["dst_url"])
     assert len(by_host["farm.com"]) == 3
     assert by_host["solo.com"] == ["https://solo.com/q"]
+
+
+def test_extract_sitemap_urls(spark):
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        '<url><loc>https://Site.com/page1/</loc><lastmod>2024-01-01'
+        '</lastmod></url>'
+        '<url><loc>\n  https://site.com/p?a=1&amp;b=2  \n</loc></url>'
+        '<url><loc>ftp://skip.me/x</loc></url>'
+        '</urlset>'
+    ).encode()
+    index = (
+        '<sitemapindex><sitemap>'
+        '<loc>https://site.com/sitemap-2.xml</loc>'
+        '</sitemap></sitemapindex>'
+    ).encode()
+    plain = b'<html><body><loc>https://not-a-sitemap.com/x</loc></body></html>'
+    df = spark.createDataFrame(
+        [("https://site.com/sitemap.xml", urlset),
+         ("https://site.com/sitemap_index.xml", index),
+         ("https://other.com/page", plain)],
+        "url string, html binary",
+    )
+    from ragflow_spark.operators import linkgraph as lg
+
+    rows = {(r["src_url"], r["dst_url"]): r["is_nested_sitemap"]
+            for r in lg.extract_sitemap_urls(df).collect()}
+    # the plain html page (no <urlset>/<sitemapindex>) contributes nothing;
+    # ftp loc drops; host canonicalizes; the xml entity decodes
+    assert rows == {
+        ("https://site.com/sitemap.xml", "https://site.com/page1"): 0,
+        ("https://site.com/sitemap.xml", "https://site.com/p?a=1&b=2"): 0,
+        ("https://site.com/sitemap_index.xml",
+         "https://site.com/sitemap-2.xml"): 1,
+    }
