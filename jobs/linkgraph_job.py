@@ -48,6 +48,11 @@ def main() -> None:
     ap.add_argument("--frontier-max-per-host", type=int, default=None,
                     help="politeness cap: at most N frontier URLs per "
                          "host (top-cited first)")
+    ap.add_argument("--robots-agent", default=None,
+                    help="with --frontier: parse the corpus's robots.txt "
+                         "documents and keep only frontier URLs this "
+                         "agent may fetch (RFC 9309 longest-match; "
+                         "use '*' for the generic crawler)")
     ap.add_argument("--sitemaps", action="store_true",
                     help="also write <output>/sitemap_urls: <loc> "
                          "harvest from sitemap/sitemapindex documents "
@@ -80,10 +85,19 @@ def main() -> None:
         ).write.mode("overwrite").parquet(
             os.path.join(args.output, "anchors"))
     if args.frontier:
-        lg.frontier_urls(
+        frontier = lg.frontier_urls(
             outlinks, pages, args.url_col,
             max_per_host=args.frontier_max_per_host,
-        ).write.mode("overwrite").parquet(
+        )
+        if args.robots_agent:
+            from ragflow_spark.operators import robots
+
+            frontier = robots.frontier_allowed(
+                frontier,
+                robots.parse_robots(pages, args.url_col, args.html_col),
+                agent=args.robots_agent,
+            )
+        frontier.write.mode("overwrite").parquet(
             os.path.join(args.output, "frontier"))
     if args.sitemaps:
         lg.extract_sitemap_urls(

@@ -1,0 +1,108 @@
+"""robots.txt parse + frontier filtering (operators/robots.py): RFC 9309
+group selection, wildcard/anchor rules, longest-match precedence with
+Allow winning ties. Hand goldens follow the RFC's own examples; the
+composition test runs harvest -> frontier -> robots filter end-to-end."""
+
+from pyspark.sql import functions as F
+
+from ragflow_spark.operators import robots
+
+
+ROBOTS_BODY = b"""
+# example per RFC 9309 section 5
+User-agent: *
+Disallow: /admin/
+Disallow: /private*
+Allow: /private-garden/
+Disallow: /*.gif$
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /only-special/
+
+Sitemap: https://ex.com/sitemap.xml
+"""
+
+
+def _rules(spark, body=ROBOTS_BODY, url="https://ex.com/robots.txt"):
+    df = spark.createDataFrame([(url, body)], "url string, html binary")
+    return robots.parse_robots(df)
+
+
+def test_parse_groups_and_patterns(spark):
+    rows = _rules(spark).collect()
+    by_agent = {}
+    for r in rows:
+        by_agent.setdefault(r["agent"], []).append(r)
+    assert {r["path"] for r in by_agent["*"]} == {
+        "/admin/", "/private*", "/private-garden/", "/*.gif$"}
+    # consecutive user-agent lines share the group's rules
+    assert {r["path"] for r in by_agent["specialbot"]} == {"/only-special/"}
+    assert {r["path"] for r in by_agent["otherbot"]} == {"/only-special/"}
+    gif = next(r for r in by_agent["*"] if r["path"] == "/*.gif$")
+    assert gif["like_pattern"] == "/%.gif"  # $ anchors: no trailing %
+    assert gif["spec_len"] == len("/.gif")
+
+
+def _frontier(spark, urls):
+    return spark.createDataFrame(
+        [(u, "ex.com") for u in urls], "dst_url string, host string"
+    )
+
+
+def test_frontier_longest_match_allow_wins(spark):
+    rules = _rules(spark)
+    urls = [
+        "https://ex.com/",                       # no rule -> allowed
+        "https://ex.com/admin/x",                # disallow prefix
+        "https://ex.com/private-stuff",          # /private* disallows
+        "https://ex.com/private-garden/rose",    # longer Allow overrides
+        "https://ex.com/pics/cat.gif",           # $-anchored disallow
+        "https://ex.com/pics/cat.gif.html",      # anchor does NOT match
+        "https://ex.com/only-special/x",         # other agent's rule only
+    ]
+    kept = {r["dst_url"] for r in robots.frontier_allowed(
+        _frontier(spark, urls), rules).collect()}
+    assert kept == {
+        "https://ex.com/",
+        "https://ex.com/private-garden/rose",
+        "https://ex.com/pics/cat.gif.html",
+        "https://ex.com/only-special/x",
+    }
+
+
+def test_frontier_specific_agent_group_excludes_star(spark):
+    rules = _rules(spark)
+    urls = ["https://ex.com/admin/x", "https://ex.com/only-special/x"]
+    kept = {r["dst_url"] for r in robots.frontier_allowed(
+        _frontier(spark, urls), rules, agent="specialbot").collect()}
+    # specialbot has its OWN group: the * group's /admin/ rule does not
+    # apply (RFC 9309 2.2.1 — never both), its own /only-special/ does
+    assert kept == {"https://ex.com/admin/x"}
+
+
+def test_frontier_no_robots_host_allowed(spark):
+    rules = _rules(spark)
+    f = spark.createDataFrame(
+        [("https://other.com/anything", "other.com")],
+        "dst_url string, host string",
+    )
+    assert robots.frontier_allowed(f, rules).count() == 1
+
+
+def test_end_to_end_with_harvest_and_frontier(spark):
+    from ragflow_spark.operators import linkgraph as lg
+
+    page = (
+        '<a href="https://ex.com/admin/secret">a</a>'
+        '<a href="https://ex.com/public/ok">b</a>'
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://src.com/p", page),
+         ("https://ex.com/robots.txt", ROBOTS_BODY)],
+        "url string, html binary",
+    )
+    frontier = lg.frontier_urls(lg.extract_outlinks(pages), pages)
+    allowed = robots.frontier_allowed(frontier, robots.parse_robots(pages))
+    assert {r["dst_url"] for r in allowed.collect()} == {
+        "https://ex.com/public/ok"}
