@@ -105,6 +105,20 @@ def main() -> None:
     result["rank_top"] = top
     result["pagerank_sec"] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    from ragflow_spark.operators.weburl import canonical_url
+
+    frontier = lg.frontier_urls(outlinks, pages).persist()
+    result["frontier_rows"] = frontier.count()
+    result["frontier_sec"] = round(time.perf_counter() - t0, 2)
+    # exactness: the anti-join admitted nothing the corpus already has
+    overlap = frontier.join(
+        pages.select(canonical_url(F.col("url")).alias("dst_url")),
+        "dst_url",
+    ).count()
+    assert overlap == 0, overlap
+    frontier.unpersist()
+
     edges.unpersist()
     result["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
     print(json.dumps(result))
@@ -122,6 +136,7 @@ Native-synthesized anchor corpus: 3-4 anchors/page, a dangling sink
 | host_edges (single shuffle, map-side combine) | {result['edges_sec']} | {rate(result['edges_sec'])} | {result['edge_rows']:,} edges |
 | degree_stats | {result['degree_sec']} | {rate(result['degree_sec'])} | {result['degree_rows']:,} hosts |
 | pagerank x3 iterations (BIGINT nano-units) | {result['pagerank_sec']} | {rate(result['pagerank_sec'])} | mass {result['rank_mass']:,}/1e9; top: {', '.join(f'{k}={v}' for k, v in result['rank_top'].items())} |
+| frontier_urls (agg-first + anti-join vs corpus) | {result['frontier_sec']} | {rate(result['frontier_sec'])} | {result['frontier_rows']:,} new URLs; corpus overlap 0 (asserted) |
 
 100 TB shapes: the harvest is one whole-stage-codegen projection (no
 Python, no shuffle); host_edges is the exact-dedup shuffle shape; each
