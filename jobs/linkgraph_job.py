@@ -100,9 +100,25 @@ def main() -> None:
         frontier.write.mode("overwrite").parquet(
             os.path.join(args.output, "frontier"))
     if args.sitemaps:
-        lg.extract_sitemap_urls(
-            pages, args.url_col, args.html_col
-        ).write.mode("overwrite").parquet(
+        from pyspark.sql import functions as F
+
+        from ragflow_spark.operators import robots
+        from ragflow_spark.operators.weburl import canonical_url
+
+        locs = lg.extract_sitemap_urls(pages, args.url_col, args.html_col)
+        # robots.txt Sitemap: lines are the other seed source — union
+        # them in as nested-sitemap refs under their robots url
+        seeds = (
+            robots.robots_metadata(pages, args.url_col, args.html_col)
+            .where(F.col("sitemap_url").isNotNull())
+            .select(
+                F.concat(F.lit("https://"), F.col("host"),
+                         F.lit("/robots.txt")).alias("src_url"),
+                canonical_url(F.col("sitemap_url")).alias("dst_url"),
+                F.lit(1).alias("is_nested_sitemap"),
+            )
+        )
+        locs.unionByName(seeds).write.mode("overwrite").parquet(
             os.path.join(args.output, "sitemap_urls"))
     spark.stop()
 

@@ -220,3 +220,77 @@ def frontier_allowed(
         .filter(F.col("_verdict") == 1)
         .drop("_rules", "_verdict")
     )
+
+
+ROBOTS_META_SCHEMA = "host string, sitemap_url string, agent string, crawl_delay double"
+
+
+def robots_metadata(
+    df: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """The non-rule robots.txt signals: ``Sitemap:`` URLs (host-global
+    per RFC 9309 — they seed the sitemap harvest) and per-agent-group
+    ``Crawl-delay`` (non-standard but ubiquitous; the fetch scheduler's
+    pacing input). One row per (host, sitemap) and one per (host,
+    agent) with a delay — the two signals share the parse pass; fields
+    not applicable to a row are NULL."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("host", "sitemap_url", "agent",
+                                "crawl_delay")
+            }
+
+            def emit(host, sm, agent, delay):
+                out["host"].append(host)
+                out["sitemap_url"].append(sm)
+                out["agent"].append(agent)
+                out["crawl_delay"].append(delay)
+
+            for row in pdf.itertuples():
+                body = row.html
+                text = (
+                    bytes(body).decode("utf-8", "replace")
+                    if body is not None else ""
+                )
+                agents: list[str] = []
+                group_open = False
+                for raw_line in text.splitlines():
+                    line = raw_line.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        if not group_open:
+                            agents = []
+                            group_open = True
+                        agents.append(val.lower())
+                        continue
+                    group_open = False
+                    if key == "sitemap" and val:
+                        emit(row.host, val, None, None)
+                    elif key == "crawl-delay" and agents:
+                        try:
+                            d = float(val)
+                        except ValueError:
+                            continue
+                        for a in agents:
+                            emit(row.host, None, a, d)
+            yield pd.DataFrame(out)
+
+    robots = (
+        df.filter(
+            F.lower(F.regexp_extract(F.col(url_col), _URL_RE, 3))
+            == "/robots.txt"
+        )
+        .select(
+            host_of(F.col(url_col)).alias("host"),
+            F.col(html_col).alias("html"),
+        )
+    )
+    return robots.mapInPandas(run, schema=ROBOTS_META_SCHEMA)

@@ -106,3 +106,23 @@ def test_end_to_end_with_harvest_and_frontier(spark):
     allowed = robots.frontier_allowed(frontier, robots.parse_robots(pages))
     assert {r["dst_url"] for r in allowed.collect()} == {
         "https://ex.com/public/ok"}
+
+
+def test_robots_metadata_sitemaps_and_delay(spark):
+    body = (b"Sitemap: https://ex.com/sitemap.xml\n"
+            b"User-agent: *\n"
+            b"Crawl-delay: 1.5\n"
+            b"Disallow: /x\n"
+            b"Sitemap: https://ex.com/sitemap-news.xml\n"
+            b"User-agent: fastbot\n"
+            b"Crawl-delay: nope\n")
+    df = spark.createDataFrame(
+        [("https://ex.com/robots.txt", body)], "url string, html binary"
+    )
+    rows = robots.robots_metadata(df).collect()
+    sitemaps = {r["sitemap_url"] for r in rows if r["sitemap_url"]}
+    delays = {(r["agent"], r["crawl_delay"])
+              for r in rows if r["agent"] is not None}
+    assert sitemaps == {"https://ex.com/sitemap.xml",
+                        "https://ex.com/sitemap-news.xml"}
+    assert delays == {("*", 1.5)}  # malformed fastbot delay dropped
