@@ -155,7 +155,10 @@ def frontier_allowed(
     ``rules`` (a ``parse_robots`` output) for ``agent``.
 
     RFC 9309 evaluation as native expressions: per host the applicable
-    group is the agent's own if it exists else ``*`` (never both); the
+    group is the agent's own if it exists else ``*`` (never both;
+    simplification vs the RFC: the agent token must match the group's
+    token EXACTLY — product-token prefix matching, where group
+    ``googlebot`` governs agent ``googlebot-news``, is not modeled); the
     host's rules arrive as ONE array column via a slim host-keyed join;
     the verdict is ``aggregate`` over the matching rules keeping the
     (spec_len, allow) maximum — struct max implements longest-match
