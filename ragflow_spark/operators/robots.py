@@ -297,3 +297,34 @@ def robots_metadata(
         )
     )
     return robots.mapInPandas(run, schema=ROBOTS_META_SCHEMA)
+
+
+def allowed_py(
+    rules: list[tuple], agent: str, url: str
+) -> bool:
+    """Sequential reference twin of ``frontier_allowed`` for one URL —
+    the oracle the fuzz suite checks the distributed expression against.
+    ``rules`` rows are ``parse_robots`` tuples (host, agent, allow,
+    path, like_pattern, spec_len); host selection is the caller's job
+    (pass one host's rows)."""
+    import re as _re
+
+    a = agent.lower()
+    own = [r for r in rules if r[1] == a]
+    group = own if own else [r for r in rules if r[1] == "*"]
+    m = _re.match(
+        r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?", url
+    )
+    path = (m.group(3) or "") if m else ""
+    path = path or "/"
+    target = path + ((m.group(4) or "") if m else "")
+    best = (-1, 1)  # (spec_len, allow): no rule -> allowed
+    for _h, _a, allow, pat, _like, spec in group:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = "".join(".*" if c == "*" else _re.escape(c) for c in core)
+        rx = "^" + rx + ("$" if anchored else ".*")
+        if _re.match(rx, target):
+            if (spec, allow) > best:
+                best = (spec, allow)
+    return best[1] == 1

@@ -126,3 +126,51 @@ def test_robots_metadata_sitemaps_and_delay(spark):
     assert sitemaps == {"https://ex.com/sitemap.xml",
                         "https://ex.com/sitemap-news.xml"}
     assert delays == {("*", 1.5)}  # malformed fastbot delay dropped
+
+
+def test_frontier_fuzz_matches_python_twin(spark):
+    """Property check: the distributed longest-match expression agrees
+    with the sequential RFC evaluator (robots.allowed_py) over random
+    rule sets, agents and URL paths."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    seg = st.sampled_from(
+        ["a", "b", "cd", "*", "x*y", "img", "%", "_", "1"])
+    pat = st.lists(seg, min_size=0, max_size=4).map(
+        lambda parts: "/" + "/".join(parts)
+    ).flatmap(lambda p: st.sampled_from([p, p + "$"]))
+    rule = st.tuples(
+        st.sampled_from(["*", "mybot", "other"]),   # agent
+        st.sampled_from([0, 1]),                    # allow
+        pat,
+    )
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rules=st.lists(rule, min_size=0, max_size=8),
+           agent=st.sampled_from(["*", "mybot", "missing"]),
+           paths=st.lists(
+               st.lists(st.sampled_from(["a", "b", "cd", "xzy", "img",
+                                         "%", "_", "q?k=v"]),
+                        min_size=0, max_size=4).map(
+                   lambda p: "/" + "/".join(p)),
+               min_size=1, max_size=6))
+    def check(rules, agent, paths):
+        rows = [
+            ("h.com", a, al, p, robots._compile_like(p),
+             len(p.replace("*", "").rstrip("$")))
+            for a, al, p in rules
+        ]
+        rules_df = spark.createDataFrame(rows, robots.ROBOTS_SCHEMA) \
+            if rows else spark.createDataFrame([], robots.ROBOTS_SCHEMA)
+        urls = list(dict.fromkeys(f"https://h.com{p}" for p in paths))
+        f = spark.createDataFrame(
+            [(u, "h.com") for u in urls], "dst_url string, host string"
+        )
+        kept = {r["dst_url"] for r in robots.frontier_allowed(
+            f, rules_df, agent=agent).collect()}
+        expect = {u for u in urls if robots.allowed_py(rows, agent, u)}
+        assert kept == expect, (rules, agent, sorted(urls),
+                                sorted(kept), sorted(expect))
+
+    check()
