@@ -116,6 +116,12 @@ _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "param", "source", "track", "wbr",
 }
+# libxml2 IS_BLANK_CH (parserInternals.h): 0x20, 0x09, 0x0A, 0x0D only.
+# Python's str.strip() also removes every Unicode space (U+00A0, U+2009,
+# thin/em spaces, …) — lxml KEEPS those as text nodes, so blank-dropping
+# with the default strip() glued words across &nbsp;-only runs (r7 fuzz
+# finding). areBlanks decisions must use exactly this set.
+_XML_BLANKS = " \t\n\r"
 # readability's parse-time cleaner (htmls.py html_cleaner): scripts,
 # style, comments (parser drops them), links=True → <link> killed. Other
 # embedded/frames/forms are KEPT for scoring.
@@ -459,7 +465,7 @@ class _TreeBuilder(HTMLParser):
             return
         cur = self.stack[-1]
         if cur.tag in ("[document]", "html", "head"):
-            if not data.strip():
+            if not data.strip(_XML_BLANKS):
                 return  # libxml2 areBlanks: blanks in skeleton context
                 # are ignorable whitespace, never text nodes
             # libxml2 htmlCheckParagraph (htmlNoContentElements =
@@ -470,7 +476,8 @@ class _TreeBuilder(HTMLParser):
             self._autoclose("p")
             self._check_implied("p")
             self._push_implied("p")
-        elif cur.tag == "body" and not cur.children and not data.strip():
+        elif cur.tag == "body" and not cur.children \
+                and not data.strip(_XML_BLANKS):
             return  # leading blank run in an empty body is ignorable
         # merge adjacent runs so .text/.tail semantics match lxml's
         # single-string model (charref boundaries split handle_data)

@@ -9,7 +9,7 @@ the tree, and that the autoclose table's same-tag rules hold structurally
 option inside option, a inside a — libxml2 closes each before opening the
 next)."""
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ragflow_spark.core import html_extract as he
@@ -57,6 +57,13 @@ _NO_DIRECT_NEST = {
 
 
 @settings(max_examples=300, deadline=None)
+# r7 regression: NBSP-only text node — Python str.strip() treats U+00A0
+# (and U+2009 etc.) as whitespace, libxml2's areBlanks does not; the
+# builder must keep Unicode-space-only runs as text (html_extract
+# _XML_BLANKS)
+@example("\xa0")
+@example("<b>a</b>\xa0<b>b</b>")
+@example(" ")
 @given(_soup)
 def test_builder_never_crashes_and_preserves_text(soup):
     tree = he.build_tree(soup)

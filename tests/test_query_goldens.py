@@ -83,7 +83,13 @@ def test_bench_registry_names_cover_queries():
     else:  # r6+: the list lives in the committed detail file the record names
         detail = parsed.get("detail")
         assert detail, "registry has no names and record names no detail file"
-        with open(os.path.join(rdir, detail)) as f:
+        # non-default-sf runs (driver sf escalation) write their detail
+        # file under .cache/ — bench.py keeps the committed round detail
+        # reserved for the sf0.1 contract run
+        path = os.path.join(rdir, detail)
+        if not os.path.exists(path):
+            path = os.path.join(rdir, ".cache", detail)
+        with open(path) as f:
             names = json.load(f)["registry_names"]
     # the newest driver record may predate an in-round registry change;
     # documented consolidations (REGISTRY_CONSOLIDATIONS) map old names
