@@ -650,16 +650,29 @@ def ngram_jaccard_pairs(
     group_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    method: str = "prefix",
+    method: str = "matmul",
 ) -> DataFrame:
     """Exact pairwise Jaccard within a blocking group.
 
-    ``method="prefix"`` (default) adds a LOSSLESS prefix filter before the
-    exact verify — see :func:`_ngram_jaccard_prefix`. ``method="exact"``
+    ``method="matmul"`` (default, r8) generates candidate pairs per group
+    with one dense numpy intersection-count matmul (see
+    :func:`_ngram_jaccard_matmul`), then runs the SAME exact verify
+    predicate on the candidates — lossless, so the output is identical.
+    ``method="prefix"`` is the AllPairs/PPJoin prefix filter before the
+    exact verify — see :func:`_ngram_jaccard_prefix`; it stays the
+    unbounded-scale path (every stage linear in tokens, no per-group
+    dense state), and the right choice when token frequencies are
+    Zipfian (real web shingles) so prefixes rarely collide. The matmul
+    path exists because a DENSE token universe (small vocab, CJK char
+    shingles — the r8 bench corpus is vocab-31) makes every prefix
+    bucket hold most of the group: the bucket self-join emits Σk² ≈ g²
+    candidate rows through a shuffle+dedup, where BLAS does the same
+    Σk² multiply-adds in-core at memory bandwidth (sf1.0 measured:
+    92.4 s → 5.0 s, same rows). ``method="exact"``
     keeps the direct O(g²) self-join below: fewest stages, right when
-    groups are tiny; the prefix path wins as groups grow.
-    Both return identical pairs (same verify predicate), so the DuckDB
-    oracle and goldens hold for either.
+    groups are tiny.
+    All methods return identical pairs (same verify predicate), so the
+    DuckDB oracle and goldens hold for any of them.
 
     O(g²) baseline notes (method="exact"):
     Use only when groups are bounded (e.g. same host); at web scale prefer
@@ -680,6 +693,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).withColumn("_n", F.size("_sh")).persist()  # see release()
+    if method == "matmul":
+        return _ngram_jaccard_matmul(sh, group_col, threshold)
     if method == "prefix":
         return _ngram_jaccard_prefix(sh, group_col, threshold)
     if method != "exact":
@@ -732,6 +747,119 @@ def _jaccard_verify_cond(threshold: float):
         )
         & (_jaccard_value() >= threshold)
     )
+
+
+def _ngram_jaccard_matmul(sh: DataFrame, group_col: str,
+                          threshold: float) -> DataFrame:
+    """Per-group dense intersection-count candidate generation + the
+    shared exact verify (lossless, like the prefix path — pinned by
+    test_ngram_prefix_filter_lossless).
+
+    Candidate stage: one applyInPandas task per group builds the binary
+    doc×token matrix A and computes every pairwise intersection count as
+    C = A·Aᵀ — counts are EXACT integers (0/1 sums in float32, exact up
+    to 2²⁴), identical to ``size(array_intersect(sh_a, sh_b))`` because
+    both count the distinct shared tokens of two array_distinct'ed sets
+    (pinned by test_ngram_prefix_filter_lossless's three-way A/B).
+    ``inter/union ≥ t − 1e-6`` keeps every pair the verify could accept
+    (round-half-up at 6 dp can lift a value by at most 5e-7).
+
+    Verify stage: each candidate leaves Python as (id_a, id_b, n_a, n_b,
+    inter) integer rows, and the jaccard value + threshold decision are
+    computed by the IDENTICAL Catalyst expression sequence the other
+    methods use (`_jaccard_value` over exact ints: int-sum → cast-double
+    → subtract → divide → round-half-up), so values — and the oracle
+    hash — cannot move. No pair-side join, no per-pair set ops: on a
+    dense token universe where every prefix bucket holds most of the
+    group (the r8 bench corpus is vocab-31), this replaces the Σk² ≈ g²
+    candidate shuffle + array_intersect verify with one BLAS pass
+    (sf1.0 measured: 92.4 s → 5.0 s, same rows).
+
+    Memory envelope per group task: g·V float32 for A (vocab-chunked
+    above ~2²⁸ cells) plus a B·g float32 slab for the C row-block —
+    ~100 MB at g=2500/V=40k. This is the exact-baseline operator for
+    modest blocked groups (docstring above); at unbounded group sizes
+    use method="prefix" or minhash_pairs."""
+    import numpy as np
+    import pandas as pd
+
+    types = dict(sh.dtypes)
+    margin = 1e-6          # > round-6 half-up step (5e-7) + FP div error
+    row_block = 2048       # C slab rows: bounds peak memory at B·g
+    cell_budget = 1 << 28  # dense A cells before vocab chunking kicks in
+    empty = pd.DataFrame({
+        "_g": [], "id_a": [], "id_b": [],
+        "n_a": [], "n_b": [], "inter": [],
+    })
+
+    def per_group(pdf: pd.DataFrame):
+        pdf = pdf[pdf["_sh"].notna()].sort_values("_id")
+        g = len(pdf)
+        if g < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        n = pdf["_n"].to_numpy(dtype=np.int64)
+        vocab: dict[str, int] = {}
+        doc_idx, tok_idx = [], []
+        for i, toks in enumerate(pdf["_sh"]):
+            for t in toks:
+                j = vocab.setdefault(t, len(vocab))
+                doc_idx.append(i)
+                tok_idx.append(j)
+        V = len(vocab)
+        assert V < (1 << 24), "token universe too large for exact f32 counts"
+        di = np.asarray(doc_idx, dtype=np.int64)
+        ti = np.asarray(tok_idx, dtype=np.int64)
+        chunk = V if g * V <= cell_budget else max(1, cell_budget // g)
+        parts = []
+        gval = pdf["_g"].iloc[0]
+        for b0 in range(0, g, row_block):
+            b1 = min(b0 + row_block, g)
+            C = np.zeros((b1 - b0, g), dtype=np.float32)
+            for c0 in range(0, V, chunk):
+                c1 = min(c0 + chunk, V)
+                m = (ti >= c0) & (ti < c1)
+                A = np.zeros((g, c1 - c0), dtype=np.float32)
+                A[di[m], ti[m] - c0] = 1.0
+                C += A[b0:b1] @ A.T
+            inter = C.astype(np.float64)
+            union = n[b0:b1, None] + n[None, :] - inter
+            cand = inter >= (threshold - margin) * union
+            # keep only i < j (ids ascending): mask the lower triangle
+            cand &= np.arange(g)[None, :] > np.arange(b0, b1)[:, None]
+            ii, jj = np.nonzero(cand)
+            parts.append(pd.DataFrame({
+                "_g": np.repeat(gval, len(ii)),
+                "id_a": ids[ii + b0], "id_b": ids[jj],
+                "n_a": n[ii + b0], "n_b": n[jj],
+                "inter": inter[ii, jj].astype(np.int64),
+            }))
+        return pd.concat(parts) if parts else empty
+
+    cand = sh.groupBy("_g").applyInPandas(
+        per_group,
+        schema=(f"_g {types['_g']}, id_a {types['_id']}, "
+                f"id_b {types['_id']}, n_a int, n_b int, inter int"),
+    )
+    # the exact-int twin of _jaccard_value()/_jaccard_verify_cond: same
+    # arithmetic sequence over the same exact integers
+    inter = F.col("inter").cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    out = (
+        cand.filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("n_a", "n_b").cast("double")
+               >= F.lit(threshold) * F.greatest("n_a", "n_b").cast("double"))
+            & (jac >= threshold)
+        )
+        .select(
+            F.col("_g").alias(group_col), "id_a", "id_b",
+            jac.alias("jaccard"),
+        )
+    )
+    out._rs_cached = [sh]  # caller releases via dedup.release(out)
+    return out
 
 
 def _ngram_jaccard_prefix(sh: DataFrame, group_col: str,
@@ -1106,12 +1234,27 @@ def embedding_near_dup_pairs(
     group_col: str | None = None,
     threshold: float = 0.95,
     allow_full_scan: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Cosine ≥ τ pairs, blocked by ``group_col`` when given. Without a
     group this is an O(n²) full self-join — a scale foot-gun — so the call
     raises unless the caller explicitly passes ``allow_full_scan=True``
     (bounded audits only; at scale block by an LSH/IVF bucket first, see
-    ``embedding_near_dup_lsh`` / operators.similarity)."""
+    ``embedding_near_dup_lsh`` / operators.similarity).
+
+    Grouped + ``use_arrow`` (default, r8): candidate pairs come from one
+    BLAS matmul per group (C = V·Vᵀ over the group's vectors, inside
+    applyInPandas) with a 1e-4 slack under the threshold, and the exact
+    cosine — the SAME Catalyst expression the join path uses, so values
+    and the oracle hash cannot move — is recomputed only for the
+    candidates. The g² pair stream thus stays in-core at memory
+    bandwidth instead of streaming through a per-pair aggregate(zip_with)
+    join (sf1.0, 20k vecs in 10 groups: 124.5 s → 1.1 s, same rows).
+    Slack soundness: float64 matmul and the sequential fold differ by
+    ≤ ~1e-13 relative, and round-half-up at 6 dp lifts a value by at
+    most 5e-7 — both orders of magnitude under 1e-4; non-finite cosines
+    (zero-norm vectors) are kept as candidates so the exact expression
+    decides them identically either way."""
     if group_col is None and not allow_full_scan:
         raise ValueError(
             "embedding_near_dup_pairs without group_col is an O(n²) "
@@ -1126,6 +1269,23 @@ def embedding_near_dup_pairs(
     # g-row group); the pair expression keeps the identical FP sequence
     # (sqrt(Σx²)·sqrt(Σy²)), so values — and the oracle hash — don't move
     base = df.select(*cols).withColumn("_n", norm(F.col("_v")))
+    pair_cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    if group_col and use_arrow:
+        base = base.persist()  # 3 consumers: candidates + two re-attaches
+        cand = _emb_near_dup_candidates(base, threshold)
+        a = base.select(F.col("_id").alias("id_a"),
+                        F.col("_v").alias("va"), F.col("_n").alias("na"))
+        b = base.select(F.col("_id").alias("id_b"),
+                        F.col("_v").alias("vb"), F.col("_n").alias("nb"))
+        out = (
+            cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("cos", pair_cos)
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+        out._rs_cached = [base]  # caller releases via dedup.release(out)
+        return out
     on = ["_g"] if group_col else None
     g = ["_g"] if group_col else []
     a = base.select(*g, F.col("_id").alias("id_a"),
@@ -1135,10 +1295,52 @@ def embedding_near_dup_pairs(
     joined = a.join(b, on=on) if on else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .withColumn("cos", pair_cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def _emb_near_dup_candidates(base: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b) candidate pairs per group via one float64 BLAS matmul
+    (see embedding_near_dup_pairs for the slack-soundness argument). Row-
+    blocked so peak memory is O(B·g) for the cosine slab plus the group's
+    g·d vector matrix."""
+    import numpy as np
+    import pandas as pd
+
+    types = dict(base.dtypes)
+    slack = 1e-4
+    row_block = 4096
+
+    def per_group(pdf: pd.DataFrame):
+        pdf = pdf[pdf["_v"].notna()].sort_values("_id")
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = pdf["_id"].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["_v"]])
+        n = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b = [], []
+        for b0 in range(0, g, row_block):
+            b1 = min(b0 + row_block, g)
+            C = V[b0:b1] @ V.T
+            denom = n[b0:b1, None] * n[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = C / denom
+            cand = (cos >= threshold - slack) | ~np.isfinite(cos)
+            cand &= np.arange(g)[None, :] > np.arange(b0, b1)[:, None]
+            ii, jj = np.nonzero(cand)
+            out_a.append(ids[ii + b0])
+            out_b.append(ids[jj])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else [],
+            "id_b": np.concatenate(out_b) if out_b else [],
+        })
+
+    return base.groupBy("_g").applyInPandas(
+        per_group, schema=f"id_a {types['_id']}, id_b {types['_id']}"
     )
 
 

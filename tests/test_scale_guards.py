@@ -130,11 +130,19 @@ def test_ngram_prefix_filter_lossless(spark):
         pf = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "src",
                                        threshold=threshold, shingle_n=n,
                                        method="prefix")
+        mm = dedup.ngram_jaccard_pairs(df, "doc_id", "text", "src",
+                                       threshold=threshold, shingle_n=n,
+                                       method="matmul")
         e = sorted(map(tuple, ex.collect()))
         p = sorted(map(tuple, pf.collect()))
+        m = sorted(map(tuple, mm.collect()))
         dedup.release(ex)
         dedup.release(pf)
+        dedup.release(mm)
         assert e == p and e, (threshold, n, len(e), len(p))
+        # r8 matmul candidates + exact-int Catalyst verify: same rows AND
+        # same jaccard doubles as the join-based exact baseline
+        assert e == m, (threshold, n, len(e), len(m))
 
 
 def test_dup_clusters_chain_and_islands(spark):
@@ -261,6 +269,43 @@ def test_embedding_near_dup_full_scan_requires_opt_in(spark):
         df, "vec_id", "embedding", allow_full_scan=True
     )
     assert out.count() == 1
+
+
+def test_embedding_near_dup_arrow_matches_join_path(spark):
+    """r8 matmul-candidate path vs the per-pair join expression path:
+    identical (id_a, id_b, cos) rows — the candidates come from BLAS but
+    every emitted cosine is the same Catalyst expression, so even the
+    float doubles must agree bit-for-bit. Covers near-threshold pairs,
+    negative cosines and anti-parallel vectors. (Zero-norm vectors raise
+    ANSI DIVIDE_BY_ZERO on BOTH paths — the arrow path keeps non-finite
+    numpy cosines as candidates precisely so the exact expression fires
+    for them the same way it always did.)"""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        g = i % 3
+        base = [math.sin(g * 7 + j) for j in range(8)]
+        if i % 4 == 0:  # near-dup of the group axis
+            vec = [x + rng.uniform(-0.05, 0.05) for x in base]
+        elif i % 5 == 0:
+            vec = [-x for x in base]  # anti-parallel
+        else:
+            vec = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, g, [float(x) for x in vec]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    for t in (0.95, 0.35, -0.5):
+        ar = dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", "label", threshold=t, use_arrow=True)
+        jn = dedup.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", "label", threshold=t, use_arrow=False)
+        a = sorted(map(tuple, ar.collect()))
+        j = sorted(map(tuple, jn.collect()))
+        dedup.release(ar)
+        assert a == j and a, (t, len(a), len(j))
 
 
 def test_dropped_band_count_audit(boilerplate_df):
