@@ -56,3 +56,27 @@ def partition_for_extract(
         F.xxhash64(F.col(url_col), F.lit("giant-lane")),
     ).otherwise(F.xxhash64(F.col(url_col)))
     return df.repartition(num_partitions, shuffle_key)
+
+
+def spread_small_scan(df: DataFrame, parallelism: int | None = None
+                      ) -> DataFrame:
+    """Scale-ADAPTIVE cost-equalizing exchange before per-row-heavy
+    compute (optimization guide §2: derive partitioning from the input,
+    not a constant).
+
+    A small input parquet arrives as one or two scan splits (a 15 MB
+    documents table under the session's 8 MB ``maxPartitionBytes``),
+    which serializes expensive per-row work — signature hashing, LM
+    scoring, quality expressions — onto a couple of cores while the
+    other 30 idle; measured r8 at sf1.0: doc_curation 9.6 s → ~1 s,
+    simhash 16 s → ~1 s, same rows. The earlier fix (doc_repetition /
+    doc_dsir, r7) repartitioned UNCONDITIONALLY, which at crawl scale
+    would re-shuffle the whole corpus for nothing; this helper checks
+    the actual scan split count first and is a plan no-op whenever the
+    scan is already at least as parallel as the session (the 100 TB
+    case), so it never adds an exchange at scale."""
+    sc = df.sparkSession.sparkContext
+    p = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
