@@ -24,11 +24,29 @@ from pyspark.sql import functions as F
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """Documents table, spread for per-row-heavy compute (r8): the small
+    SF parquet arrives as 1-2 scan splits under the session's 8 MB
+    maxPartitionBytes, serializing signature/LM/quality expression work
+    onto a couple of cores (measured sf1.0: doc_curation 9.2 s,
+    doc_simhash 16.6 s on 2 tasks). spread_small_scan is conditional on
+    the actual split count, so at crawl scale (scan already parallel) it
+    is a plan no-op — the scale-adaptive form of the r7 cost-equalizing
+    exchange (doc_repetition precedent)."""
+    from ragflow_spark.plans.partitioning import spread_small_scan
+
+    return spread_small_scan(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    """Embeddings table, spread like _docs: ivf/pq encode chains are
+    per-row expression-heavy and the small parquet is one scan split."""
+    from ragflow_spark.plans.partitioning import spread_small_scan
+
+    return spread_small_scan(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,14 +357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rule set (symbol ratio, bullet/ellipsis line fractions, alpha-word
         fraction, required-stopword hits, dup line/para fractions, and the
         Arrow-backed top/dup n-gram char fractions) in one projection.
-        The small-SF parquet is a single scan split, which would serialize
-        the n-gram pass — one tiny cost-equalizing exchange (~1.5 MB at
-        sf0.1) spreads it across cores, the extract_pages precedent; at
-        crawl scale the scan is already parallel (measured 2.02 s serial
-        → 0.80 s spread at sf0.1)."""
-        d = _docs(spark, sf).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        The cost-equalizing exchange for the single-split small-SF scan
+        (measured 2.02 s serial → 0.80 s spread at sf0.1) now lives in
+        _docs via spread_small_scan (r8) — conditional on the split
+        count, so no second exchange here."""
+        d = _docs(spark, sf)
         return textstats.repetition_signals(
             d, "doc_id", "text",
             include_gopher_quality=True,
@@ -1135,11 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doc-id shuffle, TakeOrderedAndProject top-k."""
         from ragflow_spark.operators import dsir
 
-        # small-SF parquet is one scan split, which would serialize the
-        # gram explode + md5 pass — a tiny cost-equalizing exchange
-        # spreads it across cores (the doc_repetition precedent; at
-        # crawl scale the scan is already thousands of splits)
-        d = _docs(spark, sf).repartition(32)
+        # the cost-equalizing exchange for the single-split small-SF
+        # scan lives in _docs via spread_small_scan (r8) — conditional
+        # on the split count; at crawl scale the scan is already
+        # thousands of splits and no exchange is added
+        d = _docs(spark, sf)
         nb, k, seed = 1024, 100, 42
         # persisted: the raw-model collect materializes the featurized
         # frame, the returned union reads the cache — one corpus pass
