@@ -125,8 +125,25 @@ def find_contours(bitmap: np.ndarray) -> list[np.ndarray]:
 
 
 def _convex_hull(pts: np.ndarray) -> np.ndarray:
-    """Andrew monotone chain, float output."""
-    p = np.unique(pts.astype(np.float64), axis=0)
+    """Andrew monotone chain, float output.
+
+    Large inputs (contour boundary sets run to hundreds of pixels) are
+    first reduced to the per-distinct-y min-x and max-x points — every
+    hull vertex is extremal in x within its own y row (a same-y point
+    strictly between two others is their convex combination, and the
+    chain's ``<= 0`` pop discards collinear points anyway), so the hull
+    vertex sequence is IDENTICAL while the O(n) Python pop loop sees
+    ~2·rows points instead of the full boundary (r8: the loop was 0.4 s
+    of a 4.6 s 100-PDF profile)."""
+    p = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(p) > 64:
+        order = np.lexsort((p[:, 0], p[:, 1]))
+        ps = p[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(ps[:, 1])) + 1])
+        ends = np.concatenate([starts[1:] - 1, [len(ps) - 1]])
+        p = np.concatenate([ps[starts], ps[ends]])
+    p = np.unique(p, axis=0)
     p = p[np.lexsort((p[:, 1], p[:, 0]))]
     if len(p) <= 2:
         return p
@@ -206,33 +223,43 @@ def fill_poly_mask(shape: tuple[int, int], pts: np.ndarray) -> np.ndarray:
     n = len(p)
     if n < 3:
         return mask
-    for yi in range(h):
-        y = float(yi)
-        xs = []
-        for i in range(n):
-            x1, y1 = p[i]
-            x2, y2 = p[(i + 1) % n]
-            if (y1 <= y < y2) or (y2 <= y < y1):
-                xs.append(x1 + (y - y1) * (x2 - x1) / (y2 - y1))
-        xs.sort()
-        for j in range(0, len(xs) - 1, 2):
-            a = int(np.ceil(xs[j] - 1e-9))
-            b = int(np.floor(xs[j + 1] + 1e-9))
+    # vectorized scanline (r8): same crossing expression per (row, edge)
+    # as the former Python double loop — identical float64 arithmetic,
+    # identical ceil/floor span ends, so the mask is bit-identical; the
+    # loops cost ~3 ms per box score at line-crop sizes, the hot half of
+    # DBPostProcess after the contour pass
+    ys = np.arange(h, dtype=np.float64)[:, None]           # (h, 1)
+    x1e, y1e = p[:, 0][None, :], p[:, 1][None, :]          # (1, n)
+    x2e = np.roll(p[:, 0], -1)[None, :]
+    y2e = np.roll(p[:, 1], -1)[None, :]
+    crossing = (((y1e <= ys) & (ys < y2e)) | ((y2e <= ys) & (ys < y1e)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xs = x1e + (ys - y1e) * (x2e - x1e) / (y2e - y1e)  # (h, n)
+    xs = np.where(crossing, xs, np.inf)
+    xs.sort(axis=1)                                        # non-crossings last
+    cnt = crossing.sum(axis=1)
+    for yi in np.nonzero(cnt)[0]:
+        row = xs[yi]
+        for j in range(0, cnt[yi] - 1, 2):
+            a = int(np.ceil(row[j] - 1e-9))
+            b = int(np.floor(row[j + 1] + 1e-9))
             if b >= a:
                 mask[yi, max(0, a):min(w, b + 1)] = 1
     # boundary pixels are part of the fill (cv2.fillPoly convention):
-    # rasterize each edge inclusively
+    # rasterize each edge inclusively — vectorized over the step index
+    # with the same f = t/steps parametrization and half-even rounding
+    # (np.rint == the former int(round(...)) on float64)
     q = np.rint(p).astype(np.int64)
+    q2 = np.roll(q, -1, axis=0)
     for i in range(n):
         x1, y1 = q[i]
-        x2, y2 = q[(i + 1) % n]
+        x2, y2 = q2[i]
         steps = int(max(abs(x2 - x1), abs(y2 - y1))) + 1
-        for t in range(steps + 1):
-            f = t / max(1, steps)
-            x = int(round(x1 + f * (x2 - x1)))
-            y = int(round(y1 + f * (y2 - y1)))
-            if 0 <= y < h and 0 <= x < w:
-                mask[y, x] = 1
+        f = np.arange(steps + 1, dtype=np.float64) / max(1, steps)
+        bx = np.rint(x1 + f * (x2 - x1)).astype(np.int64)
+        by = np.rint(y1 + f * (y2 - y1)).astype(np.int64)
+        keep = (by >= 0) & (by < h) & (bx >= 0) & (bx < w)
+        mask[by[keep], bx[keep]] = 1
     return mask
 
 

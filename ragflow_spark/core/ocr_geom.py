@@ -57,11 +57,15 @@ def warp_perspective(img: np.ndarray, m: np.ndarray,
     y1 = np.minimum(y0 + 1, src_h - 1)
     fx = (sx - x0)[:, None]
     fy = (sy - y0)[:, None]
-    flat = img.reshape(src_h * src_w, -1).astype(np.float64)
-    p00 = flat[y0 * src_w + x0]
-    p01 = flat[y0 * src_w + x1]
-    p10 = flat[y1 * src_w + x0]
-    p11 = flat[y1 * src_w + x1]
+    # gather in the source dtype FIRST, widen only the gathered pixels:
+    # the previous astype(float64) converted the ENTIRE page raster per
+    # crop (~4 MB copy x ~100 crops/page — the top scanned-PDF hotspot,
+    # r8 profile). uint8 -> float64 is exact, so values are bit-identical.
+    flat = img.reshape(src_h * src_w, -1)
+    p00 = flat[y0 * src_w + x0].astype(np.float64)
+    p01 = flat[y0 * src_w + x1].astype(np.float64)
+    p10 = flat[y1 * src_w + x0].astype(np.float64)
+    p11 = flat[y1 * src_w + x1].astype(np.float64)
     val = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
            + p10 * (1 - fx) * fy + p11 * fx * fy)
     out = val.reshape(out_h, out_w, -1)
