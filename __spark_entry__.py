@@ -717,9 +717,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         100 TB path)."""
         from ragflow_spark.operators import lm
 
-        return lm.ppl_tiers(
-            lm.charlm_score_corpus(_docs(spark, sf), "doc_id", "text")
-        )
+        # persist the slim scored frame (5 numeric cols): the tercile
+        # percentile job materializes it and the tier projection reads
+        # the cache — the r7 shape ran the full normalize+score Arrow
+        # pass twice (once for the boundary collect, once for the
+        # output; r8, guide §1.2). Released by bench via _rs_cached.
+        scored = lm.charlm_score_corpus(
+            _docs(spark, sf), "doc_id", "text"
+        ).persist()
+        out = lm.ppl_tiers(scored)
+        out._rs_cached = [scored]
+        return out
 
     def doc_quality_clf(spark, sf):
         """fastText-shape quality classifier (CCNet §4.2), weak labels
@@ -1160,14 +1168,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frame, the returned union reads the cache — one corpus pass
         # (dsir.py module docstring; released by bench via _rs_cached)
         raw_dbc = dsir.doc_bucket_counts(d, "doc_id", "text", nb).persist()
-        tgt_g = dsir.gram_buckets(
-            d.where(F.col("lang") == "en"), "doc_id", "text", nb
+        # the target (en) slice is a SUBSET of the raw corpus, so its
+        # bucket counts are derivable from the cached featurized frame
+        # via a broadcast semi-join on the en doc ids — the r7 shape
+        # re-ran the whole gram explode + md5 pass over the en docs a
+        # second time (r8, guide §1.2: don't compute things twice;
+        # identical counts by construction)
+        en_ids = d.where(F.col("lang") == "en").select("doc_id")
+        tgt_counts = (
+            raw_dbc.join(F.broadcast(en_ids), "doc_id", "left_semi")
+            .groupBy("bucket").agg(F.sum("n").alias("n"))
         )
         raw_counts = raw_dbc.groupBy("bucket").agg(
             F.sum("n").alias("n")
         )
         ratios = dsir.dsir_log_ratios(
-            dsir.bucket_counts(tgt_g), raw_counts, nb
+            tgt_counts, raw_counts, nb
         )
         w = dsir.dsir_weights(raw_dbc, ratios, "doc_id").withColumn(
             "key_micro",
@@ -1308,20 +1324,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact-substring dedup (any cross-doc substring ≥ k+window−1 chars
         guarantees a shared fingerprint; dedup.substring_dup_pairs mines
         the pairs with the hot-bucket guard)."""
+        from pyspark.sql import Window
+
         fps = textstats.winnow_fingerprints(
             _docs(spark, sf), "doc_id", "text"
         ).persist()
         ex = fps.select(
             "doc_id", F.explode(F.array_distinct("fingerprints")).alias("fp")
         )
-        shared_fp = (
-            ex.groupBy("fp")
-            .agg(F.countDistinct("doc_id").alias("_nd"))
+        # (doc_id, fp) pairs are DISTINCT by construction (explode of a
+        # per-doc array_distinct), so the per-fp doc count is a plain
+        # count over a window — one fp shuffle total, replacing the r7
+        # groupBy(countDistinct) + semi-join-back shape that shuffled the
+        # exploded frame by fp twice (r8, guide §2.4; same rows)
+        nd = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        per_doc = (
+            ex.withColumn("_nd", nd)
             .filter(F.col("_nd") >= 2)
-            .select("fp")
-        )
-        per_doc = ex.join(shared_fp, "fp").groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_shared_fps")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         )
         out = (
             fps.select(

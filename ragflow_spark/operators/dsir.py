@@ -103,16 +103,63 @@ def doc_bucket_counts(
     id_col: str,
     text_col: str,
     num_buckets: int = DEFAULT_BUCKETS,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Per-(doc, bucket) gram occurrence counts — each gram is hashed
     exactly ONCE; both the corpus model (re-aggregate by bucket) and the
-    per-doc weights (join λ, weighted sum) derive from this frame, so
-    its exchange is shared (ReusedExchange) instead of re-running the
-    explode+md5 pass per consumer."""
-    return (
-        gram_buckets(df, id_col, text_col, num_buckets)
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("n"))
+    per-doc weights (join λ, weighted sum) derive from this frame.
+
+    ``use_arrow`` (default, r8) counts each document's buckets INSIDE
+    one Arrow pass, so the frame is produced map-side with ZERO
+    shuffle — the expression path's ``explode → groupBy(id, bucket)``
+    shuffled one row per gram occurrence (5M rows at sf1.0) with almost
+    no map-side reduction, the single biggest exchange in doc_dsir.
+    Same counts by construction: ``_java_ws_tokens`` is the pinned JVM
+    split twin (minhash/simhash Arrow precedent) and hashlib.md5 ==
+    F.md5 on utf-8 bytes; the expression path stays the oracle-checked
+    reference."""
+    if not use_arrow:
+        return (
+            gram_buckets(df, id_col, text_col, num_buckets)
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("n"))
+        )
+    import hashlib
+
+    from ragflow_spark.operators.dedup import _java_ws_tokens
+
+    id_type = dict(df.dtypes)[id_col]
+    nb = int(num_buckets)
+
+    def run(batches):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids_out: list = []
+            b_out: list = []
+            n_out: list = []
+            for _id, t in zip(pdf[id_col], pdf[text_col]):
+                toks = _java_ws_tokens((t or "").lower())
+                cnt: dict[int, int] = {}
+                for g in toks:
+                    b = int(md5(g.encode("utf-8")).hexdigest()[:8], 16) % nb
+                    cnt[b] = cnt.get(b, 0) + 1
+                for a, c in zip(toks, toks[1:]):
+                    g = a + " " + c
+                    b = int(md5(g.encode("utf-8")).hexdigest()[:8], 16) % nb
+                    cnt[b] = cnt.get(b, 0) + 1
+                ids_out.extend([_id] * len(cnt))
+                b_out.extend(cnt.keys())
+                n_out.extend(cnt.values())
+            yield pd.DataFrame({
+                id_col: pd.Series(ids_out),
+                "bucket": pd.Series(b_out, dtype="int64"),
+                "n": pd.Series(n_out, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, bucket long, n long"
     )
 
 
