@@ -25,6 +25,32 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ragflow_spark.functions.vectors import dot, norm
 
 
+_EXPR_CACHE: dict = {}
+
+
+def _expr_cached(s: str):
+    """Memoized ``F.expr``: the literal-LUT / literal-centroid expression
+    strings these operators build run to ~50 KB, and the JVM SQL parse of
+    such a string costs ~0.3-0.5 s of DRIVER time per construction (r8
+    profile: ivf_build spent 0.85 s building a plan that executes in
+    ~0.2 s). The parsed Column is an unresolved expression — reusable
+    across queries — so identical strings (same centroids/codebooks, the
+    steady-state index-serving case) parse once per SparkContext. Keyed
+    by context identity so a restarted JVM never sees a stale handle;
+    this caches PLAN CONSTRUCTION only, never data or results."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), s)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = F.expr(s)
+        if len(_EXPR_CACHE) > 256:  # bound driver memory across corpora
+            _EXPR_CACHE.clear()
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _fold_norm(vec: list[float]) -> float:
     """L2 norm as the exact IEEE left-fold the SQL ``aggregate`` performs
     (((0+x₀²)+x₁²)+…, then sqrt — both correctly rounded), so inlining the
@@ -97,8 +123,8 @@ def ivf_build(
             f"named_struct('nc', -(({dot}) / ((`_nv`) * "
             f"({_dlit(_fold_norm(vec))}))), 'cid', {cid})"
         )
-    best = F.expr(f"array_min(array({', '.join(entries)})).cid")
-    return df.withColumn("_nv", F.expr(norm_vec)).select(
+    best = _expr_cached(f"array_min(array({', '.join(entries)})).cid")
+    return df.withColumn("_nv", _expr_cached(norm_vec)).select(
         F.col(id_col), best.alias("cluster_id"), F.col(vec_col)
     )
 
@@ -310,7 +336,7 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str, books: list,
             for c in range(k)
         ]
         code_exprs.append(f"array_min(array({', '.join(entries)})).c")
-    codes = F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes")
+    codes = _expr_cached("array(" + ", ".join(code_exprs) + ")").alias("codes")
     return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], codes)
 
 
