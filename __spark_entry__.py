@@ -39,6 +39,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table WITHOUT the spread exchange — used by the
+    minhash-family queries only. Their signature base is persisted and
+    re-read by 5 consumers; measured r8 at sf1.0, the pair/verify stages
+    re-reading a 32-partition cache ran 2.5 s vs 1.3 s on the unspread
+    2-partition cache (identical join strategies, exchange count 13→29
+    — the extra exchanges stop being reused), while the base
+    materialization itself is warm-cached by the bench. Keeping the r7
+    scan shape here avoids trading a hidden warm-pass cost for a real
+    per-rep regression; the 100 TB path materializes the signature table
+    to storage anyway (minhash_pairs docstring)."""
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table, spread like _docs: ivf/pq encode chains are
     per-row expression-heavy and the small parquet is one scan split."""
@@ -580,7 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the FIRST 50 registry entries, so stage-checks of one operator
         share a query slot; the union oracle still gates each stage
         row-for-row)."""
-        d = _docs(spark, sf)
+        d = _docs_raw(spark, sf)  # see _docs_raw: minhash family keeps
+        # the unspread scan (persisted-base cache interaction)
         sig = minhash_signature(F.col("text"), 16, 3)
         sig_rows = d.select(
             "doc_id",
@@ -652,7 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dup_clusters(spark, sf):
         pairs = dedup.minhash_pairs(
-            _docs(spark, sf), "doc_id", "text",
+            _docs_raw(spark, sf), "doc_id", "text",
             num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
         )
         return dedup.dup_clusters(pairs)
@@ -1585,7 +1600,7 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     def doc_minhash_pairs(spark, sf):
         return dedup.minhash_pairs(
-            _docs(spark, sf), "doc_id", "text",
+            _docs_raw(spark, sf), "doc_id", "text",
             num_hashes=16, bands=4, jaccard_threshold=0.5, shingle_n=3,
         )
 
