@@ -140,7 +140,12 @@ def doc_bucket_counts(
             b_out: list = []
             n_out: list = []
             for _id, t in zip(pdf[id_col], pdf[text_col]):
-                toks = _java_ws_tokens((t or "").lower())
+                if t is None or (isinstance(t, float)):
+                    # null text: the expression path's explode of a null
+                    # gram array emits ZERO rows — mirror that (pandas
+                    # surfaces string nulls as None/NaN)
+                    continue
+                toks = _java_ws_tokens(t.lower())
                 cnt: dict[int, int] = {}
                 for g in toks:
                     b = int(md5(g.encode("utf-8")).hexdigest()[:8], 16) % nb
@@ -181,8 +186,18 @@ def dsir_log_ratios(
     import math
 
     spark = target_counts.sparkSession
-    cp = {r["bucket"]: r["n"] for r in target_counts.collect()}
-    cq = {r["bucket"]: r["n"] for r in raw_counts.collect()}
+    # ONE driver job for both O(B) model collects (r8): the tagged union
+    # evaluates target and raw aggregation branches inside a single
+    # action — the former two sequential .collect()s each paid full job
+    # latency, and the first one alone materialized the shared upstream
+    # cache. Row content is identical; the split happens driver-side.
+    both = target_counts.select(
+        F.lit("p").alias("_side"), "bucket", "n"
+    ).unionByName(
+        raw_counts.select(F.lit("q").alias("_side"), "bucket", "n")
+    ).collect()
+    cp = {r["bucket"]: r["n"] for r in both if r["_side"] == "p"}
+    cq = {r["bucket"]: r["n"] for r in both if r["_side"] == "q"}
     n_p = sum(cp.values())
     n_q = sum(cq.values())
     rows = []
