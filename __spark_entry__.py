@@ -53,14 +53,49 @@ def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread embeddings scan — the head-of-table collects (_emb_head)
+    read it directly so they don't pay the spread's round-robin exchange
+    for an 8-row lookup."""
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings table, spread like _docs: ivf/pq encode chains are
     per-row expression-heavy and the small parquet is one scan split."""
     from ragflow_spark.plans.partitioning import spread_small_scan
 
-    return spread_small_scan(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    )
+    return spread_small_scan(_emb_raw(spark, sf_dir))
+
+
+def _emb_head(e: DataFrame, n: int = 8):
+    """ONE driver job for what the emb_pq_topk construction reads from the
+    table head: the n lowest-id rows seed the PQ codebooks
+    (pq_codebooks_from_rows), and the query vector (vec_id = 0) is the
+    head's first row on this corpus — guarded by a fallback scan if a
+    future corpus drops id 0 from the head. Replaces two sequential
+    head-of-table jobs with one; collected float32 values widen to the
+    identical Python floats the separate collects produced. (The same
+    fusion extended to the IVF centroid table measured SLOWER — see the
+    emb_ivf_topk NOTE.)"""
+    head = e.select("vec_id", "embedding").orderBy("vec_id").limit(n).collect()
+    qrow = next((r for r in head if r["vec_id"] == 0), None)
+    emb0 = (qrow["embedding"] if qrow is not None
+            else e.filter("vec_id = 0").first()["embedding"])
+    return head, [float(x) for x in emb0]
+
+
+def _head_codebooks(head, m: int = 4, k: int = 8) -> list:
+    """pq_codebooks_from_rows' exact books[m][k][sub] from the
+    already-collected head rows."""
+    assert len(head) >= k
+    dim = len(head[0]["embedding"])
+    sub = dim // m
+    return [
+        [[float(x) for x in r["embedding"][j * sub:(j + 1) * sub]]
+         for r in head[:k]]
+        for j in range(m)
+    ]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,6 +805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def emb_ivf_topk(spark, sf):
+        # NOTE r8: a fused head-collect (one job for qv+centroids via a
+        # LocalRelation centroid table) was measured SLOWER here (+0.3 s
+        # paired A/B at sf0.1): the centroid/probe subtrees reuse the
+        # spread exchange, so the separate collects are nearly free while
+        # the fusion adds a head job + driver-side relation construction.
+        # Kept only where no centroid table is involved (emb_pq_topk).
         e = _emb(spark, sf)
         qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
         cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
@@ -829,6 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         → exact re-rank — against the brute-force oracle: recall must be
         perfect on this corpus, proving the shortlist never loses a true
         neighbor here."""
+        # NOTE r8: the head-collect fusion was measured slower here too
+        # (see emb_ivf_topk) — the four sequential driver jobs from the
+        # "not yet optimized" list are each one reused-exchange takeOrdered
+        # away from free at this scale.
         e = _emb(spark, sf)
         qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
         cents = similarity.make_centroids_from_rows(e, "embedding", "vec_id", 8)
@@ -1611,8 +1656,8 @@ def legacy_bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]
 
     def emb_pq_topk(spark, sf):
         e = _emb(spark, sf)
-        qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-        books = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+        head, qv = _emb_head(_emb_raw(spark, sf), 8)
+        books = _head_codebooks(head, 4, 8)
         enc = similarity.pq_encode(e, "embedding", "vec_id", books)
         return similarity.pq_adc_topk(enc, books, qv, topk=10)
 

@@ -162,3 +162,50 @@ def test_fill_poly_mask_vectorized_identical():
         a = _fill_reference((h, w), pts)
         b = fill_poly_mask((h, w), pts)
         assert np.array_equal(a, b)
+
+
+# ----------------------------- IVF/PQ head-collect fusion parity
+
+def test_emb_head_fusion_matches_separate_collects(spark, tmp_path):
+    """_emb_head/_head_codebooks (the emb_pq_topk construction fusion)
+    must reproduce exactly what the two separate driver jobs produced:
+    qv = the vec_id=0 row, books = pq_codebooks_from_rows."""
+    import random
+
+    import __spark_entry__ as entry
+    from ragflow_spark.operators import similarity
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rng.shuffle(rows)  # head must come from orderBy, not input order
+    p = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .repartition(3).write.parquet(p)
+    e = spark.read.parquet(p)
+
+    head, qv = entry._emb_head(e, 8)
+    assert [r["vec_id"] for r in head] == list(range(8))
+    assert qv == [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+
+    old_b = similarity.pq_codebooks_from_rows(e, "embedding", "vec_id", 4, 8)
+    assert entry._head_codebooks(head, 4, 8) == old_b
+
+
+def test_emb_head_qv_fallback_without_id_zero_in_head(spark):
+    """If some future corpus's head does not contain vec_id 0, the fused
+    path must fall back to the old filter scan for the query vector."""
+    import __spark_entry__ as entry
+
+    e = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(-5, 0)]
+        + [(0, [9.0, 9.0]), (7, [7.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # n=3 head is [-5, -4, -3]: no vec_id 0 -> the fallback scan must
+    # still produce the id-0 query vector
+    head, qv = entry._emb_head(e, 3)
+    assert all(r["vec_id"] != 0 for r in head)
+    assert qv == [9.0, 9.0]
+    # n large enough to cover id 0 -> direct hit, same qv
+    head2, qv2 = entry._emb_head(e, 7)
+    assert qv2 == [9.0, 9.0]

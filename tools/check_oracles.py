@@ -57,11 +57,23 @@ def compare(name, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return issues
 
 
+# Golden-parquet oracles whose VALUES are anchored to the sf0.01 corpus
+# (tools/gen_query_goldens.py: SF_DIR = sf0.01, the driver's compare
+# scale). At any other sf their inputs are different documents, so a
+# value compare is meaningless by design — report rows-only instead of
+# a false FAIL. (extract_pipeline_pages / extract_manifest also use
+# goldens but their inputs are fixed synthetic pages, sf-independent.)
+GOLDEN_SF001_ANCHORED = {"doc_tokenize", "extract_chunks_docs"}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    golden_skip = (GOLDEN_SF001_ANCHORED
+                   if os.path.basename(sf_dir.rstrip("/")) != "sf0.01"
+                   else set())
 
     con = duckdb.connect()
     for t in TPCH_TABLES:
@@ -82,8 +94,10 @@ def main():
             print(f"FAIL {name}: spark error: {exc}")
             n_bad += 1
             continue
-        if name not in oracles:
-            print(f"rows-only {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
+        if name not in oracles or name in golden_skip:
+            tag = ("rows-only(golden@sf0.01)" if name in golden_skip
+                   else "rows-only")
+            print(f"{tag} {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
             if len(sdf) == 0:
                 print(f"  WARN {name}: 0 rows")
             continue
